@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is timed as a single action (``count`` of the result — forces
+full execution without driver-side materialization of wide rows). A warmup
+query amortizes session/JIT startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from yelp_business_data_pipeline_spark.plans import QUERIES
+from yelp_business_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # Warmup: JVM/codegen/readers.
+    QUERIES["topk_global_orders"].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        QUERIES[name].spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "query_pack_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Deduplication operators (SURVEY.md §2.9; BASELINE.json north-star).
+
+Scale design notes (the point of each algorithm at 100 TB):
+
+- **Exact dedup** — hash groupBy on a content fingerprint: one shuffle on the
+  fingerprint, no self-join, map-side partial agg shrinks first.
+- **Token-set Jaccard join** — exact pairwise similarity via an inverted-index
+  self-join on tokens. Cost is sum over tokens of df(t)^2, so it is the
+  *verification* stage, run only on candidate pairs (or bounded subsets), not
+  the whole corpus.
+- **MinHash + LSH banding** — the scale path: k portable min-hashes per doc
+  (computed per-row with higher-order functions — no explode, no shuffle),
+  then band signatures, then an equi-join on (band, band_hash). Only docs
+  sharing a band collide, so the join is output-bounded; AQE handles hot
+  buckets. Hashes are md5-based so the DuckDB oracle reproduces them exactly.
+- **SimHash** — per-doc bit-majority fingerprint; near-dups differ in few
+  bits. Computed with higher-order functions per row; candidate pairs via
+  equality on the fingerprint (or banded substrings at scale).
+
+Every function returns column expressions / DataFrames and never collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def portable_hash(s: Column | str, salt: str = "") -> Column:
+    """Deterministic 32-bit-range hash reproducible in ANSI SQL:
+    ``bigint(hex_prefix_8(md5(salt || s)))``. DuckDB twin:
+    ``('0x' || substr(md5(salt || s), 1, 8))::BIGINT``.
+
+    Used instead of ``xxhash64`` so sketch operators stay oracle-checkable;
+    swap for ``F.xxhash64`` when oracle parity is not needed (it's faster).
+    """
+    c = F.col(s) if isinstance(s, str) else s
+    if salt:
+        c = F.concat(F.lit(salt), c)
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Deterministic keep-one-per-key (D1). ``dropDuplicates`` keeps an
+    arbitrary row; this keeps the first under ``order_by`` — reproducible
+    across runs/cluster sizes, required for oracle checks and sane pipelines.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-word shingles of a token array (empty if fewer than n tokens).
+
+    Pure higher-order functions — evaluated per row inside codegen, no
+    explode. DuckDB twin: ``list_transform(range(1, len(t)-n+2), i -> ...)``.
+    """
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[
+        F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)
+    ]))
+    return F.when(F.size(tokens) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, k: int = 8) -> list[Column]:
+    """k min-hash values over a shingle array, one column expression each.
+
+    ``sig_j = min over shingles of portable_hash('j:' || shingle)`` — the
+    standard MinHash estimator (Broder 1997): P[sig_j(A)==sig_j(B)] = J(A,B).
+    Per-row array_min(transform(...)) — no shuffle at all.
+    """
+    def _hash_fn(j: int):
+        # NB: pyspark's higher-order-function bridge inspects lambda arity,
+        # so extra default args would be filled with lambda variables —
+        # bind j via closure instead.
+        return lambda s: portable_hash(s, salt=f"{j}:")
+
+    return [F.array_min(F.transform(shingles, _hash_fn(j))) for j in range(k)]
+
+
+def lsh_bands(sig_cols: list[Column], rows_per_band: int = 2) -> list[Column]:
+    """Band signatures: md5 over each group of ``rows_per_band`` signature
+    values. Docs agreeing on ANY band become candidates (prob 1-(1-J^r)^b)."""
+    bands = []
+    for b in range(0, len(sig_cols), rows_per_band):
+        group = sig_cols[b : b + rows_per_band]
+        bands.append(F.md5(F.concat_ws(",", *[g.cast("string") for g in group])))
+    return bands
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash+LSH banding.
+
+    Plan shape: project (signatures, per-row) -> unpivot bands (b small
+    unions) -> self equi-join on (band, band_hash) -> distinct pairs. The
+    only shuffles are the band join and the final distinct; both are keyed
+    on band hashes, which are uniform by construction.
+    """
+    toks = F.split(F.col(text_col), " ")
+    sh = word_shingles(toks, shingle_n)
+    base = df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
+        F.col(id_col).alias("_id"), sh.alias("_shingles")
+    )
+    sigs = minhash_signature(F.col("_shingles"), k)
+    signed = base.select("_id", *[sig.alias(f"_sig{j}") for j, sig in enumerate(sigs)])
+    band_exprs = lsh_bands([F.col(f"_sig{j}") for j in range(k)], rows_per_band)
+    bands = None
+    for bi, be in enumerate(band_exprs):
+        part = signed.select("_id", F.lit(bi).alias("band"), be.alias("band_hash"))
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.select(F.col("_id").alias("doc_a"), "band", "band_hash")
+    b = bands.select(F.col("_id").alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard similarity join via inverted index.
+
+    Returns (id_a, id_b, jaccard) for pairs >= threshold. The self-join on
+    token is the inverted-index pattern: cost bounded by posting-list sizes,
+    so at scale this runs AFTER LSH blocking (see minhash_lsh_candidates),
+    or with frequent-token pruning.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.select(F.col("_id").alias("id_a"), "tok")
+    b = toks.select(F.col("_id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(tokens: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint (Charikar 2002): for each bit position, sum +-1
+    votes of each token's hash bit; the sign vector packs into an int.
+
+    Per-row higher-order functions; near-duplicate docs land within small
+    Hamming distance. 16 bits keeps the expression tree small while
+    demonstrating the operator; widen via multiple 16-bit words at scale.
+    """
+    h = lambda t: portable_hash(t, salt="sh:")  # noqa: E731
+
+    def _vote_fn(i: int):
+        # Closure-bound bit index (see minhash_signature note on lambda arity).
+        return lambda acc, t: acc + F.when(
+            F.shiftright(h(t), i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for i in range(bits):
+        votes = F.aggregate(tokens, F.lit(0), _vote_fn(i))
+        bit_cols.append(F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("bigint")

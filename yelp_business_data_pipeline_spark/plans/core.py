@@ -1,0 +1,718 @@
+"""Core relational query pack (SURVEY.md §2.1-§2.7 operator coverage).
+
+Every reference operator re-expressed on the driver's TPC-H-ish testdata
+tables, each with a DuckDB oracle twin. Reference file:line citations are on
+each query's docstring so parity can be checked against SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.cleaning import null_profile
+from ..operators.topk import top_k_global, top_k_per_group
+from .registry import query, tbl
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A2, §2.4) + filter/project (F1-F2, P3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H-Q1-shaped scan+filter+groupBy agg pack (SURVEY §2.4 note: the "
+    "BI aggregations implied by README.md:301-307). Map-side partial agg, "
+    "one shuffle on the 2 group keys.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "null_profile_orders",
+    """
+    SELECT (COUNT(*) - COUNT(o_orderkey)) AS o_orderkey,
+           (COUNT(*) - COUNT(o_custkey)) AS o_custkey,
+           (COUNT(*) - COUNT(o_orderstatus)) AS o_orderstatus,
+           (COUNT(*) - COUNT(o_totalprice)) AS o_totalprice,
+           (COUNT(*) - COUNT(o_orderdate)) AS o_orderdate,
+           (COUNT(*) - COUNT(o_orderpriority)) AS o_orderpriority
+    FROM orders
+    """,
+    doc="A1 one-pass per-column null profile (reference Review_ETL.py:57-63, "
+    "User_ETL.py:54-60): sum(when(isNull,1)) per column, single partial+final agg.",
+)
+def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return null_profile(tbl(spark, sf_dir, "orders"))
+
+
+@query(
+    "conditional_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY 1
+    """,
+    doc="C8 when/otherwise conditional buckets (reference Business_ETL.py:121-126, "
+    "Review_ETL.py:80-84 label thresholds).",
+)
+def conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "horizontal_row_sum",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity + l_discount + l_tax AS row_sum,
+           (CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
+            + CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+            + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS flags_sum
+    FROM lineitem
+    """,
+    doc="A6/A7 horizontal fold-sum across columns (reference engagement_score "
+    "Review_ETL.py:66-70 and days_open Business_ETL.py:133-135): pure row "
+    "arithmetic, no shuffle.",
+)
+def horizontal_row_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    flags = (
+        F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+        + F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+        + F.when(F.col("l_tax") > 0.04, 1).otherwise(0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") + F.col("l_discount") + F.col("l_tax")).alias("row_sum"),
+        flags.alias("flags_sum"),
+    )
+
+
+@query(
+    "distinct_count_per_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregation (SURVEY §2.4 'absent in reference, engine exposes "
+    "via builtins'): two-phase distinct agg, shuffle on group key then key+value.",
+)
+def distinct_count_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "rollup_revenue",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+    doc="Rollup / grouping sets (SURVEY §2.4 extension surface): hierarchical "
+    "subtotals in one pass (Spark expands grouping sets map-side).",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return o.rollup("order_year", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "pivot_event_counts",
+    """
+    SELECT user_id % 10 AS cohort,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+    doc="Pivot (SURVEY §2.4 extension; guide 'pivot/unpivot'). Explicit value "
+    "list so no extra distinct-values job at scale.",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return piv.select(
+        "cohort", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J5) + rename (P4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "star_join_revenue",
+    """
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders
+    FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="J1/J2 star left-joins (reference join/unified_data_analytics.py:46-47): "
+    "fact left-joins two dims. customer is broadcast (dim << fact); the "
+    "orders join shuffles on the join key with AQE skew splitting.",
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "unified_star_rename",
+    """
+    SELECT o.o_orderkey AS order_key,
+           o.o_totalprice AS order_totalprice,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           c.c_name AS customer_name,
+           c.c_acctbal AS customer_acctbal,
+           n.n_name AS nation_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="P4 conflict-prefix rename + unified 3-way left join (reference "
+    "join/unified_data_analytics.py:23-47, README.md:188): the denormalized "
+    "UnifiedAnalytics build, dims broadcast.",
+)
+def unified_star_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey"),
+        F.col("o_totalprice").alias("order_totalprice"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    c = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_nationkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_acctbal").alias("customer_acctbal"),
+    )
+    n = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation_name")
+    )
+    out = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .drop("o_custkey", "c_custkey", "c_nationkey", "n_nationkey")
+    )
+    return out
+
+
+@query(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J4 anti-join orphan detection (reference neo4j_test.cypher:8-37 "
+    "missing-edge checks): left_anti keeps only unmatched build keys.",
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J5 existence/semi join (reference graph.cypher:50-51 FK-validated "
+    "MERGE): left_semi join, no fan-out.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_acctbal")
+
+
+@query(
+    "integrity_orphan_checks",
+    """
+    SELECT 'events_user_not_in_customer' AS check_name,
+           (SELECT COUNT(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem_supp_not_in_supplier' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS n_orphans
+    """,
+    doc="Referential-integrity check pack via anti-joins + union (reference "
+    "neo4j_test.cypher:7-37 orphan checks; README.md:369-372).",
+)
+def integrity_orphan_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    cust = tbl(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("l_suppkey"))
+    a = ev.join(F.broadcast(cust), "user_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    ).select(F.lit("events_user_not_in_customer").alias("check_name"), "n_orphans")
+    b = li.join(F.broadcast(supp), "l_suppkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    ).select(F.lit("lineitem_supp_not_in_supplier").alias("check_name"), "n_orphans")
+    return a.unionAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / windows (W1-W3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_global_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="W1 global top-k (reference neo4j_test.cypher:49-53 'top 5 reviewers'): "
+    "compiles to TakeOrderedAndProject — per-partition heaps, no global sort.",
+)
+def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return top_k_global(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "topk_orders_per_segment",
+    """
+    SELECT * FROM (
+      SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+             c.c_name AS customer_name,
+             o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(c.c_mktsegment, 'UNKNOWN')
+               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 5
+    """,
+    doc="W3 per-group top-k — the flagship slice (SURVEY §7 M0): scan -> "
+    "broadcast left join -> window row_number <= k. One shuffle on the "
+    "group key; AQE splits skewed segments.",
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("mktsegment"),
+        F.col("c_name").alias("customer_name"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return top_k_per_group(
+        joined,
+        ["mktsegment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        5,
+        rank_col="rnk",
+    )
+
+
+@query(
+    "running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="Window running aggregate (SURVEY §2.5 'true window functions absent "
+    "in reference; engine exposes'): explicit ROWS frame, deterministic order.",
+)
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            + INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    doc="Sessionization via lag + gap flag + count (guide 'common OLAP "
+    "patterns'; streaming twin uses session_window). Interval comparison "
+    "avoids epoch truncation divergence across engines.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / set ops (D1-D3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_orders_latest",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_order_date
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="D1 deterministic dedup-keep-latest (reference MERGE insert-if-absent "
+    "graph.cypher:24ff; dropDuplicates picks an arbitrary row, so the engine "
+    "uses a tie-broken row_number for reproducibility).",
+)
+def dedup_orders_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("latest_order_date"),
+        )
+    )
+
+
+@query(
+    "duplicate_key_detection",
+    """
+    SELECT l_orderkey, COUNT(*) AS n
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    """,
+    doc="A3/D2 duplicate-PK detection (reference neo4j_test.cypher:2-5): "
+    "groupBy(pk).count().filter(n > 1).",
+)
+def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@query(
+    "symmetric_closure_degree",
+    """
+    WITH edges AS (
+      SELECT DISTINCT s_suppkey AS src, s_nationkey AS dst FROM supplier
+    ), sym AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst AS src, src AS dst FROM edges
+    )
+    SELECT src AS node_id, COUNT(*) AS degree
+    FROM sym GROUP BY src
+    """,
+    doc="D3 symmetric closure + A5 degree count (reference FRIENDS_WITH "
+    "bidirectional merge graph.cypher:91-97; degree check "
+    "neo4j_test.cypher:40-44): union of reversed edges, distinct, degree.",
+)
+def symmetric_closure_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        tbl(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    return sym.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (C1-C11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "explode_type_tokens",
+    """
+    SELECT token, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS token, p_retailprice FROM part)
+    GROUP BY token
+    """,
+    doc="C1/C6 split + explode fan-out (reference categories explode "
+    "Business_ETL.py:65,146; friends explode User_ETL.py:98-100): lateral "
+    "view multiplies rows, then re-aggregates.",
+)
+def explode_type_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tbl(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("token"), "p_retailprice")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
+        )
+    )
+
+
+@query(
+    "regexp_first_word",
+    """
+    SELECT regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           COUNT(*) AS n,
+           CAST(MIN(p_size) AS INTEGER) AS min_size,
+           CAST(MAX(p_size) AS INTEGER) AS max_size
+    FROM part GROUP BY 1
+    """,
+    doc="C3 regexp_extract (reference NoiseLevel unwrap Business_ETL.py:96) "
+    "+ min/max agg.",
+)
+def regexp_first_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tbl(spark, sf_dir, "part")
+    return (
+        p.withColumn("first_word", F.regexp_extract("p_name", r"^(\w+)", 1))
+        .groupBy("first_word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_size").cast("int").alias("min_size"),
+            F.max("p_size").cast("int").alias("max_size"),
+        )
+    )
+
+
+@query(
+    "json_extract_events",
+    """
+    SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 10 AS k_mod,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1
+    """,
+    doc="C4 from_json on a JSON-string column (reference Ambience/BusinessParking "
+    "Business_ETL.py:72-81): Spark parses with an explicit StructType; the "
+    "oracle uses a regexp twin to stay extension-free.",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.withColumn("k_mod", k % 10)
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+@query(
+    "date_features_orders",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="C10 date/time functions (reference to_timestamp/to_date "
+    "Review_ETL.py:92-93, months_between User_ETL.py:86-92): calendar "
+    "extraction + group. Extracted ints, not raw timestamps (ns-vs-us safe).",
+)
+def date_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .withColumn("order_month", F.month("o_orderdate").cast("int"))
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph-as-DataFrames (J3, A4, A5 — reference graph layer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_two_hop_region_customers",
+    """
+    SELECT r.r_name AS region_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="J3 node-edge-node pattern match (reference Cypher MATCH "
+    "(u)-[:WROTE]->(r)-[:REVIEWS]->(b) neo4j_test.cypher:50-53): chained "
+    "equi-joins over edge tables; both hops broadcast (dims are tiny).",
+)
+def graph_two_hop_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
+        )
+    )
+
+
+@query(
+    "graph_degree_top_customers",
+    """
+    SELECT d.o_custkey AS custkey, c.c_name AS customer_name, d.degree
+    FROM (SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey) d
+    JOIN customer c ON d.o_custkey = c.c_custkey
+    ORDER BY d.degree DESC, d.o_custkey
+    LIMIT 10
+    """,
+    doc="A5 degree count joined back to vertices + W1 top-k (reference "
+    "neo4j_test.cypher:40-44 degree reconciliation): agg shrinks fact first, "
+    "then broadcast-joins the dim — join after agg, never before.",
+)
+def graph_degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    deg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.join(F.broadcast(c), deg.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_name").alias("customer_name"),
+            "degree",
+        )
+        .orderBy(F.desc("degree"), F.asc("custkey"))
+        .limit(10)
+    )

@@ -1,0 +1,348 @@
+"""LLM-data-pipeline query pack (SURVEY.md §2.9; BASELINE.json north-star):
+dedup (exact / MinHash-LSH / SimHash / Jaccard), similarity search, text
+analysis — over the driver's ``documents`` and ``embeddings`` tables.
+
+Oracle parity: sketch hashes use ``operators.dedup.portable_hash`` (md5-based)
+so even MinHash/SimHash are exactly reproducible in DuckDB; only the
+LSH-bucketed ANN variant ships without an oracle (rows-only check) because
+its hyperplane literals would bloat the SQL — its recall is pytest-verified
+against the brute-force oracle instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sentiment import sentiment_label_expr, sentiment_oracle_sql, sentiment_score_expr
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from .registry import query, tbl
+
+# ---------------------------------------------------------------------------
+# SQL helpers (DuckDB dialect) mirroring the operators' portable expressions
+# ---------------------------------------------------------------------------
+
+TOKS = "string_split(text, ' ')"
+
+
+def _sql_hash(expr: str, salt: str) -> str:
+    return f"(('0x' || substr(md5('{salt}' || {expr}), 1, 8))::BIGINT)"
+
+
+def _sql_shingles(n: int = 3) -> str:
+    # 1-based list indexing; range(a, b) is [a, b).
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len(t) - {n - 2}), i -> {parts})"
+
+
+def _sql_minhash_bands(k: int = 8, rows_per_band: int = 2) -> str:
+    sigs = ",\n      ".join(
+        f"list_min(list_transform(shingles, s -> {_sql_hash('s', f'{j}:')})) AS s{j}"
+        for j in range(k)
+    )
+    band_selects = []
+    for bi, b in enumerate(range(0, k, rows_per_band)):
+        cols = " || ',' || ".join(f"s{j}::VARCHAR" for j in range(b, b + rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5({cols}) AS band_hash FROM sig"
+        )
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKS} AS t FROM documents WHERE len({TOKS}) >= 3
+    ), sh AS (
+      SELECT doc_id, {_sql_shingles(3)} AS shingles FROM (SELECT doc_id, t FROM toks)
+    ), sig AS (
+      SELECT doc_id,
+      {sigs}
+      FROM sh
+    ), bands AS (
+      {bands}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    words = []
+    for i in range(bits):
+        vote = (
+            f"list_sum(list_transform({TOKS}, t -> "
+            f"CASE WHEN ({_sql_hash('t', 'sh:')} >> {i}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        words.append(f"CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END")
+    total = " + ".join(words)
+    return f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len({TOKS})) AS BIGINT)::DOUBLE / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    doc="Token counting per corpus slice — the basic training-data budget "
+    "metric. Whitespace tokenizer (JVM split), aggregated per lang.",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", tx.token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    SELECT doc_id,
+           len({TOKS}) AS n_tokens,
+           round(len(list_distinct({TOKS}))::DOUBLE / len({TOKS}), 6) AS distinct_ratio,
+           round(len(list_filter({TOKS}, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
+                 / len({TOKS}), 6) AS stopword_ratio
+    FROM documents
+    WHERE len(list_distinct({TOKS}))::DOUBLE / len({TOKS}) >= 0.3
+    """,
+    doc="Quality scoring: lexical diversity + stopword density filters "
+    "(standard corpus-cleaning signals), pure column math, filter pushed "
+    "into the scan stage.",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = tx.tokens_col(F.col("text"))
+    raw_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    return (
+        d.withColumn("n_tokens", tx.token_count(F.col("text")))
+        .withColumn("distinct_ratio", tx.distinct_token_ratio(F.col("text")))
+        .withColumn("stopword_ratio", tx.stopword_ratio(F.col("text"), "en"))
+        .filter(raw_ratio >= 0.3)
+        .select("doc_id", "n_tokens", "distinct_ratio", "stopword_ratio")
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"len(list_filter({TOKS}, t -> list_contains([{words}], t)))"
+
+
+@query(
+    "lang_id_confusion",
+    f"""
+    WITH g AS (
+      SELECT lang,
+             CASE
+               WHEN {_sql_lang_hits('en')} >= {_sql_lang_hits('fr')}
+                AND {_sql_lang_hits('en')} >= {_sql_lang_hits('de')}
+                AND {_sql_lang_hits('en')} >= {_sql_lang_hits('es')} THEN 'en'
+               WHEN {_sql_lang_hits('fr')} >= {_sql_lang_hits('de')}
+                AND {_sql_lang_hits('fr')} >= {_sql_lang_hits('es')} THEN 'fr'
+               WHEN {_sql_lang_hits('de')} >= {_sql_lang_hits('es')} THEN 'de'
+               ELSE 'es'
+             END AS guessed_lang
+      FROM documents
+    )
+    SELECT lang, guessed_lang, COUNT(*) AS n FROM g GROUP BY 1, 2
+    """,
+    doc="Heuristic language ID (stopword-hit argmax, deterministic tie order) "
+    "vs the labeled lang column — a confusion matrix per slice.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.withColumn("guessed_lang", tx.lang_id(F.col("text")))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sentiment_by_source",
+    f"""
+    WITH s AS (
+      SELECT source, {sentiment_oracle_sql('text')} AS score FROM documents
+    )
+    SELECT source,
+           CASE WHEN score >= 0.05 THEN 'positive'
+                WHEN score <= -0.05 THEN 'negative'
+                ELSE 'neutral' END AS sentiment_label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) AS score_sum
+    FROM s GROUP BY 1, 2
+    """,
+    doc="U1 sentiment semantics (reference Review_ETL.py:73-85: VADER compound "
+    "+ +-0.05 label thresholds) via the deterministic lexicon scorer — "
+    "codegen'd expressions, no UDF on the bench path.",
+)
+def sentiment_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.withColumn("score", sentiment_score_expr(F.col("text")))
+        .withColumn("sentiment_label", sentiment_label_expr(F.col("score")))
+        .groupBy("source", "sentiment_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("score").cast("decimal(18,12)")).cast("double").alias("score_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fingerprint_dup_groups",
+    f"""
+    SELECT md5(array_to_string(list_slice({TOKS}, 1, 2), ' ')) AS fp,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    doc="Exact-dedup blocking: md5 prefix fingerprint -> hash groupBy -> "
+    "duplicate groups with deterministic keeper (min id). One shuffle on "
+    "the fingerprint; no self-join (the scalable exact-dedup shape).",
+)
+def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", tx.fingerprint(F.col("text"), 2))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "jaccard_similar_pairs",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+    toks AS (
+      SELECT doc_id, unnest(list_distinct({TOKS})) AS tok FROM docs
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE round(n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5
+    """,
+    doc="Exact n-gram/token Jaccard similarity join via inverted-index "
+    "self-join — the verification stage of near-dup dedup. Bounded to a "
+    "fixed doc window here (constant cost across SFs); at scale it runs "
+    "only on LSH candidate pairs.",
+)
+def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return dd.token_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "minhash_lsh_candidate_pairs",
+    _sql_minhash_bands(k=8, rows_per_band=2),
+    doc="MinHash (k=8, md5-portable hashes) + LSH banding (4 bands x 2 rows) "
+    "candidate near-dup pairs: per-row signatures via higher-order functions "
+    "(no explode), band equi-join, distinct pairs. The 100 TB dedup shape: "
+    "shuffle only on uniform band hashes. Oracle reproduces the exact "
+    "signatures in SQL.",
+)
+def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(d, "doc_id", "text", k=8, rows_per_band=2, shingle_n=3)
+
+
+@query(
+    "simhash_fingerprints",
+    _sql_simhash(bits=16),
+    doc="SimHash document fingerprints (16-bit, portable hash): bit-majority "
+    "vote over token hashes, per-row fold, zero shuffle. Near-dups differ "
+    "in few bits; pair generation at scale = equality or banded-prefix join.",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", dd.simhash(tx.tokens_col(F.col("text")), bits=16).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+          FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id AS c_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+          FROM e WHERE vec_id >= 5)
+    SELECT q_id, c_id, rnk, cosine FROM (
+      SELECT q_id, c_id,
+             round(list_dot_product(qv, cv) / (qn * cn), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY round(list_dot_product(qv, cv) / (qn * cn), 6) DESC, c_id) AS rnk
+      FROM c, q
+    ) WHERE rnk <= 10
+    """,
+    doc="Brute-force cosine top-k over array<float> embeddings: broadcast "
+    "query set x partitioned corpus, higher-order-function dot product "
+    "(JVM, no UDF), per-query window top-k. The exactness baseline for ANN; "
+    "the LSH variant (lsh_ann_topk) is the scale path.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
+    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
+    return sim.cosine_topk(q, c, "q_id", "c_id", "v", k=10)
+
+
+@query(
+    "lsh_ann_topk",
+    None,  # hyperplane literal table would bloat SQL; recall pytest-verified
+    doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
+    "(Charikar) sign buckets, brute-force cosine only within the bucket. "
+    "Rows-only driver check; pytest verifies bucket determinism and recall "
+    "against ann_cosine_topk.",
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
+    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
+    return sim.lsh_ann_topk(q, c, dim=64, query_id="q_id", corpus_id="c_id", vec_col="v", k=10, n_planes=6)

@@ -1,0 +1,58 @@
+"""Writers.
+
+The reference's write discipline (reference ``README.md:217-223``): domain
+tables are *append*-mode (``ETL-script/Business_ETL.py:159`` et al.), the
+unified table is *overwrite* (``join/unified_data_analytics.py:56``). The
+reference's append is not idempotent — a re-delivered S3 event duplicates
+rows. This engine's append writer dedups against existing primary keys via a
+left-anti join (a deliberate, documented improvement; SURVEY.md §7).
+
+Scale notes: partitioned writes enable partition pruning downstream;
+``partitionOverwriteMode=dynamic`` (set in the session factory) makes
+partitioned overwrites replace only touched partitions. The anti-join reads
+only the key column of the existing table (column-pruned parquet scan), so
+idempotent append at 100 TB costs one key-scan + one shuffle, not a rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Atomic rebuild (reference ``join/unified_data_analytics.py:56``)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_append_idempotent(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Append only rows whose ``keys`` are not already present.
+
+    Emulates MERGE-insert-if-absent (the reference gets this from Neo4j's
+    ``MERGE``, ``neo4j_load/graph.cypher:24`` ff., but NOT from its parquet
+    appends). New-batch-internal duplicates are also dropped.
+    """
+    spark: SparkSession = df.sparkSession
+    fresh = df.dropDuplicates(keys)
+    # Does the target exist yet? (cheap metadata check via read attempt)
+    try:
+        existing_keys = spark.read.parquet(path).select(*keys)
+    except Exception:
+        existing_keys = None
+    if existing_keys is not None:
+        fresh = fresh.join(existing_keys, on=keys, how="left_anti")
+    writer = fresh.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
