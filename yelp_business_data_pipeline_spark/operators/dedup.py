@@ -62,20 +62,54 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     return F.when(F.size(tokens) >= n, sh).otherwise(F.array().cast("array<string>"))
 
 
+#: Modulus for the affine rehash family (keeps products inside int64).
+MINHASH_MOD = 1 << 32
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) affine-rehash constants, derived from md5 so
+    the DuckDB oracle embeds the identical literals. a_j is odd (invertible
+    mod 2^32) and < 2^30 so a*h+b stays below 2^62 (no int64 overflow)."""
+    import hashlib
+
+    params = []
+    for j in range(k):
+        a = (int(hashlib.md5(f"a{j}".encode()).hexdigest()[:8], 16) | 1) & 0x3FFFFFFF
+        b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:8], 16)
+        params.append((a, b))
+    return params
+
+
 def minhash_signature(shingles: Column, k: int = 8) -> list[Column]:
     """k min-hash values over a shingle array, one column expression each.
 
-    ``sig_j = min over shingles of portable_hash('j:' || shingle)`` — the
-    standard MinHash estimator (Broder 1997): P[sig_j(A)==sig_j(B)] = J(A,B).
-    Per-row array_min(transform(...)) — no shuffle at all.
+    One md5 per shingle (``portable_hash`` base), then k affine rehashes
+    ``sig_j = min over shingles of (a_j * h + b_j) mod 2^32`` — the standard
+    universal-hash MinHash construction (Broder 1997): P[sig_j(A)==sig_j(B)]
+    ~= J(A,B). Per-row array_min(transform(...)) over a shared base-hash
+    array — no shuffle, and the expensive md5 runs once per shingle, not k
+    times.
     """
-    def _hash_fn(j: int):
-        # NB: pyspark's higher-order-function bridge inspects lambda arity,
-        # so extra default args would be filled with lambda variables —
-        # bind j via closure instead.
-        return lambda s: portable_hash(s, salt=f"{j}:")
+    return minhash_rehash(base_hashes(shingles), k)
 
-    return [F.array_min(F.transform(shingles, _hash_fn(j))) for j in range(k)]
+
+def base_hashes(shingles: Column) -> Column:
+    """One portable md5 hash per shingle. Materialize this as its own column
+    before computing the k rehashes: higher-order functions are interpreted
+    (no common-subexpression elimination), so inlining it into each sig
+    expression would recompute the md5 pass k times."""
+    return F.transform(shingles, lambda s: portable_hash(s, salt="mh:"))
+
+
+def minhash_rehash(hashes: Column, k: int) -> list[Column]:
+    """k affine min-rehashes of a base-hash array."""
+
+    def _rehash_fn(a: int, b: int):
+        # Closure-bound constants (pyspark HOF lambdas fill extra params
+        # with lambda variables, so no default-arg binding).
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_MOD)
+
+    return [F.array_min(F.transform(hashes, _rehash_fn(a, b))) for a, b in minhash_params(k)]
 
 
 def lsh_bands(sig_cols: list[Column], rows_per_band: int = 2) -> list[Column]:
@@ -98,29 +132,43 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash+LSH banding.
 
-    Plan shape: project (signatures, per-row) -> unpivot bands (b small
-    unions) -> self equi-join on (band, band_hash) -> distinct pairs. The
-    only shuffles are the band join and the final distinct; both are keyed
-    on band hashes, which are uniform by construction.
+    Plan shape: project (signatures + band hashes, one pass per row) ->
+    posexplode bands -> groupBy (band, band_hash) collecting the (small)
+    bucket membership -> per-bucket pair expansion with higher-order
+    functions -> distinct pairs. No self-join, so the signature computation
+    runs exactly once; the only shuffles are the bucket groupBy and the
+    final distinct, both keyed on uniform band hashes. Hot buckets are
+    bounded by construction (a bucket = docs agreeing on a band).
     """
     toks = F.split(F.col(text_col), " ")
     sh = word_shingles(toks, shingle_n)
-    base = df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
-        F.col(id_col).alias("_id"), sh.alias("_shingles")
+    hashed = df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
+        F.col(id_col).alias("_id"), base_hashes(sh).alias("_hashes")
     )
-    sigs = minhash_signature(F.col("_shingles"), k)
-    signed = base.select("_id", *[sig.alias(f"_sig{j}") for j, sig in enumerate(sigs)])
-    band_exprs = lsh_bands([F.col(f"_sig{j}") for j in range(k)], rows_per_band)
-    bands = None
-    for bi, be in enumerate(band_exprs):
-        part = signed.select("_id", F.lit(bi).alias("band"), be.alias("band_hash"))
-        bands = part if bands is None else bands.unionAll(part)
-    a = bands.select(F.col("_id").alias("doc_a"), "band", "band_hash")
-    b = bands.select(F.col("_id").alias("doc_b"), "band", "band_hash")
+    sigs = minhash_rehash(F.col("_hashes"), k)
+    band_exprs = lsh_bands(sigs, rows_per_band)
+    bands = hashed.select(
+        "_id", F.posexplode(F.array(*band_exprs)).alias("band", "band_hash")
+    )
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    # All ordered pairs within a bucket: ids is sorted, so pairing each
+    # element with its suffix yields doc_a < doc_b without a filter.
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

@@ -38,9 +38,11 @@ def _sql_shingles(n: int = 3) -> str:
 
 
 def _sql_minhash_bands(k: int = 8, rows_per_band: int = 2) -> str:
+    from ..operators.dedup import MINHASH_MOD, minhash_params
+
     sigs = ",\n      ".join(
-        f"list_min(list_transform(shingles, s -> {_sql_hash('s', f'{j}:')})) AS s{j}"
-        for j in range(k)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_MOD})) AS s{j}"
+        for j, (a, b) in enumerate(minhash_params(k))
     )
     band_selects = []
     for bi, b in enumerate(range(0, k, rows_per_band)):
@@ -54,10 +56,12 @@ def _sql_minhash_bands(k: int = 8, rows_per_band: int = 2) -> str:
       SELECT doc_id, {TOKS} AS t FROM documents WHERE len({TOKS}) >= 3
     ), sh AS (
       SELECT doc_id, {_sql_shingles(3)} AS shingles FROM (SELECT doc_id, t FROM toks)
+    ), hsh AS (
+      SELECT doc_id, list_transform(shingles, s -> {_sql_hash('s', 'mh:')}) AS hs FROM sh
     ), sig AS (
       SELECT doc_id,
       {sigs}
-      FROM sh
+      FROM hsh
     ), bands AS (
       {bands}
     )
