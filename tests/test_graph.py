@@ -1,0 +1,90 @@
+"""Graph-as-DataFrames layer vs the reference's neo4j_test.cypher checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators import user_friend_edges
+from yelp_business_data_pipeline_spark.operators.graph import (
+    build_edges,
+    build_vertices,
+    degree_reconciliation,
+    duplicate_nodes,
+    orphan_nodes,
+    reviews_missing_edges,
+    top_reviewers_of_business,
+)
+
+from .test_yelp_etl import etl  # noqa: F401  (fixture reuse)
+
+
+@pytest.fixture(scope="module")
+def graph(etl):  # noqa: F811
+    friends = user_friend_edges(etl["user"])
+    v = build_vertices(etl["business"], etl["review"], etl["user"]).cache()
+    e = build_edges(etl["business"], etl["review"], etl["user"], friends).cache()
+    return v, e
+
+
+def test_vertex_labels(graph, etl):
+    v, _ = graph
+    by_label = {r.label: r.n for r in v.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert by_label["User"] == 2
+    assert by_label["Business"] == 1
+    assert by_label["Review"] == 3
+    assert by_label["Category"] == 3
+    assert by_label["City"] == 1 and by_label["State"] == 1
+    assert by_label.get("Feature", 0) >= 1  # credit cards flag true on b1
+
+
+def test_no_duplicate_nodes(graph):
+    v, _ = graph
+    assert duplicate_nodes(v).count() == 0
+
+
+def test_edges_and_symmetric_closure(graph):
+    _, e = graph
+    fw = e.filter(F.col("rel_type") == "FRIENDS_WITH").collect()
+    pairs = {(r.src, r.dst) for r in fw}
+    # u1 -> u2/u3 plus reversed closure (graph.cypher:91-97)
+    assert ("u1", "u2") in pairs and ("u2", "u1") in pairs
+    assert ("u1", "u3") in pairs and ("u3", "u1") in pairs
+    assert e.filter(F.col("rel_type") == "WROTE").count() == 3
+    assert e.filter(F.col("rel_type") == "REVIEWS").count() == 3
+    assert e.filter(F.col("rel_type") == "HAS_CATEGORY").count() == 3
+
+
+def test_orphans(graph):
+    v, e = graph
+    orphans = {r.label: r.n_orphans for r in orphan_nodes(v, e).collect()}
+    # u3 is a friend-edge endpoint, so not orphaned; every fixture node has
+    # at least one edge except none -> expect no orphans at all
+    assert orphans == {}
+
+
+def test_reviews_missing_edges(graph):
+    v, e = graph
+    assert reviews_missing_edges(v, e).count() == 0
+
+
+def test_degree_reconciliation(graph, etl):
+    _, e = graph
+    # friend_count matches FRIENDS_WITH out-degree for u1 (2); u2 has
+    # stored 0 and no out-edges... but closure adds u2->u1! The reference has
+    # the same property: MERGE-ing both directions makes stored counts
+    # disagree for one-sided friendships — the check EXISTS to surface that.
+    bad = degree_reconciliation(e, etl["user"]).collect()
+    assert {r.user_id for r in bad} == {"u2"}
+    assert bad[0].friend_count == 0 and bad[0].actual_degree == 1
+
+
+def test_top_reviewers(graph, etl):
+    _, e = graph
+    top = top_reviewers_of_business(e, etl["review"], etl["user"], "b1", k=5).collect()
+    # r1 (Alice, 5.0), r3 (Bob, 3.0), r2 (Alice, 1.0) — ordered by stars desc
+    assert [(r.name, r.stars) for r in top] == [
+        ("Alice", 5.0),
+        ("Bob", 3.0),
+        ("Alice", 1.0),
+    ]

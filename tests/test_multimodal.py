@@ -1,0 +1,47 @@
+"""Multimodal plumbing: binary payload + meta struct + mapInPandas batch
+feature extraction (decode stubbed — see operators.multimodal docstring)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
+    _fake_features,
+    extract_media_features,
+    media_meta_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [(1, bytes([10, 20, 30, 40, 50])), (2, b""), (3, bytes(range(64)))]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    return df.withColumn("media_meta", media_meta_expr(F.col("payload"), "image", "png")).cache()
+
+
+def test_meta_struct(media_df):
+    r = {x.media_id: x for x in media_df.collect()}
+    assert r[1].media_meta.n_bytes == 5
+    assert r[2].media_meta.n_bytes == 0
+    assert r[1].media_meta.modality == "image"
+    assert len(r[3].media_meta.content_hash) == 32  # md5 hex
+
+
+def test_decode_stub_raises(media_df):
+    with pytest.raises(Exception) as ei:
+        extract_media_features(media_df).collect()
+    assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+
+
+def test_fake_decoder_roundtrip(media_df):
+    out = extract_media_features(
+        media_df, decoders={"image": _fake_features}
+    ).collect()
+    by_id = {r.media_id: r for r in out}
+    assert len(by_id) == 3
+    assert len(by_id[1].features) == FEATURE_DIM
+    assert by_id[2].features == [0.0] * FEATURE_DIM
+    # deterministic: local recompute matches the distributed result
+    assert by_id[3].features == pytest.approx(_fake_features(bytes(range(64))))

@@ -1,0 +1,56 @@
+"""Readers and writers: corrupt-record handling, idempotent append,
+overwrite, uniqueness validation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from yelp_business_data_pipeline_spark.operators.cleaning import assert_unique_keys
+from yelp_business_data_pipeline_spark.sources import (
+    read_json_lines,
+    write_append_idempotent,
+    write_overwrite,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+
+
+def test_read_json_corrupt_rows_dropped(spark, tmp_path):
+    p = tmp_path / "rows.json"
+    p.write_text('{"id": 1, "v": "a"}\nTHIS IS NOT JSON\n{"id": 2, "v": "b"}')
+    df = read_json_lines(spark, str(p), SCHEMA)
+    assert sorted(r.id for r in df.collect()) == [1, 2]
+    kept = read_json_lines(spark, str(p), SCHEMA, keep_corrupt=True)
+    bad = kept.filter(kept["_corrupt_record"].isNotNull()).collect()
+    assert len(bad) == 1 and "NOT JSON" in bad[0]._corrupt_record
+
+
+def test_write_append_idempotent(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], ["id", "v"])
+    write_append_idempotent(df1, out, keys=["id"])
+    assert spark.read.parquet(out).count() == 2  # in-batch dup collapsed
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], ["id", "v"])
+    write_append_idempotent(df2, out, keys=["id"])
+    got = spark.read.parquet(out)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    assert_unique_keys(got, ["id"])
+
+
+def test_write_overwrite(spark, tmp_path):
+    out = str(tmp_path / "t")
+    write_overwrite(spark.createDataFrame([(1, "a")], ["id", "v"]), out)
+    write_overwrite(spark.createDataFrame([(9, "z")], ["id", "v"]), out)
+    rows = spark.read.parquet(out).collect()
+    assert [(r.id, r.v) for r in rows] == [(9, "z")]
+
+
+def test_assert_unique_raises(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "v"])
+    with pytest.raises(ValueError):
+        assert_unique_keys(df, ["id"])

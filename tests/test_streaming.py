@@ -1,0 +1,85 @@
+"""Streaming ingest: file-source -> foreachBatch idempotent append ->
+unified rebuild, plus watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from yelp_business_data_pipeline_spark.operators import review_etl
+from yelp_business_data_pipeline_spark.schemas import REVIEW_RAW_SCHEMA
+from yelp_business_data_pipeline_spark.streaming import (
+    stream_domain_etl,
+    streaming_event_counts,
+)
+
+from .test_yelp_etl import REVIEWS
+
+
+def test_stream_domain_etl_idempotent(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "processed")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: two reviews
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in REVIEWS[:2]))
+    q = stream_domain_etl(
+        spark, str(src), REVIEW_RAW_SCHEMA, review_etl, out, ckpt, keys=["review_id"]
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert sorted(r.review_id for r in got.collect()) == ["r1", "r2"]
+
+    # batch 2: a NEW file re-delivering r2 (the reference's duplicate-Lambda
+    # case) plus new rows r3/r4 (r4 dropped: null user_id)
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in REVIEWS[1:]))
+    q = stream_domain_etl(
+        spark, str(src), REVIEW_RAW_SCHEMA, review_etl, out, ckpt, keys=["review_id"]
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    ids = sorted(r.review_id for r in got.collect())
+    assert ids == ["r1", "r2", "r3"], f"idempotent append violated: {ids}"
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    # small parquet events slice as the stream source
+    src = str(tmp_path / "events_src")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (1, "2024-01-01 00:00:10", 1, "click", 1.0),
+        (2, "2024-01-01 00:01:10", 1, "click", 2.0),
+        (3, "2024-01-01 00:07:10", 2, "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, *r) for (i, *r) in rows], schema=["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+
+    agg = streaming_event_counts(spark, src, schema, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT window.start AS ws, event_type, n, value_sum FROM win_counts ORDER BY ws, event_type"
+    ).collect()
+    assert [(str(r.ws), r.event_type, r.n, r.value_sum) for r in got] == [
+        ("2024-01-01 00:00:00", "click", 2, 3.0),
+        ("2024-01-01 00:05:00", "view", 1, 3.0),
+    ]

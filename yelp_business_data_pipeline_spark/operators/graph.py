@@ -1,0 +1,236 @@
+"""Property graph as DataFrames.
+
+The reference exports the cleaned tables to CSV and bulk-loads Neo4j AuraDB
+(``neo4j_load/graph.cypher``): 7 node labels (User, Business, Review,
+Category, City, State, Feature — graph.cypher:11-19) and 7 relationship
+types (WROTE, REVIEWS, LOCATED_IN, IN_STATE, HAS_CATEGORY, OFFERS,
+FRIENDS_WITH — graph.cypher:56-95). This engine keeps the graph inside
+Spark as two DataFrames:
+
+- ``vertices(id, label, props...)`` — union of per-label projections
+- ``edges(src, dst, rel_type)`` — union of per-relationship projections
+
+Cypher semantics map to relational ops: MERGE -> dropDuplicates (D1),
+uniqueness constraints -> duplicate_keys validation (D2), MATCH patterns ->
+chained equi-joins (J3), orphan checks -> anti-joins (J4), FK-gated edge
+insert -> semi-joins (J5), FRIENDS_WITH bidirectionality -> symmetric
+closure union (D3). The integrity suite replicates
+``test_cases/neo4j_test.cypher`` exactly.
+
+Scale: vertices/edges are plain partitioned DataFrames; every graph query
+below is a join/agg pipeline Catalyst optimizes like any other (broadcast
+for small label slices, AQE for skewed hub nodes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cleaning import duplicate_keys
+
+NODE_LABELS = ("User", "Business", "Review", "Category", "City", "State", "Feature")
+REL_TYPES = (
+    "WROTE",
+    "REVIEWS",
+    "LOCATED_IN",
+    "IN_STATE",
+    "HAS_CATEGORY",
+    "OFFERS",
+    "FRIENDS_WITH",
+)
+
+#: Business boolean-flag columns exported as Feature nodes / OFFERS edges
+#: (reference graph.cypher:83-88 loads business_feature.csv).
+FEATURE_FLAGS = (
+    "business_accepts_credit_cards_flag",
+    "bike_parking_flag",
+    "good_for_kids_flag",
+    "has_tv_flag",
+    "happy_hour_flag",
+)
+
+
+def _label(df: DataFrame, id_col, label: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("string").alias("id") if isinstance(id_col, str) else id_col.alias("id"),
+        F.lit(label).alias("label"),
+    ).dropDuplicates(["id", "label"])
+
+
+def build_vertices(
+    businesses: DataFrame, reviews: DataFrame, users: DataFrame
+) -> DataFrame:
+    """Union of all 7 node labels (MERGE semantics via dropDuplicates).
+
+    Inputs are the processed tables (business at (business, category) grain,
+    user at (user, friend) grain) — the same CSVs the reference exports
+    (graph.cypher:5).
+    """
+    parts = [
+        _label(users, "user_id", "User"),
+        _label(businesses, "business_id", "Business"),
+        _label(reviews, "review_id", "Review"),
+        _label(businesses, "category", "Category"),
+        _label(businesses, "city", "City"),
+        _label(businesses, "state", "State"),
+    ]
+    feats = None
+    for flag in FEATURE_FLAGS:
+        if flag in businesses.columns:
+            f_df = businesses.filter(F.col(flag) == True).select(  # noqa: E712
+                F.lit(flag.removesuffix("_flag")).alias("id"), F.lit("Feature").alias("label")
+            )
+            feats = f_df if feats is None else feats.unionAll(f_df)
+    if feats is not None:
+        parts.append(feats.dropDuplicates(["id", "label"]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def build_edges(
+    businesses: DataFrame,
+    reviews: DataFrame,
+    users: DataFrame,
+    friend_edges: DataFrame | None = None,
+) -> DataFrame:
+    """Union of all 7 relationship types as (src, dst, rel_type).
+
+    Edge construction is FK-gated like the reference's MATCH-then-MERGE
+    (graph.cypher:50-51: a WROTE/REVIEWS edge is only created when both
+    endpoints exist) via semi-joins against the vertex sources.
+    FRIENDS_WITH gets the symmetric closure (graph.cypher:91-97).
+    """
+
+    def _edges(df, src, dst, rel):
+        return df.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+            F.lit(rel).alias("rel_type"),
+        ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull()).dropDuplicates()
+
+    user_ids = users.select(F.col("user_id")).dropDuplicates()
+    biz_one = businesses.dropDuplicates(["business_id"])
+
+    wrote = _edges(reviews.join(user_ids, "user_id", "left_semi"), "user_id", "review_id", "WROTE")
+    reviews_e = _edges(
+        reviews.join(biz_one.select("business_id"), "business_id", "left_semi"),
+        "review_id",
+        "business_id",
+        "REVIEWS",
+    )
+    located = _edges(biz_one, "business_id", "city", "LOCATED_IN")
+    in_state = _edges(biz_one, "city", "state", "IN_STATE")
+    has_cat = _edges(businesses, "business_id", "category", "HAS_CATEGORY")
+
+    offers = None
+    for flag in FEATURE_FLAGS:
+        if flag in businesses.columns:
+            o = biz_one.filter(F.col(flag) == True).select(  # noqa: E712
+                F.col("business_id").cast("string").alias("src"),
+                F.lit(flag.removesuffix("_flag")).alias("dst"),
+                F.lit("OFFERS").alias("rel_type"),
+            )
+            offers = o if offers is None else offers.unionAll(o)
+
+    out = wrote.unionAll(reviews_e).unionAll(located).unionAll(in_state).unionAll(has_cat)
+    if offers is not None:
+        out = out.unionAll(offers.dropDuplicates())
+
+    if friend_edges is not None:
+        fw = friend_edges.select(
+            F.col("user_id").cast("string").alias("src"),
+            F.col("friend_id").cast("string").alias("dst"),
+        )
+        sym = fw.unionAll(fw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        out = out.unionAll(
+            sym.withColumn("rel_type", F.lit("FRIENDS_WITH")).dropDuplicates()
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Integrity query pack (replicates test_cases/neo4j_test.cypher)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_nodes(vertices: DataFrame) -> DataFrame:
+    """neo4j_test.cypher:1-5 — ids appearing twice under one label."""
+    return duplicate_keys(vertices, ["label", "id"])
+
+
+def orphan_nodes(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """neo4j_test.cypher:13-15 — nodes with NO relationship, counted per
+    label. Anti-join against the union of endpoint ids."""
+    endpoints = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    return (
+        vertices.join(endpoints, "id", "left_anti")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+def reviews_missing_edges(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """neo4j_test.cypher:19-26 — Review nodes lacking an inbound WROTE or an
+    outbound REVIEWS edge."""
+    review_ids = vertices.filter(F.col("label") == "Review").select("id")
+    wrote_dst = edges.filter(F.col("rel_type") == "WROTE").select(F.col("dst").alias("id"))
+    reviews_src = edges.filter(F.col("rel_type") == "REVIEWS").select(F.col("src").alias("id"))
+    no_wrote = review_ids.join(wrote_dst, "id", "left_anti").withColumn(
+        "missing", F.lit("WROTE")
+    )
+    no_reviews = review_ids.join(reviews_src, "id", "left_anti").withColumn(
+        "missing", F.lit("REVIEWS")
+    )
+    return no_wrote.unionAll(no_reviews)
+
+
+def degree_reconciliation(edges: DataFrame, users: DataFrame) -> DataFrame:
+    """neo4j_test.cypher:39-44 — stored friend_count vs actual FRIENDS_WITH
+    out-degree; returns disagreeing users."""
+    deg = (
+        edges.filter(F.col("rel_type") == "FRIENDS_WITH")
+        .groupBy(F.col("src").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("actual_degree"))
+    )
+    stored = users.dropDuplicates(["user_id"]).select(
+        F.col("user_id").cast("string").alias("user_id"), "friend_count"
+    )
+    return (
+        stored.join(deg, "user_id", "left")
+        .withColumn("actual_degree", F.coalesce(F.col("actual_degree"), F.lit(0)))
+        .filter(F.col("friend_count") != F.col("actual_degree"))
+    )
+
+
+def top_reviewers_of_business(
+    edges: DataFrame, reviews: DataFrame, users: DataFrame, business_id: str, k: int = 5
+) -> DataFrame:
+    """neo4j_test.cypher:49-53 — MATCH (u)-[:WROTE]->(r)-[:REVIEWS]->(b{id})
+    RETURN u.name, r.stars ORDER BY r.stars DESC, u.name LIMIT k.
+
+    Two-hop pattern as chained equi-joins over the edge table (J3)."""
+    wrote = edges.filter(F.col("rel_type") == "WROTE").select(
+        F.col("src").alias("user_id"), F.col("dst").alias("review_id")
+    )
+    rev_e = edges.filter(
+        (F.col("rel_type") == "REVIEWS") & (F.col("dst") == business_id)
+    ).select(F.col("src").alias("review_id"))
+    stars = reviews.select(F.col("review_id").cast("string").alias("review_id"), "stars")
+    names = users.dropDuplicates(["user_id"]).select(
+        F.col("user_id").cast("string").alias("user_id"), "name"
+    )
+    return (
+        wrote.join(rev_e, "review_id", "left_semi")
+        .join(stars, "review_id")
+        .join(names, "user_id", "left")
+        .select("name", "stars")
+        .orderBy(F.desc("stars"), F.asc("name"))
+        .limit(k)
+    )

@@ -1,0 +1,129 @@
+"""Multimodal column convention + batch processing plumbing
+(SURVEY.md §2.9; BASELINE.json north-star).
+
+Convention: media travels as an opaque ``payload: binary`` column next to a
+typed ``media_meta`` struct (modality, format, width/height/duration,
+byte size, content hash). All Spark-side machinery — schema, partition
+sizing, Arrow-batched ``mapInPandas`` UDF signature, batch shape — is real
+and tested; the actual codec work (image decode, resampling, frame
+sampling) is stubbed behind ``DECODERS`` because media libraries are not in
+this container: each stub either raises ``NotImplementedError`` (strict
+mode) or produces a deterministic fake feature vector (test mode). Swapping
+in a real decoder is a one-function change with the same batch interface.
+
+Scale notes: mapInPandas streams Arrow record batches, so executor memory
+is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` x mean blob
+size — size it so batch_bytes << executor heap. Repartition by a
+size-balancing key (e.g. bucketed content hash) before heavy decode stages
+so stragglers don't dominate; blobs never pass through the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),  # image | audio | video
+        T.StructField("format", T.StringType(), True),  # png | wav | mp4 | ...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_meta_expr(payload: Column, modality: str, fmt: str | None = None) -> Column:
+    """Build the media_meta struct for a binary payload column (hash + size
+    computed JVM-side; width/height/duration filled by a real decoder)."""
+    return F.struct(
+        F.lit(modality).alias("modality"),
+        F.lit(fmt).cast("string").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_hash"),
+    )
+
+
+def _fake_features(blob: bytes | None) -> list[float]:
+    """Deterministic stand-in feature vector: byte-histogram moments.
+
+    Replaces the real decode→embed step (libs not in this container); keeps
+    the full Arrow round-trip shape honest."""
+    if blob is None or len(blob) == 0:
+        return [0.0] * FEATURE_DIM
+    n = len(blob)
+    return [round(sum(blob[i::FEATURE_DIM]) / n, 6) for i in range(FEATURE_DIM)]
+
+
+def _decode_stub(blob: bytes | None) -> list[float]:
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this "
+        "container; register a real decoder in DECODERS"
+    )
+
+
+#: modality -> bytes -> feature vector. Test mode swaps in _fake_features.
+DECODERS: dict[str, Callable[[bytes | None], list[float]]] = {
+    "image": _decode_stub,
+    "audio": _decode_stub,
+    "video": _decode_stub,
+}
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+    decoders: dict[str, Callable[[bytes | None], list[float]]] | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over (id, payload, meta) rows.
+
+    mapInPandas: each partition arrives as an iterator of pandas batches;
+    blobs stay executor-side end to end.
+    """
+    use = decoders if decoders is not None else DECODERS
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.col(meta_col).getField("modality").alias("modality"),
+        F.col(meta_col).getField("n_bytes").alias("n_bytes"),
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                use[m](b) if m in use else None
+                for m, b in zip(pdf["modality"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return src.mapInPandas(_extract, schema=FEATURES_SCHEMA)

@@ -1,0 +1,3 @@
+from .pipeline import run_available_now, stream_domain_etl, streaming_event_counts
+
+__all__ = ["run_available_now", "stream_domain_etl", "streaming_event_counts"]
