@@ -1,0 +1,81 @@
+"""Physical-plan audits: the scale properties SURVEY.md §4 promises.
+
+These assertions pin the *plan shape*, not just results — a regression that
+silently drops a broadcast or stops pushing a filter into the parquet scan
+fails here long before it shows up as a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from yelp_business_data_pipeline_spark.plans import QUERIES
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jdf = df._jdf
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {
+        name: plan_str(QUERIES[name].spark(spark, sf_dir))
+        for name in (
+            "pricing_summary",
+            "star_join_revenue",
+            "topk_global_orders",
+            "topk_orders_per_segment",
+            "graph_two_hop_region_customers",
+            "sentiment_by_source",
+            "minhash_lsh_candidate_pairs",
+            "ann_cosine_topk",
+        )
+    }
+
+
+def test_filter_pushed_to_scan(plans):
+    # The shipdate predicate must reach the parquet reader.
+    p = plans["pricing_summary"]
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200], p
+
+
+def test_column_pruning(plans):
+    # Scan must read only the needed lineitem columns, not all 11.
+    p = plans["pricing_summary"]
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema and "l_suppkey" not in read_schema, read_schema
+
+
+def test_broadcast_joins(plans):
+    for name in ("star_join_revenue", "topk_orders_per_segment", "graph_two_hop_region_customers"):
+        assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast join"
+
+
+def test_global_topk_avoids_full_sort(plans):
+    assert "TakeOrderedAndProject" in plans["topk_global_orders"]
+
+
+def test_no_python_udf_on_bench_path(plans):
+    # Sentiment + sketches are pure JVM expressions (SURVEY §4: 'Arrow UDFs
+    # only'; here: no UDF at all). BatchEvalPython/ArrowEvalPython in a plan
+    # means a Python round-trip crept in.
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{name} contains a Python UDF stage"
+        )
+
+
+def test_partial_aggregation_present(plans):
+    # HashAggregate appears twice (partial + final) around the exchange.
+    p = plans["pricing_summary"]
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_whole_stage_codegen(spark, sf_dir):
+    # Codegen subtrees only materialize once AQE finalizes the plan, so
+    # execute first; simple-mode then marks codegen'd operators with '*(n)'.
+    df = QUERIES["pricing_summary"].spark(spark, sf_dir)
+    df.collect()  # count() would build a different plan; collect finalizes THIS one
+    p = plan_str(df, "simple")
+    assert "isFinalPlan=true" in p and "*(" in p, p

@@ -716,3 +716,155 @@ def graph_degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("degree"), F.asc("custkey"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended relational surface (SURVEY §2.3/§2.4/§2.6 "absent in reference,
+# engine exposes via builtins" + the as-of custom operator)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_purchase_prior_signup",
+    """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    s0 AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'signup'),
+    s AS (
+      SELECT event_id, user_id, ts, value FROM (
+        SELECT s0.*, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM s0
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           s.event_id AS prior_signup_id,
+           s.value AS prior_signup_value
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="As-of (backward temporal) join — an operator Spark lacks natively, "
+    "built as union + one keyed window with last(ignorenulls) carry "
+    "(operators/asof.py): for each purchase, the user's most recent signup "
+    "at-or-before it. One shuffle on the key; oracle is DuckDB's native "
+    "ASOF LEFT JOIN.",
+)
+def asof_purchase_prior_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("prior_signup_id"),
+        F.col("value").alias("prior_signup_value"),
+    )
+    out = asof_join_backward(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["prior_signup_id", "prior_signup_value"],
+        right_tiebreak="prior_signup_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("asof_prior_signup_id").alias("prior_signup_id"),
+        F.col("asof_prior_signup_value").alias("prior_signup_value"),
+    )
+
+
+@query(
+    "setops_customer_cohorts",
+    """
+    WITH c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997),
+         c98 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998)
+    SELECT 'both' AS segment, o_custkey FROM (SELECT o_custkey FROM c97 INTERSECT SELECT o_custkey FROM c98)
+    UNION ALL
+    SELECT 'only_1997' AS segment, o_custkey FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c98)
+    """,
+    doc="INTERSECT / EXCEPT set ops (SURVEY §2.6: absent in the reference, "
+    "engine exposes): year-cohort retention segments. Spark plans both as "
+    "aggregated joins (left_semi/left_anti after distinct).",
+)
+def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    c97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    c98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
+    both = c97.intersect(c98).select(F.lit("both").alias("segment"), "o_custkey")
+    only97 = c97.exceptAll(c98).select(F.lit("only_1997").alias("segment"), "o_custkey")
+    return both.unionAll(only97)
+
+
+@query(
+    "percentiles_per_priority",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (SURVEY §2.4 extension: percentiles). "
+    "Spark's exact `percentile` agg == DuckDB quantile_cont; at 100 TB swap "
+    "for percentile_approx (t-digest) — kept exact here for oracle parity.",
+)
+def percentiles_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT metric,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+    FROM (
+      SELECT 'qty' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'disc', l_discount FROM lineitem
+    ) GROUP BY metric
+    """,
+    doc="Unpivot/melt via stack() (guide 'pivot/unpivot'): wide metric "
+    "columns to long (metric, val) rows, then re-aggregate.",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (metric, val)"
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("val_sum"),
+    )
+
+
+@query(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (SURVEY §2.4 extension): all 2^k subtotal "
+    "combinations in one shuffle (Spark expands the grouping-set id "
+    "map-side).",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )

@@ -350,3 +350,67 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
     c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
     return sim.lsh_ann_topk(q, c, dim=64, query_id="q_id", corpus_id="c_id", vec_col="v", k=10, n_planes=6)
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH bounded AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+    n_total AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({TOKS}) AS tok FROM bounded)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, unnest(list_distinct({TOKS})) AS tok FROM documents)
+      GROUP BY tok
+    )
+    SELECT doc_id, tok, rnk, score FROM (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln((n_total.n + 1.0) / (df.df + 1.0)), 6) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf.tf * ln((n_total.n + 1.0) / (df.df + 1.0)), 6) DESC, tf.tok
+             ) AS rnk
+      FROM tf JOIN df USING (tok) CROSS JOIN n_total
+    ) WHERE rnk <= 5
+    """,
+    doc="TF-IDF top terms per document (SURVEY §2.9 text analysis: "
+    "'TF-IDF via explode+groupBy+join'): corpus-wide document frequency, "
+    "bounded output window, rank by rounded score for cross-engine "
+    "determinism. At scale the df table is the only corpus-wide shuffle.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = tx.tokens_col(F.col("text"))
+    n_total = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = (
+        d.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "tok", "rnk", "score")
+    )
