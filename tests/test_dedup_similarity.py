@@ -1,0 +1,98 @@
+"""Sketch-operator properties: MinHash/SimHash invariants, LSH-ANN recall
+vs the brute-force oracle, embedding near-dup blocking recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators import dedup as dd
+from yelp_business_data_pipeline_spark.operators import similarity as sim
+from yelp_business_data_pipeline_spark.plans import QUERIES
+
+
+def test_minhash_identical_docs_always_collide(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "one two three four five six seven"),
+        (4, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b) for r in dd.minhash_lsh_candidates(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs  # J=1 -> every band agrees, must be a candidate
+    assert (3, 4) not in pairs  # J=0 -> bands agree only on hash collision
+
+
+def test_minhash_signature_jaccard_estimate(spark):
+    # Two docs sharing half their shingles: signature agreement rate should
+    # land near J (loose bound; k=32 keeps variance manageable).
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"
+    b = "w1 w2 w3 w4 w5 w6 w7 x8 x9 x10 x11 x12 x13"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    toks = F.split(F.col("text"), " ")
+    sigs = dd.minhash_rehash(dd.base_hashes(dd.word_shingles(toks, 3)), k=32)
+    out = df.select("doc_id", *[sig.alias(f"s{j}") for j, sig in enumerate(sigs)]).collect()
+    r1, r2 = sorted(out, key=lambda r: r.doc_id)
+    agree = sum(1 for j in range(32) if r1[f"s{j}"] == r2[f"s{j}"]) / 32
+    # true 3-shingle jaccard: shingles(a) 11, shingles(b) 11, common 5 -> 5/17≈0.29
+    assert 0.05 <= agree <= 0.6, agree
+
+
+def test_simhash_properties(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 token changed
+        (4, "totally unrelated vocabulary set right here ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", dd.simhash(F.split("text", " "), bits=16).alias("sh")
+        ).collect()
+    }
+    hamming = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert out[1] == out[2]  # identical text -> identical fingerprint
+    assert hamming(out[1], out[3]) <= hamming(out[1], out[4]), (
+        "near-dup should be at most as far as an unrelated doc"
+    )
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, sf).collect()}
+    approx = {(r.q_id, r.c_id) for r in QUERIES["lsh_ann_topk"].spark(spark, sf).collect()}
+    recall = len(exact & approx) / len(exact)
+    # random-ish 64-dim vectors are the LSH worst case; 6 tables x 4 planes
+    # measured ~0.56 here — pin a conservative floor
+    assert recall >= 0.35, f"LSH recall degraded: {recall}"
+
+
+def test_embedding_near_dup_lsh_blocking_recall(spark):
+    sf = "/root/testdata/sf0.001"
+    e = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") < 120)
+        .select("vec_id", sim.as_double_vec(F.col("embedding")).alias("v"))
+    )
+    exact = {(r.id_a, r.id_b) for r in sim.embedding_near_dup_pairs(e, threshold=0.3).collect()}
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in sim.embedding_near_dup_pairs(e, threshold=0.3, n_planes=4, dim=64).collect()
+    }
+    assert blocked <= exact  # blocking can only lose pairs, never invent
+    assert exact, "expected some near-dup pairs at threshold 0.3"
+    recall = len(blocked) / len(exact)
+    # cos~0.3 pairs are far from the near-dup regime (theta ~72deg) — the
+    # hard case for sign-LSH; multi-table (6x4) measured ~0.5 here
+    assert recall >= 0.3, f"blocking recall collapsed: {recall}"
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], ["k", "v", "ts"]
+    )
+    out = dd.exact_dedup(df, ["k"], [F.desc("ts")]).collect()
+    assert sorted((r.k, r.v) for r in out) == [(1, "b"), (2, "c")]

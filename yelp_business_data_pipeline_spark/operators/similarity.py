@@ -105,6 +105,26 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+def lsh_buckets_multi(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
+    """Array of ``n_tables`` independent sign-bucket ids (table t uses planes
+    t*n_planes .. t*n_planes+n_planes-1). Standard multi-table LSH: a
+    neighbor is a candidate if it shares ANY table's bucket — recall
+    1-(1-p^k)^L instead of p^k."""
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0)
+        for p in range(n_planes):
+            w = hyperplane(dim, t * n_planes + p)
+            proj = F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(x) for x in w]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        buckets.append(b)
+    return F.array(*buckets)
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -113,27 +133,104 @@ def lsh_ann_topk(
     corpus_id: str = "c_id",
     vec_col: str = "v",
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: brute-force cosine only within the query's LSH
-    bucket. Recall < 1 by design; raise by lowering n_planes or probing
-    neighboring buckets. The bucket equi-join replaces the cross join —
-    expected candidate count shrinks by ~2^n_planes.
+    """Approximate top-k: brute-force cosine only among candidates sharing
+    at least one LSH table bucket with the query.
+
+    Plan shape: posexplode the per-row bucket array (L small rows per
+    vector), equi-join on (table, bucket) with the broadcast query side,
+    dedup candidates, then exact cosine + per-query top-k. Tuning: higher
+    ``n_planes`` shrinks candidates (smaller buckets), higher ``n_tables``
+    raises recall; candidate count ~ corpus * L / 2^k per query.
     """
-    qb = queries.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
-    cb = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    qb = queries.withColumn("_bs", lsh_buckets_multi(F.col(vec_col), dim, n_planes, n_tables))
+    cb = corpus.withColumn("_bs", lsh_buckets_multi(F.col(vec_col), dim, n_planes, n_tables))
     q = qb.select(
-        query_id, "_bucket", F.col(vec_col).alias("_qv"), l2_norm(F.col(vec_col)).alias("_qn")
+        query_id,
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+        F.posexplode("_bs").alias("_table", "_bucket"),
     )
     c = cb.select(
-        corpus_id, "_bucket", F.col(vec_col).alias("_cv"), l2_norm(F.col(vec_col)).alias("_cn")
+        corpus_id,
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        F.posexplode("_bs").alias("_table", "_bucket"),
     )
-    pairs = c.join(F.broadcast(q), "_bucket")
+    cand = (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
+        .select(query_id, corpus_id, "_qv", "_qn", "_cv", "_cn")
+        .dropDuplicates([query_id, corpus_id])
+    )
     cos = F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
-        pairs.withColumn("cosine", cos)
+        cand.withColumn("cosine", cos)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id, corpus_id, "rnk", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.95,
+    n_planes: int | None = None,
+    dim: int | None = None,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr).
+
+    ``n_planes=None``: exact all-pairs via self cross join — the bounded /
+    verification path. With ``n_planes`` set: multi-table LSH blocking
+    (requires ``dim``; ``n_tables`` tables of ``n_planes`` sign bits) — the
+    100 TB path. A pair is a candidate if it shares ANY table's bucket:
+    recall 1-(1-p^k)^L where p = 1 - theta/pi, so truly-near duplicates
+    (cos >= 0.9) are caught with near-certainty while candidate volume
+    drops by ~2^k/L.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "_n", l2_norm(F.col("_v"))
+    )
+    if n_planes is not None:
+        if dim is None:
+            raise ValueError("dim is required when n_planes is set")
+        bucketed = base.select(
+            "_id",
+            "_v",
+            "_n",
+            F.posexplode(lsh_buckets_multi(F.col("_v"), dim, n_planes, n_tables)).alias(
+                "_table", "_bucket"
+            ),
+        )
+        a = bucketed.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+            "_table", "_bucket",
+        )
+        b = bucketed.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+            "_table", "_bucket",
+        )
+        pairs = (
+            a.join(b, ["_table", "_bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = base.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+        )
+        b = base.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+        )
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -349,7 +349,10 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
     c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
-    return sim.lsh_ann_topk(q, c, dim=64, query_id="q_id", corpus_id="c_id", vec_col="v", k=10, n_planes=6)
+    return sim.lsh_ann_topk(
+        q, c, dim=64, query_id="q_id", corpus_id="c_id", vec_col="v", k=10,
+        n_planes=4, n_tables=6,
+    )
 
 
 @query(
@@ -414,3 +417,32 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "tok", "rnk", "score")
     )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+      FROM embeddings WHERE vec_id < 120
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.30
+    """,
+    doc="Embedding-cosine near-duplicate pairs (exact all-pairs on a bounded "
+    "window — constant cost across SFs). The scale path is the same "
+    "operator with LSH sign-bucket blocking "
+    "(operators.similarity.embedding_near_dup_pairs(n_planes=...)), "
+    "recall-verified in pytest.",
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 120)
+        .select("vec_id", sim.as_double_vec(F.col("embedding")).alias("v"))
+    )
+    return sim.embedding_near_dup_pairs(e, "vec_id", "v", threshold=0.30)
