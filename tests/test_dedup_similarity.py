@@ -96,3 +96,16 @@ def test_exact_dedup_deterministic(spark):
     )
     out = dd.exact_dedup(df, ["k"], [F.desc("ts")]).collect()
     assert sorted((r.k, r.v) for r in out) == [(1, "b"), (2, "c")]
+
+
+def test_arrow_cosine_topk_matches_jvm(spark):
+    sf = "/root/testdata/sf0.001"
+    jvm = [
+        (r.q_id, r.c_id, r.rnk)
+        for r in QUERIES["ann_cosine_topk"].spark(spark, sf).orderBy("q_id", "rnk").collect()
+    ]
+    arrow = [
+        (r.q_id, r.c_id, r.rnk)
+        for r in QUERIES["ann_cosine_topk_arrow"].spark(spark, sf).orderBy("q_id", "rnk").collect()
+    ]
+    assert jvm == arrow

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import portable_hash
 
@@ -233,4 +234,80 @@ def embedding_near_dup_pairs(
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def arrow_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "v",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via an Arrow-batched numpy kernel.
+
+    Same semantics as :func:`cosine_topk`, different physical strategy:
+    the (small) query matrix is closure-captured; each corpus partition
+    streams through ``mapInPandas`` as Arrow batches and one BLAS matmul
+    scores a whole batch against all queries at once. This is the
+    guide-sanctioned Pandas-UDF case — dense linear algebra that per-row
+    Catalyst expressions interpret element-wise (~10-100x slower). Partial
+    top-k per batch keeps the output k rows per (partition, query) before
+    the final window. `cosine_topk` remains the oracle-checked reference
+    implementation (numpy's pairwise-summed dot differs in final ulps from
+    a sequential fold).
+
+    Measured crossover (local[32], dim=64, 4.9k corpus): the Python-worker
+    fixed cost (~0.5-2 s) dominates below ~100 queries where the JVM fold
+    wins; at 200 queries Arrow is 2.9x, at 500 queries 7.4x, and the gap
+    widens linearly with query-count x corpus since the matmul cost is
+    near-flat. Pick per workload — measure, don't guess.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec_col).collect()  # query side is small by contract
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id_", T.LongType()),
+            T.StructField("c_id_", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_ids = pdf[corpus_id].to_numpy()
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # (batch, nq)
+            nq = sims.shape[1]
+            take = min(k, sims.shape[0])
+            # partial top-k per query within the batch
+            idx = np.argpartition(-sims, take - 1, axis=0)[:take]
+            rows = {
+                "q_id_": np.repeat(q_ids, take),
+                "c_id_": np.concatenate([c_ids[idx[:, j]] for j in range(nq)]),
+                "cosine": np.concatenate(
+                    [np.round(sims[idx[:, j], j], 6) for j in range(nq)]
+                ),
+            }
+            yield pd.DataFrame(rows)
+
+    scored = corpus.select(corpus_id, vec_col).mapInPandas(_score, schema=out_schema)
+    w = Window.partitionBy("q_id_").orderBy(F.desc("cosine"), F.asc("c_id_"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id_").alias(query_id),
+            F.col("c_id_").alias(corpus_id),
+            "rnk",
+            "cosine",
+        )
     )
