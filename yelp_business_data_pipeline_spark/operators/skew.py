@@ -1,0 +1,92 @@
+"""Skew mitigation (SURVEY.md §7 '100 TB design: ... salting available for
+skewed business_id'; guide 'Skew: salt the hot key').
+
+Spark's AQE skew-join splitting handles most cases automatically
+(``spark.sql.adaptive.skewJoin.enabled``, on in the session factory). These
+operators cover the cases AQE can't:
+
+- **Salted two-phase aggregation** — when the GROUP BY key itself has few
+  distinct values (e.g. 3 order statuses over 100 TB), every row of a hot
+  key lands on one reducer. Salting fans each key across ``n_salts``
+  partial groups, then a second (tiny) aggregation merges partials. Works
+  for any algebraic aggregate (sum/count/min/max — things with a merge).
+- **Salted join** — replicate the SMALL side ``n_salts`` times, salt the
+  big side deterministically, join on (key, salt). Use when the small side
+  is too big to broadcast but the big side's key distribution is skewed.
+
+Both are pure plan rewrites with exact semantics — the salted aggregation
+query in the oracle pack hash-matches a plain GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Aggregates with a merge function: (partial_expr, merge_fn).
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(c), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salt_expr(n_salts: int, *cols: Column) -> Column:
+    """Deterministic salt in [0, n_salts): hash of the row's non-key
+    columns (falls back to spark_partition_id when none given — still
+    deterministic per row *placement*, used only for load spreading)."""
+    if cols:
+        return F.pmod(F.xxhash64(*cols), F.lit(n_salts))
+    return F.pmod(F.spark_partition_id(), F.lit(n_salts))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_on: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``aggs``: output_name -> (agg_fn, input_col) with agg_fn in
+    {sum, count, min, max}. Phase 1 groups on (keys..., salt) — hot keys
+    spread over ``n_salts`` reducers; phase 2 merges the (keys x n_salts)
+    partials, which is tiny by construction.
+    """
+    salt_cols = [F.col(c) for c in (salt_on or [])]
+    salted = df.withColumn("_salt", salt_expr(n_salts, *salt_cols))
+    partial_exprs = []
+    merge_exprs = []
+    for out_name, (fn_name, in_col) in aggs.items():
+        partial_fn, merge_fn = _ALGEBRAIC[fn_name]
+        partial_exprs.append(partial_fn(F.col(in_col)).alias(f"_p_{out_name}"))
+        merge_exprs.append(merge_fn(F.col(f"_p_{out_name}")).alias(out_name))
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, replicate the small side.
+
+    The big side's salt must depend on something other than the join key
+    (here: a uniform hash of the full row via monotonically varying
+    partition+offset would be nondeterministic, so we hash all non-key
+    columns) — every big row keeps exactly one salt; every small row is
+    replicated to all salts, so each (key, salt) bucket joins correctly.
+    Cost: small side x n_salts; use broadcast() instead whenever it fits.
+    """
+    non_key = [c for c in big.columns if c != key]
+    big_s = big.withColumn("_salt", salt_expr(n_salts, *[F.col(c) for c in non_key]))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    out = big_s.join(small_s, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -868,3 +868,40 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "salted_agg_status_revenue",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Salted two-phase aggregation (operators/skew.py): o_orderstatus has "
+    "~3 distinct values — the few-hot-keys case where a plain groupBy "
+    "funnels everything through 3 reducers at 100 TB. Salting fans each "
+    "key over 16 partials, then merges. Oracle: plain GROUP BY — the "
+    "rewrite is semantics-preserving and hash-matches.",
+)
+def salted_agg_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    o = tbl(spark, sf_dir, "orders").withColumn(
+        "_price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        o,
+        keys=["o_orderstatus"],
+        aggs={
+            "revenue": ("sum", "_price_dec"),
+            "n_orders": ("count", "o_orderkey"),
+            "min_price": ("min", "o_totalprice"),
+            "max_price": ("max", "o_totalprice"),
+        },
+        n_salts=16,
+        salt_on=["o_orderkey"],
+    )
+    return out.withColumn("revenue", F.col("revenue").cast("double"))

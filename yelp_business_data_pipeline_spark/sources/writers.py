@@ -42,16 +42,27 @@ def write_append_idempotent(
     Emulates MERGE-insert-if-absent (the reference gets this from Neo4j's
     ``MERGE``, ``neo4j_load/graph.cypher:24`` ff., but NOT from its parquet
     appends). New-batch-internal duplicates are also dropped.
+
+    The anti-join uses NULL-SAFE key equality: nullable key components (e.g.
+    the user table's ``friend`` column for friendless users) must still
+    dedupe — a plain equi-anti-join would re-append NULL-keyed rows forever.
     """
+    from functools import reduce
+
     spark: SparkSession = df.sparkSession
     fresh = df.dropDuplicates(keys)
     # Does the target exist yet? (cheap metadata check via read attempt)
     try:
-        existing_keys = spark.read.parquet(path).select(*keys)
+        existing_keys = spark.read.parquet(path).select(*keys).alias("_existing")
     except Exception:
         existing_keys = None
     if existing_keys is not None:
-        fresh = fresh.join(existing_keys, on=keys, how="left_anti")
+        fresh_a = fresh.alias("_fresh")
+        cond = reduce(
+            lambda a, b: a & b,
+            [fresh_a[k].eqNullSafe(existing_keys[k]) for k in keys],
+        )
+        fresh = fresh_a.join(existing_keys, on=cond, how="left_anti")
     writer = fresh.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
