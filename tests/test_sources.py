@@ -54,3 +54,14 @@ def test_assert_unique_raises(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "v"])
     with pytest.raises(ValueError):
         assert_unique_keys(df, ["id"])
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    from yelp_business_data_pipeline_spark.sources.writers import export_csv
+
+    out = str(tmp_path / "csv")
+    df = spark.createDataFrame([(1, "a", 2.5), (2, "b,with,commas", 3.5)], ["id", "s", "x"])
+    export_csv(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    rows = sorted((r.id, r.s, r.x) for r in back.collect())
+    assert rows == [("1", "a", "2.5"), ("2", "b,with,commas", "3.5")]

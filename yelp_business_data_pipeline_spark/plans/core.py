@@ -905,3 +905,22 @@ def salted_agg_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_on=["o_orderkey"],
     )
     return out.withColumn("revenue", F.col("revenue").cast("double"))
+
+
+@query(
+    "approx_aggregates",
+    None,  # HLL/t-digest sketches are engine-specific; accuracy vs the exact
+    # aggregates is pytest-pinned (tests/test_approx.py)
+    doc="Approximate aggregates — the 100 TB substitutes for exact "
+    "distinct/percentile: approx_count_distinct (HyperLogLog++, fixed "
+    "memory vs the exact two-shuffle distinct) and percentile_approx "
+    "(t-digest, single pass). Rows-only driver check; relative error vs "
+    "exact pinned in pytest.",
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

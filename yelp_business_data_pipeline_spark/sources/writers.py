@@ -67,3 +67,13 @@ def write_append_idempotent(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV export for external-system interop — the reference's
+    parquet -> CSV -> Neo4j bridge (reference README.md:351-353,
+    graph.cypher:5). The graph itself lives Spark-side now
+    (operators.graph), so this exists purely for interop with external
+    consumers; array/struct columns must be flattened first (CSV cannot
+    carry them — the reference's flat-schema rule, README.md:160-162)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
