@@ -35,3 +35,29 @@ def test_approx_aggregates_accuracy(spark, sf_dir):
         a = approx[k]
         assert abs(a.approx_customers - e.n_customers) / e.n_customers <= 0.05
         assert abs(a.approx_median - e.median) / e.median <= 0.02
+
+
+def test_oracle_schema_types_align(spark, sf_dir):
+    """Spark result dtypes must match DuckDB's exactly (the driver compares
+    schema, and e.g. row_number is int32 in Spark but BIGINT in DuckDB —
+    queries must cast one side)."""
+    from .oracle_harness import duck_con
+
+    spark_map = {"int": "i32", "bigint": "i64", "smallint": "i16", "double": "f64",
+                 "float": "f32", "string": "str", "date": "date", "boolean": "bool"}
+    duck_map = {"INTEGER": "i32", "BIGINT": "i64", "SMALLINT": "i16", "DOUBLE": "f64",
+                "FLOAT": "f32", "VARCHAR": "str", "DATE": "date", "BOOLEAN": "bool"}
+    con = duck_con(sf_dir)
+    problems = {}
+    for name in sorted(QUERIES):
+        spec = QUERIES[name]
+        if spec.oracle is None:
+            continue
+        stypes = {c: spark_map.get(t, t) for c, t in spec.spark(spark, sf_dir).dtypes}
+        rel = con.sql(spec.oracle)
+        dtypes = dict(zip(rel.columns, [duck_map.get(str(t), str(t)) for t in rel.types]))
+        diffs = {c: (stypes.get(c), dtypes.get(c))
+                 for c in set(stypes) | set(dtypes) if stypes.get(c) != dtypes.get(c)}
+        if diffs:
+            problems[name] = diffs
+    assert not problems, problems

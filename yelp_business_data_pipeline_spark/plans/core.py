@@ -379,9 +379,9 @@ def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
              c.c_name AS customer_name,
              o.o_orderkey, o.o_totalprice,
-             ROW_NUMBER() OVER (
+             CAST(ROW_NUMBER() OVER (
                PARTITION BY COALESCE(c.c_mktsegment, 'UNKNOWN')
-               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS rnk
       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     ) WHERE rnk <= 5
     """,

@@ -120,7 +120,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_quality_scores",
     f"""
     SELECT doc_id,
-           len({TOKS}) AS n_tokens,
+           CAST(len({TOKS}) AS INTEGER) AS n_tokens,
            round(len(list_distinct({TOKS}))::DOUBLE / len({TOKS}), 6) AS distinct_ratio,
            round(len(list_filter({TOKS}, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
                  / len({TOKS}), 6) AS stopword_ratio
@@ -315,9 +315,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q_id, c_id, rnk, cosine FROM (
       SELECT q_id, c_id,
              round(list_dot_product(qv, cv) / (qn * cn), 6) AS cosine,
-             ROW_NUMBER() OVER (
+             CAST(ROW_NUMBER() OVER (
                PARTITION BY q_id
-               ORDER BY round(list_dot_product(qv, cv) / (qn * cn), 6) DESC, c_id) AS rnk
+               ORDER BY round(list_dot_product(qv, cv) / (qn * cn), 6) DESC, c_id) AS INTEGER) AS rnk
       FROM c, q
     ) WHERE rnk <= 10
     """,
@@ -373,10 +373,10 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, tok, rnk, score FROM (
       SELECT tf.doc_id, tf.tok,
              round(tf.tf * ln((n_total.n + 1.0) / (df.df + 1.0)), 6) AS score,
-             ROW_NUMBER() OVER (
+             CAST(ROW_NUMBER() OVER (
                PARTITION BY tf.doc_id
                ORDER BY round(tf.tf * ln((n_total.n + 1.0) / (df.df + 1.0)), 6) DESC, tf.tok
-             ) AS rnk
+             ) AS INTEGER) AS rnk
       FROM tf JOIN df USING (tok) CROSS JOIN n_total
     ) WHERE rnk <= 5
     """,
