@@ -6,9 +6,10 @@ Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
 
-Each query is timed as a single action (``count`` of the result — forces
-full execution without driver-side materialization of wide rows). A warmup
-query amortizes session/JIT startup out of the numbers.
+Each query is timed as a single action into the ``noop`` sink — unlike
+``count()`` (which lets Catalyst prune every computed column and
+under-measures), noop materializes all output columns without writing
+bytes. A warmup query amortizes session/JIT startup out of the numbers.
 """
 
 from __future__ import annotations
@@ -26,13 +27,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
+    def run(name: str) -> None:
+        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Warmup: JVM/codegen/readers.
-    QUERIES["topk_global_orders"].spark(spark, sf_dir).count()
+    run("topk_global_orders")
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
-        QUERIES[name].spark(spark, sf_dir).count()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -222,19 +222,42 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     Hamming distance. 16 bits keeps the expression tree small while
     demonstrating the operator; widen via multiple 16-bit words at scale.
     """
-    h = lambda t: portable_hash(t, salt="sh:")  # noqa: E731
+    return simhash_from_hashes(
+        F.transform(tokens, lambda t: portable_hash(t, salt="sh:")), bits
+    )
+
+
+def simhash_from_hashes(token_hashes: Column, bits: int = 16) -> Column:
+    """SimHash from a pre-hashed token array. Prefer materializing the hash
+    array in its own projection first (see :func:`with_simhash`): inlined,
+    the md5 pass would be re-evaluated once per bit."""
 
     def _vote_fn(i: int):
         # Closure-bound bit index (see minhash_signature note on lambda arity).
-        return lambda acc, t: acc + F.when(
-            F.shiftright(h(t), i).bitwiseAND(F.lit(1)) == 1, 1
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
     bit_cols = []
     for i in range(bits):
-        votes = F.aggregate(tokens, F.lit(0), _vote_fn(i))
+        votes = F.aggregate(token_hashes, F.lit(0), _vote_fn(i))
         bit_cols.append(F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)))
     out = bit_cols[0]
     for c in bit_cols[1:]:
         out = out + c
     return out.cast("bigint")
+
+
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash", bits: int = 16
+) -> DataFrame:
+    """Add a SimHash fingerprint column: token md5s materialize once in a
+    separate projection, then ``bits`` vote-folds read the shared array
+    (Catalyst keeps the non-cheap alias un-inlined across the 16 uses)."""
+    hashed = df.withColumn(
+        "_token_hashes",
+        F.transform(F.split(F.col(text_col), " "), lambda t: portable_hash(t, salt="sh:")),
+    )
+    return hashed.withColumn(out_col, simhash_from_hashes(F.col("_token_hashes"), bits)).drop(
+        "_token_hashes"
+    )

@@ -294,9 +294,7 @@ def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", dd.simhash(tx.tokens_col(F.col("text")), bits=16).alias("simhash")
-    )
+    return dd.with_simhash(d, "text", "simhash", bits=16).select("doc_id", "simhash")
 
 
 # ---------------------------------------------------------------------------
