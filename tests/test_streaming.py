@@ -83,3 +83,29 @@ def test_streaming_windowed_counts(spark, tmp_path):
         ("2024-01-01 00:00:00", "click", 2, 3.0),
         ("2024-01-01 00:05:00", "view", 1, 3.0),
     ]
+
+
+def test_session_window_matches_lag_sessionize(spark):
+    """Spark's native session_window (batch mode) must agree with the
+    lag+cumsum sessionization on session counts per user (same 30-min gap).
+    The lag construction is the oracle-checkable batch twin; session_window
+    is the streaming-native operator."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    lag_based = {
+        r.user_id: r.n_sessions
+        for r in QUERIES["sessionize_events"].spark(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sessions")
+    )
+    native = {r.user_id: r.n_sessions for r in sw.collect()}
+    assert native == lag_based

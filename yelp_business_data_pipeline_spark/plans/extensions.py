@@ -38,7 +38,7 @@ def _sql_shingles(n: int = 3) -> str:
 
 
 def _sql_minhash_bands(k: int = 8, rows_per_band: int = 2) -> str:
-    from ..operators.dedup import MINHASH_MOD, minhash_params
+    from ..operators.dedup import MINHASH_MOD, SHINGLE_C1, SHINGLE_C2, minhash_params
 
     sigs = ",\n      ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_MOD})) AS s{j}"
@@ -51,13 +51,16 @@ def _sql_minhash_bands(k: int = 8, rows_per_band: int = 2) -> str:
             f"SELECT doc_id, {bi} AS band, md5({cols}) AS band_hash FROM sig"
         )
     bands = "\n      UNION ALL\n      ".join(band_selects)
+    shingle = (
+        f"(th[i] * {SHINGLE_C1} + th[i+1] * {SHINGLE_C2} + th[i+2]) % {MINHASH_MOD}"
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, {TOKS} AS t FROM documents WHERE len({TOKS}) >= 3
-    ), sh AS (
-      SELECT doc_id, {_sql_shingles(3)} AS shingles FROM (SELECT doc_id, t FROM toks)
+    ), tokh AS (
+      SELECT doc_id, list_transform(t, tok -> {_sql_hash('tok', 'mh:')}) AS th FROM toks
     ), hsh AS (
-      SELECT doc_id, list_transform(shingles, s -> {_sql_hash('s', 'mh:')}) AS hs FROM sh
+      SELECT doc_id, list_transform(range(1, len(th) - 1), i -> {shingle}) AS hs FROM tokh
     ), sig AS (
       SELECT doc_id,
       {sigs}
