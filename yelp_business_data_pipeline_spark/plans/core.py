@@ -292,14 +292,23 @@ def unified_star_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND EXTRACT(year FROM o.o_orderdate) = 1995
+    )
     """,
     doc="J4 anti-join orphan detection (reference neo4j_test.cypher:8-37 "
-    "missing-edge checks): left_anti keeps only unmatched build keys.",
+    "missing-edge checks): customers with no 1995 order — left_anti "
+    "against a filtered build side (non-degenerate at every SF).",
 )
 def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name", "c_mktsegment")
 
 
@@ -923,4 +932,92 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "shipping_priority_top10",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H-Q3-shaped shipping-priority query: selective filters on all "
+    "three tables pushed into the scans, customer broadcast, agg, global "
+    "top-10 via TakeOrderedAndProject.",
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H-Q5-shaped 6-table join tree (local supplier volume): the "
+    "deep-join case Catalyst reorders; dims broadcast, the "
+    "supplier-nation=customer-nation theta condition rides the equi-join.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
