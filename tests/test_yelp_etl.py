@@ -205,14 +205,47 @@ def test_business_dropped_columns(etl):
 
 def test_business_attribute_flattening(etl):
     r = etl["business"].limit(1).collect()[0]
-    assert r.business_accepts_credit_cards_flag is True
+    # reference column names exactly (Business_ETL.py:82-98): the first two
+    # flags carry no _flag suffix
+    assert r.accepts_credit_cards is True
     assert r.has_tv_flag is False
-    assert r.accepts_insurance_flag is None  # absent attr -> null, not False
+    assert r.accepts_insurance is None  # absent attr -> null, not False
     assert r.noise_level == "average"  # u'average' unwrapped + lowered
-    assert r.wifi == "free"
+    assert r.wifi == "u'free'"  # RAW passthrough (ref :97 applies no unwrap)
     assert r.price_range == 2
+    # reference drops the parsed Ambience/Parking structs (ref :148)
+    assert "ambience_casual" not in etl["business"].columns
+
+
+def test_business_attribute_structs_extension(spark, tmp_path):
+    import json as _json
+
+    from yelp_business_data_pipeline_spark.operators.business import business_etl as _etl
+
+    p = tmp_path / "b.json"
+    p.write_text(_json.dumps(BUSINESSES[0]))
+    from yelp_business_data_pipeline_spark.schemas import BUSINESS_RAW_SCHEMA as S
+
+    df = _etl(read_json_lines(spark, str(p), S), include_attribute_structs=True)
+    r = df.limit(1).collect()[0]
     assert r.ambience_casual is True and r.ambience_romantic is False
     assert r.parking_lot is True
+
+
+def test_business_none_string_attribute_is_null(spark, tmp_path):
+    # Yelp encodes unknown as the string "None"; the reference's Spark 3
+    # cast yielded null — under Spark 4 ANSI this requires try_cast
+    import json as _json
+
+    from yelp_business_data_pipeline_spark.schemas import BUSINESS_RAW_SCHEMA as S
+
+    row = dict(BUSINESSES[0])
+    row["attributes"] = {"HasTV": "None", "RestaurantsPriceRange2": "None"}
+    p = tmp_path / "b.json"
+    p.write_text(_json.dumps(row))
+    r = business_etl(read_json_lines(spark, str(p), S)).limit(1).collect()[0]
+    assert r.has_tv_flag is None
+    assert r.price_range is None
 
 
 def test_business_hours_semantics(etl):
@@ -283,6 +316,9 @@ def test_user_derived_features(etl):
     assert r.friend_count == 2
     # floor(months_between('2026-01-01','2015-03-01')/12) = floor(130/12) = 10
     assert r.account_age_years == 10
+    # reference keeps the parsed ts, drops the raw string (User_ETL.py:87-91)
+    assert "yelping_since" not in etl["user"].columns
+    assert str(r.yelping_since_ts).startswith("2015-03-01")
 
 
 def test_user_empty_friends_corrected_semantics(etl):

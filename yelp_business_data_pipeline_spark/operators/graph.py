@@ -43,7 +43,7 @@ REL_TYPES = (
 #: Business boolean-flag columns exported as Feature nodes / OFFERS edges
 #: (reference graph.cypher:83-88 loads business_feature.csv).
 FEATURE_FLAGS = (
-    "business_accepts_credit_cards_flag",
+    "accepts_credit_cards",
     "bike_parking_flag",
     "good_for_kids_flag",
     "has_tv_flag",

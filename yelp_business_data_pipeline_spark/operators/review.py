@@ -32,7 +32,7 @@ def review_etl(raw: DataFrame, score_expr: Column | None = None) -> DataFrame:
         raw.na.drop(subset=["user_id", "business_id"])
         .withColumn("engagement_score", F.col("useful") + F.col("funny") + F.col("cool"))
         .drop("useful", "funny", "cool")
-        .withColumn("sentiment_score", score)
+        .withColumn("sentiment_score", score.cast("float"))  # reference: FloatType (Review_ETL.py:74)
         .withColumn("sentiment_label", sentiment_label_expr(F.col("sentiment_score")))
         .withColumn("date", F.to_date(F.to_timestamp(F.col("date"), "yyyy-MM-dd HH:mm:ss")))
         .drop("text")

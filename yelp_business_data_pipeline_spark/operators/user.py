@@ -57,14 +57,14 @@ def user_etl(raw: DataFrame, as_of: str | None = "2026-01-01 00:00:00") -> DataF
         )
         .drop("elite")
         .withColumn(
-            "account_age_years",
-            F.floor(
-                F.months_between(
-                    as_of_expr, F.to_timestamp(F.col("yelping_since"), "yyyy-MM-dd HH:mm:ss")
-                )
-                / 12
-            ).cast("int"),
+            "yelping_since_ts", F.to_timestamp(F.col("yelping_since"), "yyyy-MM-dd HH:mm:ss")
         )
+        .withColumn(
+            "account_age_years",
+            F.floor(F.months_between(as_of_expr, F.col("yelping_since_ts")) / 12).cast("int"),
+        )
+        # reference keeps the parsed ts and drops the raw string (User_ETL.py:87-91)
+        .drop("yelping_since")
         .withColumn("_friends_arr", friends_arr)
         .withColumn("friend_count", F.size(F.col("_friends_arr")))
         .withColumn("friend", F.explode_outer(F.col("_friends_arr")))
