@@ -354,13 +354,13 @@ def test_unified_star_join(etl):
     # r3: user u2 (1 row) x 3 categories = 3
     assert len(by_review["r3"]) == 3
     # conflict renames follow the reference exactly
-    # (join/unified_data_analytics.py:29-41): review cols colliding with
-    # either dim -> review_*; business cols colliding with USER cols ->
-    # business_*. So review.stars -> review_stars, and business.stars stays
-    # plain "stars" (no user collision); name/review_count exist on both
-    # user and business -> business side prefixed, user side kept.
+    # (join/unified_data_analytics.py:23-41): review cols colliding with
+    # USER cols -> review_* (empty set for the real schemas, so review.stars
+    # stays plain "stars"); business cols colliding with review|user ->
+    # business_* (stars, name, review_count).
     cols = uni.columns
-    assert "review_stars" in cols and "stars" in cols
+    assert "stars" in cols and "business_stars" in cols
+    assert "review_stars" not in cols
     assert "name" in cols and "business_name" in cols
     assert "review_count" in cols and "business_review_count" in cols
 

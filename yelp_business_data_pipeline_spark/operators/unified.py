@@ -30,15 +30,18 @@ def unified_analytics(
 ) -> DataFrame:
     """Build the denormalized UnifiedAnalytics table."""
     user_cols = set(users.columns)
-    biz_cols = set(businesses.columns)
-    # Reference renames review columns colliding with either dim to
-    # review_*, and business columns colliding with user columns to
-    # business_* (join/unified_data_analytics.py:29-41).
-    reviews_r = prefix_overlapping_columns(
-        reviews, user_cols | biz_cols, "review_", keep=("user_id", "business_id")
-    )
+    review_cols = set(reviews.columns)
+    # Reference rename rules, from ORIGINAL column sets
+    # (join/unified_data_analytics.py:23-41): review columns colliding with
+    # USER columns -> review_*; business columns colliding with
+    # (review | user) -> business_*. Join keys are exempt. With the real
+    # Yelp schemas review∩user is empty, so in practice only the business
+    # side is prefixed (business_stars, business_name,
+    # business_review_count).
+    join_keys = ("user_id", "business_id")
+    reviews_r = prefix_overlapping_columns(reviews, user_cols, "review_", keep=join_keys)
     businesses_r = prefix_overlapping_columns(
-        businesses, user_cols, "business_", keep=("business_id",)
+        businesses, review_cols | user_cols, "business_", keep=join_keys
     )
     users_j = F.broadcast(users) if broadcast_dims else users
     businesses_j = F.broadcast(businesses_r) if broadcast_dims else businesses_r
