@@ -88,3 +88,28 @@ def test_top_reviewers(graph, etl):
         ("Bob", 3.0),
         ("Alice", 1.0),
     ]
+
+
+def test_node_and_edge_properties(graph):
+    v, e = graph
+    biz = v.filter(F.col("label") == "Business").collect()[0]
+    assert biz.props["name"] == "Pizza Plaza"
+    assert biz.props["stars"] == "4.5"
+    assert biz.props["noise_level"] == "average"
+    usr = {r.id: r for r in v.filter(F.col("label") == "User").collect()}
+    assert usr["u1"].props["friend_count"] == "2"
+    assert usr["u1"].props["elite_years_count"] == "3"
+    wrote = e.filter((F.col("rel_type") == "WROTE") & (F.col("dst") == "r1")).collect()[0]
+    assert wrote.props["sentiment_label"] == "positive"
+    assert wrote.props["date"] == "2021-06-01"
+
+
+def test_business_and_city_edge_completeness(graph):
+    from yelp_business_data_pipeline_spark.operators.graph import (
+        businesses_missing_edges,
+        cities_missing_state,
+    )
+
+    v, e = graph
+    assert businesses_missing_edges(v, e).count() == 0
+    assert cities_missing_state(v, e).count() == 0

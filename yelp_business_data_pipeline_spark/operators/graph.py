@@ -51,26 +51,56 @@ FEATURE_FLAGS = (
 )
 
 
-def _label(df: DataFrame, id_col, label: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).cast("string").alias("id") if isinstance(id_col, str) else id_col.alias("id"),
+def _props_map(df: DataFrame, cols: list[str]) -> F.Column:
+    """String-typed property map over whichever of ``cols`` exist —
+    the DataFrame analog of Cypher's ``SET n.prop = row.col``."""
+    pairs = []
+    for c in cols:
+        if c in df.columns:
+            pairs.extend([F.lit(c), F.col(c).cast("string")])
+    if not pairs:
+        return F.create_map().cast("map<string,string>")
+    return F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2]))
+
+
+def _label(df: DataFrame, id_col, label: str, prop_cols: list[str] | None = None) -> DataFrame:
+    id_expr = (
+        F.col(id_col).cast("string") if isinstance(id_col, str) else id_col
+    )
+    out = df.select(
+        id_expr.alias("id"),
         F.lit(label).alias("label"),
-    ).dropDuplicates(["id", "label"])
+        _props_map(df, prop_cols or []).alias("props"),
+    )
+    return out.dropDuplicates(["id", "label"])
+
+
+#: Node properties per the reference's SET clauses (graph.cypher:24-46,53-55).
+#: NB the reference's user load sets friend_count from ``row.friends`` — a
+#: column that does not exist in the exported user.csv (quirk) — the intent
+#: is the processed table's friend_count, used here.
+BUSINESS_PROPS = [
+    "name", "latitude", "longitude", "stars", "review_count",
+    "accepts_credit_cards", "noise_level",
+]
+USER_PROPS = ["name", "fans", "elite_years_count", "friend_count", "engagement_compliments"]
+REVIEW_PROPS = ["stars", "date", "sentiment_label"]
 
 
 def build_vertices(
     businesses: DataFrame, reviews: DataFrame, users: DataFrame
 ) -> DataFrame:
-    """Union of all 7 node labels (MERGE semantics via dropDuplicates).
+    """Union of all 7 node labels (MERGE semantics via dropDuplicates),
+    with per-label property maps mirroring the reference's SET clauses.
 
     Inputs are the processed tables (business at (business, category) grain,
     user at (user, friend) grain) — the same CSVs the reference exports
     (graph.cypher:5).
     """
     parts = [
-        _label(users, "user_id", "User"),
-        _label(businesses, "business_id", "Business"),
-        _label(reviews, "review_id", "Review"),
+        _label(users.dropDuplicates(["user_id"]), "user_id", "User", USER_PROPS),
+        _label(businesses.dropDuplicates(["business_id"]), "business_id", "Business", BUSINESS_PROPS),
+        _label(reviews, "review_id", "Review", REVIEW_PROPS),
         _label(businesses, "category", "Category"),
         _label(businesses, "city", "City"),
         _label(businesses, "state", "State"),
@@ -79,7 +109,9 @@ def build_vertices(
     for flag in FEATURE_FLAGS:
         if flag in businesses.columns:
             f_df = businesses.filter(F.col(flag) == True).select(  # noqa: E712
-                F.lit(flag.removesuffix("_flag")).alias("id"), F.lit("Feature").alias("label")
+                F.lit(flag.removesuffix("_flag")).alias("id"),
+                F.lit("Feature").alias("label"),
+                F.create_map().cast("map<string,string>").alias("props"),
             )
             feats = f_df if feats is None else feats.unionAll(f_df)
     if feats is not None:
@@ -104,17 +136,28 @@ def build_edges(
     FRIENDS_WITH gets the symmetric closure (graph.cypher:91-97).
     """
 
-    def _edges(df, src, dst, rel):
+    def _edges(df, src, dst, rel, prop_cols: list[str] | None = None):
         return df.select(
             F.col(src).cast("string").alias("src"),
             F.col(dst).cast("string").alias("dst"),
             F.lit(rel).alias("rel_type"),
-        ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull()).dropDuplicates()
+            _props_map(df, prop_cols or []).alias("props"),
+        ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull()).dropDuplicates(
+            ["src", "dst", "rel_type"]  # map columns can't join set ops
+        )
 
     user_ids = users.select(F.col("user_id")).dropDuplicates()
     biz_one = businesses.dropDuplicates(["business_id"])
 
-    wrote = _edges(reviews.join(user_ids, "user_id", "left_semi"), "user_id", "review_id", "WROTE")
+    # WROTE carries (date, sentiment_label) edge properties
+    # (graph.cypher:56: MERGE (u)-[:WROTE {date, sentiment_label}]->(r)).
+    wrote = _edges(
+        reviews.join(user_ids, "user_id", "left_semi"),
+        "user_id",
+        "review_id",
+        "WROTE",
+        ["date", "sentiment_label"],
+    )
     reviews_e = _edges(
         reviews.join(biz_one.select("business_id"), "business_id", "left_semi"),
         "review_id",
@@ -132,12 +175,13 @@ def build_edges(
                 F.col("business_id").cast("string").alias("src"),
                 F.lit(flag.removesuffix("_flag")).alias("dst"),
                 F.lit("OFFERS").alias("rel_type"),
+                F.create_map().cast("map<string,string>").alias("props"),
             )
             offers = o if offers is None else offers.unionAll(o)
 
     out = wrote.unionAll(reviews_e).unionAll(located).unionAll(in_state).unionAll(has_cat)
     if offers is not None:
-        out = out.unionAll(offers.dropDuplicates())
+        out = out.unionAll(offers.dropDuplicates(["src", "dst", "rel_type"]))
 
     if friend_edges is not None:
         fw = friend_edges.select(
@@ -146,7 +190,9 @@ def build_edges(
         )
         sym = fw.unionAll(fw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         out = out.unionAll(
-            sym.withColumn("rel_type", F.lit("FRIENDS_WITH")).dropDuplicates()
+            sym.withColumn("rel_type", F.lit("FRIENDS_WITH"))
+            .withColumn("props", F.create_map().cast("map<string,string>"))
+            .dropDuplicates(["src", "dst", "rel_type"])
         )
     return out
 
@@ -234,3 +280,23 @@ def top_reviewers_of_business(
         .orderBy(F.desc("stars"), F.asc("name"))
         .limit(k)
     )
+
+
+def businesses_missing_edges(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """neo4j_test.cypher:4-5 checks (#4/#5) — Business nodes lacking a
+    LOCATED_IN / HAS_CATEGORY / OFFERS edge, one row per (business, missing
+    relationship type)."""
+    biz = vertices.filter(F.col("label") == "Business").select("id")
+    out = None
+    for rel in ("LOCATED_IN", "HAS_CATEGORY", "OFFERS"):
+        src = edges.filter(F.col("rel_type") == rel).select(F.col("src").alias("id"))
+        part = biz.join(src, "id", "left_anti").withColumn("missing", F.lit(rel))
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def cities_missing_state(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """neo4j_test.cypher:4b — City nodes with no IN_STATE edge."""
+    cities = vertices.filter(F.col("label") == "City").select("id")
+    in_state = edges.filter(F.col("rel_type") == "IN_STATE").select(F.col("src").alias("id"))
+    return cities.join(in_state, "id", "left_anti")
