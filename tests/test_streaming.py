@@ -109,3 +109,28 @@ def test_session_window_matches_lag_sessionize(spark):
     )
     native = {r.user_id: r.n_sessions for r in sw.collect()}
     assert native == lag_based
+
+
+def test_stream_skips_non_json_files(spark, tmp_path):
+    """The reference Lambda skips non-JSON keys (trigeer_ETL_Pipeline.py:70-72);
+    the file stream's pathGlobFilter reproduces that."""
+    import json as _json
+
+    from yelp_business_data_pipeline_spark.operators import review_etl
+    from yelp_business_data_pipeline_spark.schemas import REVIEW_RAW_SCHEMA
+    from yelp_business_data_pipeline_spark.streaming import stream_domain_etl
+
+    from .test_yelp_etl import REVIEWS
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "good.json").write_text(_json.dumps(REVIEWS[0]))
+    (src / "noise.txt").write_text("NOT JSON AT ALL")
+    out = str(tmp_path / "out")
+    q = stream_domain_etl(
+        spark, str(src), REVIEW_RAW_SCHEMA, review_etl, out, str(tmp_path / "ck"),
+        keys=["review_id"],
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert [r.review_id for r in rows] == ["r1"]

@@ -52,7 +52,9 @@ def stream_domain_etl(
     """Stream JSON files from ``source_dir`` through ``etl_fn`` into an
     idempotent-append parquet sink. Returns the started query (AvailableNow:
     drains everything currently present, then stops)."""
-    reader = spark.readStream.schema(schema)
+    # Only *.json files trigger processing — the reference Lambda skips
+    # non-JSON keys (trigeer_ETL_Pipeline.py:70-72).
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.json(source_dir)
