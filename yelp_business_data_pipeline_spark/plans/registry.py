@@ -31,12 +31,25 @@ def query(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery]
     return _register
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Queries may run under the DRIVER'S SparkSession, not our factory's
+    (``__spark_entry__`` contract), so set the two runtime confs correctness
+    depends on: NANOS-parquet readability (events.ts) and UTC calendar
+    arithmetic (date-part extraction must agree with DuckDB's tz-naive
+    reads). Both are runtime-settable SQL confs; idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long ns (see
-        # session.py nanosAsLong) and convert to a microsecond timestamp.
+        # events.ts is parquet TIMESTAMP(NANOS): arrives as long ns under
+        # nanosAsLong; convert to a microsecond timestamp.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return df

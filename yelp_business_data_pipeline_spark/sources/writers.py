@@ -51,11 +51,14 @@ def write_append_idempotent(
 
     spark: SparkSession = df.sparkSession
     fresh = df.dropDuplicates(keys)
-    # Does the target exist yet? (cheap metadata check via read attempt)
-    try:
-        existing_keys = spark.read.parquet(path).select(*keys).alias("_existing")
-    except Exception:
-        existing_keys = None
+    # Does the target exist yet? (filesystem metadata check — a read attempt
+    # would work but logs a scary handled-exception stack trace)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    existing_keys = (
+        spark.read.parquet(path).select(*keys).alias("_existing") if fs.exists(hpath) else None
+    )
     if existing_keys is not None:
         fresh_a = fresh.alias("_fresh")
         cond = reduce(
