@@ -1,4 +1,11 @@
-from .business import business_etl
+from .analytics import (
+    elite_distribution_by_location,
+    reviewer_engagement,
+    sentiment_by_category,
+    sentiment_by_city,
+)
+from .asof import asof_join_backward, time_bucket_range_join
+from .business import business_etl, flatten_attribute_structs, flatten_attributes
 from .cleaning import (
     assert_unique_keys,
     drop_missing_keys,
@@ -6,22 +13,67 @@ from .cleaning import (
     null_profile,
     prefix_overlapping_columns,
 )
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash,
+    token_jaccard_pairs,
+    with_simhash,
+)
+from .graph import build_edges, build_vertices
+from .multimodal import extract_media_features, media_meta_expr
 from .review import review_etl
+from .similarity import (
+    arrow_cosine_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from .skew import salted_aggregate, salted_join
+from .text import distinct_token_ratio, fingerprint, lang_id, stopword_ratio, token_count
 from .topk import top_k_global, top_k_per_group
 from .unified import unified_analytics
 from .user import user_etl, user_friend_edges
 
 __all__ = [
+    "arrow_cosine_topk",
+    "asof_join_backward",
     "assert_unique_keys",
+    "build_edges",
+    "build_vertices",
     "business_etl",
+    "cosine_topk",
+    "distinct_token_ratio",
     "drop_missing_keys",
     "duplicate_keys",
+    "elite_distribution_by_location",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "extract_media_features",
+    "fingerprint",
+    "flatten_attribute_structs",
+    "flatten_attributes",
+    "lang_id",
+    "lsh_ann_topk",
+    "media_meta_expr",
+    "minhash_lsh_candidates",
     "null_profile",
     "prefix_overlapping_columns",
     "review_etl",
+    "reviewer_engagement",
+    "salted_aggregate",
+    "salted_join",
+    "sentiment_by_category",
+    "sentiment_by_city",
+    "simhash",
+    "stopword_ratio",
+    "time_bucket_range_join",
+    "token_count",
+    "token_jaccard_pairs",
     "top_k_global",
     "top_k_per_group",
     "unified_analytics",
     "user_etl",
     "user_friend_edges",
+    "with_simhash",
 ]
