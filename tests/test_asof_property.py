@@ -1,0 +1,61 @@
+"""As-of join property test: random keyed time series compared against
+pandas.merge_asof — an independent third implementation (besides DuckDB's
+ASOF JOIN in the oracle suite)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from yelp_business_data_pipeline_spark.operators.asof import asof_join_backward
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_asof_matches_pandas_merge_asof(spark, seed):
+    rng = np.random.default_rng(seed)
+    n_left, n_right = 300, 200
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_left),
+            "t": rng.integers(0, 10_000, n_left),
+            "lid": np.arange(n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_right),
+            "t": rng.integers(0, 10_000, n_right),
+            "rid": np.arange(n_right),
+            "payload": rng.random(n_right).round(6),
+        }
+    )
+    # dedup right per (k, t) keeping max rid — the operator's tiebreak rule
+    right_d = right.sort_values("rid").groupby(["k", "t"], as_index=False).last()
+
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right_d.sort_values("t").rename(columns={"rid": "asof_rid", "payload": "asof_payload"}),
+        on="t",
+        by="k",
+        direction="backward",  # greatest right.t <= left.t
+    ).sort_values("lid")
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = (
+        asof_join_backward(ldf, rdf, ["k"], "t", "t", ["rid", "payload"], right_tiebreak="rid")
+        .toPandas()
+        .sort_values("lid")
+    )
+
+    exp_pairs = list(
+        zip(expected["lid"], [None if pd.isna(x) else int(x) for x in expected["asof_rid"]])
+    )
+    got_pairs = list(
+        zip(got["lid"], [None if pd.isna(x) else int(x) for x in got["asof_rid"]])
+    )
+    assert got_pairs == exp_pairs
+    exp_payload = [None if pd.isna(x) else x for x in expected["asof_payload"]]
+    got_payload = [None if pd.isna(x) else x for x in got["asof_payload"]]
+    assert got_payload == pytest.approx(exp_payload)
