@@ -160,16 +160,18 @@ def lsh_ann_topk(
         l2_norm(F.col(vec_col)).alias("_cn"),
         F.posexplode("_bs").alias("_table", "_bucket"),
     )
-    cand = (
+    cos = F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    # Compute cosine BEFORE the dedup: a (q, c) pair colliding in several
+    # tables scores identically each time, and deduping 3 scalar columns
+    # shuffles ~50x fewer bytes than deduping rows carrying both vectors.
+    scored = (
         c.join(F.broadcast(q), ["_table", "_bucket"])
-        .select(query_id, corpus_id, "_qv", "_qn", "_cv", "_cn")
+        .select(query_id, corpus_id, cos.alias("cosine"))
         .dropDuplicates([query_id, corpus_id])
     )
-    cos = F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
-        cand.withColumn("cosine", cos)
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(query_id, corpus_id, "rnk", "cosine")
     )
