@@ -109,3 +109,22 @@ def test_arrow_cosine_topk_matches_jvm(spark):
         for r in QUERIES["ann_cosine_topk_arrow"].spark(spark, sf).orderBy("q_id", "rnk").collect()
     ]
     assert jvm == arrow
+
+
+def test_grouped_pandas_zscore_matches_jvm(spark):
+    from yelp_business_data_pipeline_spark.operators.grouped import (
+        zscore_by_group_jvm,
+        zscore_by_group_pandas,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v")
+    )
+    a = sorted(
+        (r.g, r.v, r.zscore) for r in zscore_by_group_pandas(o, "g", "v").collect()
+    )
+    b = sorted((r.g, r.v, r.zscore) for r in zscore_by_group_jvm(o, "g", "v").collect())
+    assert len(a) == len(b) == o.count()
+    for (ga, va, za), (gb, vb, zb) in zip(a, b):
+        assert (ga, va) == (gb, vb)
+        assert za == pytest.approx(zb, abs=1e-5)
