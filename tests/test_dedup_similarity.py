@@ -65,9 +65,10 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, sf).collect()}
     approx = {(r.q_id, r.c_id) for r in QUERIES["lsh_ann_topk"].spark(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
-    # random-ish 64-dim vectors are the LSH worst case; 6 tables x 4 planes
-    # measured ~0.56 here — pin a conservative floor
-    assert recall >= 0.35, f"LSH recall degraded: {recall}"
+    # random-ish 64-dim vectors are the LSH worst case; 4 tables x 6 planes
+    # with Hamming-1 multiprobe measured ~0.68 at ~37% candidate coverage —
+    # pin a conservative floor
+    assert recall >= 0.5, f"LSH recall degraded: {recall}"
 
 
 def test_embedding_near_dup_lsh_blocking_recall(spark):

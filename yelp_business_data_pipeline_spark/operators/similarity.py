@@ -136,6 +136,7 @@ def lsh_ann_topk(
     k: int = 10,
     n_planes: int = 4,
     n_tables: int = 6,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: brute-force cosine only among candidates sharing
     at least one LSH table bucket with the query.
@@ -145,6 +146,12 @@ def lsh_ann_topk(
     dedup candidates, then exact cosine + per-query top-k. Tuning: higher
     ``n_planes`` shrinks candidates (smaller buckets), higher ``n_tables``
     raises recall; candidate count ~ corpus * L / 2^k per query.
+
+    ``multiprobe=True`` additionally probes every Hamming-distance-1 bucket
+    of each query table bucket (the planes most likely to have flipped for
+    a near neighbor). Only the QUERY side fans out (x(n_planes+1)), and the
+    query side is broadcast — so recall rises steeply for almost no
+    shuffle-side cost (Lv et al. 2007 multi-probe LSH).
     """
     qb = queries.withColumn("_bs", lsh_buckets_multi(F.col(vec_col), dim, n_planes, n_tables))
     cb = corpus.withColumn("_bs", lsh_buckets_multi(F.col(vec_col), dim, n_planes, n_tables))
@@ -154,6 +161,12 @@ def lsh_ann_topk(
         l2_norm(F.col(vec_col)).alias("_qn"),
         F.posexplode("_bs").alias("_table", "_bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("_bucket"),
+            *[F.col("_bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.withColumn("_bucket", F.explode(probes))
     c = cb.select(
         corpus_id,
         F.col(vec_col).alias("_cv"),

@@ -352,7 +352,7 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
     return sim.lsh_ann_topk(
         q, c, dim=64, query_id="q_id", corpus_id="c_id", vec_col="v", k=10,
-        n_planes=4, n_tables=6,
+        n_planes=6, n_tables=4, multiprobe=True,
     )
 
 
