@@ -129,3 +129,16 @@ def test_grouped_pandas_zscore_matches_jvm(spark):
     for (ga, va, za), (gb, vb, zb) in zip(a, b):
         assert (ga, va) == (gb, vb)
         assert za == pytest.approx(zb, abs=1e-5)
+
+
+def test_ivf_ann_recall(spark):
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, sf).collect()}
+    approx = {(r.q_id, r.c_id) for r in QUERIES["ivf_ann_topk"].spark(spark, sf).collect()}
+    recall = len(exact & approx) / len(exact)
+    # near-uniform vectors give k-means weak clusters: measured 0.40 at
+    # ~19% coverage (nprobe 3/16); floor conservatively
+    assert recall >= 0.25, f"IVF recall degraded: {recall}"
+    # determinism: the no-RNG quantizer must reproduce identical results
+    again = {(r.q_id, r.c_id) for r in QUERIES["ivf_ann_topk"].spark(spark, sf).collect()}
+    assert approx == again
