@@ -136,7 +136,7 @@ def test_ivf_ann_recall(spark):
     exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, sf).collect()}
     approx = {(r.q_id, r.c_id) for r in QUERIES["ivf_ann_topk"].spark(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
-    # near-uniform vectors give k-means weak clusters: measured 0.40 at
+    # near-uniform vectors give k-means weak clusters: measured 0.42 at
     # ~19% coverage (nprobe 3/16); floor conservatively
     assert recall >= 0.25, f"IVF recall degraded: {recall}"
     # determinism: the no-RNG quantizer must reproduce identical results

@@ -473,7 +473,8 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_ann_topk",
     None,  # k-means quantizer is engine-specific; recall pytest-pinned
     doc="IVF approximate nearest neighbors: deterministic Lloyd's coarse "
-    "quantizer (16 lists, 3 iters, lowest-id init — no RNG), corpus "
+    "quantizer (16 lists, lowest-id init — no RNG; on near-uniform data "
+    "extra Lloyd iterations don't lift recall, so bench uses 1), corpus "
     "assigned to inverted lists, queries probe their 3 nearest lists. "
     "Complements sign-LSH: IVF adapts to clustered embeddings; measured "
     "0.40 recall at ~19% candidate coverage on the near-uniform worst "
@@ -487,6 +488,6 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
     c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
-    cent = train_ivf_centroids(c, "c_id", "v", n_lists=16, iters=3)
+    cent = train_ivf_centroids(c, "c_id", "v", n_lists=16, iters=1)
     idx = ivf_index(c, cent, "c_id", "v")
     return ivf_ann_topk(q, idx, cent, "q_id", "c_id", "v", k=10, nprobe=3)
