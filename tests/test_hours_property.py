@@ -44,3 +44,32 @@ def test_null_and_missing_day(spark):
         day_hours_expr(F.col("s")).alias("h")
     )
     assert df.collect()[0].h == 0.0
+
+
+def test_sentiment_score_properties(spark):
+    """Sentiment scorer invariants: score in [-1,1], label thresholds, null
+    and empty text -> 0.0/neutral, punctuation-robust tokenization."""
+    from yelp_business_data_pipeline_spark.functions.sentiment import (
+        sentiment_label_expr,
+        sentiment_score_expr,
+    )
+
+    rows = [
+        (1, "GREAT!!! Amazing, delicious... LOVE it"),   # case+punct
+        (2, "terrible;awful(rude)slow"),                  # glued punctuation
+        (3, None),
+        (4, ""),
+        (5, "the quick brown fox"),                       # no lexicon hits
+        (6, "great " * 50),                               # saturation -> <= 1
+    ]
+    df = spark.createDataFrame(rows, "i int, text string").select(
+        "i", sentiment_score_expr(F.col("text")).alias("s")
+    ).select("i", "s", sentiment_label_expr(F.col("s")).alias("l"))
+    got = {r.i: r for r in df.collect()}
+    assert all(-1.0 <= r.s <= 1.0 for r in got.values())
+    assert got[1].l == "positive" and got[1].s > 0.05
+    assert got[2].l == "negative"  # regexp strips punct -> 4 negative hits
+    assert got[3].s == 0.0 and got[3].l == "neutral"
+    assert got[4].s == 0.0 and got[4].l == "neutral"
+    assert got[5].l == "neutral"
+    assert got[6].s > 0.99  # x/sqrt(x^2+15) saturates toward 1

@@ -1021,3 +1021,50 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "hours_parser_roundtrip",
+    """
+    WITH spans AS (
+      SELECT event_id,
+             extract(hour FROM ts)::VARCHAR || ':' || extract(minute FROM ts)::VARCHAR
+               AS open_str,
+             extract(hour FROM ts + to_minutes(CAST(floor(value * 10) AS INTEGER)))::VARCHAR || ':' ||
+             extract(minute FROM ts + to_minutes(CAST(floor(value * 10) AS INTEGER)))::VARCHAR
+               AS close_str
+      FROM events WHERE event_type = 'purchase'
+    ), parsed AS (
+      SELECT event_id,
+             (string_split(open_str, ':')[1]::INTEGER * 60
+              + string_split(open_str, ':')[2]::INTEGER) AS open_min,
+             (string_split(close_str, ':')[1]::INTEGER * 60
+              + string_split(close_str, ':')[2]::INTEGER) AS close_min
+      FROM spans
+    )
+    SELECT event_id,
+           CASE WHEN close_min < open_min
+                THEN (close_min + 1440 - open_min) / 60.0
+                ELSE (close_min - open_min) / 60.0 END AS open_hours
+    FROM parsed
+    """,
+    doc="The signature hours-parser semantics (reference Business_ETL.py:"
+    "107-131: 'H:M-H:M' -> minutes-since-midnight, overnight wrap +1440, "
+    "close==open -> 0) under the oracle gate: spans synthesized from event "
+    "timestamps (+value*10 minutes, so some cross midnight and exercise "
+    "the wrap), formatted to the Yelp string shape, then parsed back by "
+    "functions.hours.day_hours_expr.",
+)
+def hours_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hours import day_hours_expr
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    close_ts = F.expr("ts + make_interval(0, 0, 0, 0, 0, CAST(floor(value * 10) AS INT), 0)")
+    span = F.concat_ws(
+        "-",
+        F.concat_ws(":", F.hour("ts").cast("string"), F.minute("ts").cast("string")),
+        F.concat_ws(":", F.hour(close_ts).cast("string"), F.minute(close_ts).cast("string")),
+    )
+    return ev.select(
+        "event_id", day_hours_expr(span).alias("open_hours")
+    )
