@@ -77,3 +77,71 @@ def fingerprint(text: Column, n_tokens: int = 2) -> Column:
     identical in DuckDB (md5 + list_slice + array_to_string)."""
     prefix = F.concat_ws(" ", F.slice(tokens_col(text), 1, n_tokens))
     return F.md5(prefix)
+
+
+def char_kgram_hashes(text: Column, k: int = 8) -> Column:
+    """Portable hash of every character k-gram (empty array for short text).
+
+    The k-gram hash is recomputed per position — O(n*k) instead of the
+    sequential rolling-hash O(n): the right trade for a data-parallel
+    engine (no cross-position dependency), and md5-portable so the DuckDB
+    oracle reproduces the values exactly.
+    """
+    from .dedup import portable_hash
+
+    n_grams = F.length(text) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: portable_hash(F.substring(text, i, F.lit(k)), salt="wn:"),
+    )
+    return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnowing_from_hashes(gram_hashes: Column, window: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    algorithm): the minimum hash of each sliding window of ``window``
+    consecutive k-gram hashes, distinct + sorted. Any shared substring of
+    length >= k + window - 1 contributes a shared fingerprint — the robust
+    containment/near-dup detector a prefix fingerprint can't provide.
+
+    Materialize ``gram_hashes`` in its own projection first (it is
+    referenced by both size() and every window slice)."""
+    n_windows = F.size(gram_hashes) - (window - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(gram_hashes, j, window)),
+    )
+    return F.array_sort(
+        F.array_distinct(F.when(n_windows >= 1, mins).otherwise(F.array().cast("array<bigint>")))
+    )
+
+
+def winnowing_fingerprints_long(
+    df, id_col: str, text_col: str, k: int = 8, window: int = 4
+):
+    """Winnowing fingerprints in long form: one (id, fp) row per distinct
+    fingerprint per document.
+
+    RELATIONAL formulation — posexplode the gram hashes to (id, pos, h)
+    rows, take the min over each full sliding window with a window frame
+    (ROWS BETWEEN CURRENT AND window-1 FOLLOWING), drop tail windows,
+    distinct. This is the production shape: the array-typed
+    :func:`winnowing_from_hashes` re-evaluates the gram-hash array per
+    window once Catalyst collapses projections (quadratic — measured 100x
+    slower at k=8/w=4 on 250-char docs, and optimizer barriers get pruned
+    away), while this pays one shuffle on the doc id and stays linear.
+    """
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col), F.posexplode(char_kgram_hashes(F.col(text_col), k)).alias("_pos", "_h")
+    )
+    w_frame = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
+    w_doc = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("_wm", F.min("_h").over(w_frame))
+        .withColumn("_max_pos", F.max("_pos").over(w_doc))
+        .filter(F.col("_pos") <= F.col("_max_pos") - (window - 1))
+        .select(F.col(id_col), F.col("_wm").alias("fp"))
+        .distinct()
+    )

@@ -491,3 +491,39 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = train_ivf_centroids(c, "c_id", "v", n_lists=16, iters=1)
     idx = ivf_index(c, cent, "c_id", "v")
     return ivf_ann_topk(q, idx, cent, "q_id", "c_id", "v", k=10, nprobe=3)
+
+
+def _sql_winnowing(k: int = 8, window: int = 4) -> str:
+    gh = f"list_transform(range(1, length(text) - {k - 1} + 1), i -> {_sql_hash(f'substr(text, i, {k})', 'wn:')})"
+    return f"""
+    WITH gh AS (
+      SELECT doc_id, {gh} AS g FROM documents WHERE length(text) >= {k}
+    ), fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(g) - {window - 1} + 1),
+               j -> list_min(list_slice(g, j, j + {window - 1}))))) AS fp
+      FROM gh WHERE len(g) >= {window}
+    )
+    SELECT fp, COUNT(*) AS n_docs
+    FROM fp GROUP BY fp HAVING COUNT(*) > 1
+    """
+
+
+@query(
+    "winnowing_shared_fingerprints",
+    _sql_winnowing(k=8, window=4),
+    doc="Winnowing document fingerprinting (Schleimer et al. 2003 rolling-"
+    "hash selection): per-doc char-8-gram hashes -> min of each 4-window "
+    "-> distinct fingerprints; shared fingerprints across docs flag "
+    "substring-level containment/near-dup. Per-row HOFs, one shuffle on "
+    "the fingerprint; oracle reproduces the identical hash selection.",
+)
+def winnowing_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    fps = tx.winnowing_fingerprints_long(d, "doc_id", "text", k=8, window=4)
+    return (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
