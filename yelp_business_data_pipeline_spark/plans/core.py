@@ -1068,3 +1068,42 @@ def hours_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", day_hours_expr(span).alias("open_hours")
     )
+
+
+@query(
+    "range_join_purchase_click",
+    """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tp
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tc
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, c.click_id, CAST(abs(p.tp - c.tc) AS BIGINT) AS gap_s
+    FROM p JOIN c ON p.user_id = c.user_id AND abs(p.tp - c.tc) <= 300
+    """,
+    doc="Range (interval) join via time-bucketing (operators/asof.py:"
+    "time_bucket_range_join): clicks within 5 minutes of a purchase by the "
+    "same user. The theta predicate |tp-tc|<=300 becomes an equi-join on "
+    "(user, bucket+-1) + a residual filter — the decomposition that turns "
+    "an O(n*m) nested loop into a shuffle join Catalyst handles normally.",
+)
+def range_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import time_bucket_range_join
+
+    ev = tbl(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").cast("long").alias("tp")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").cast("long").alias("tc")
+    )
+    out = time_bucket_range_join(
+        p, c, on=["user_id"], left_ts="tp", right_ts="tc",
+        max_gap=F.lit(300), bucket=F.lit(300),
+    )
+    return out.select(
+        "purchase_id", "click_id",
+        F.abs(F.col("tp") - F.col("tc")).cast("bigint").alias("gap_s"),
+    )
