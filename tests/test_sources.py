@@ -65,3 +65,22 @@ def test_export_csv_roundtrip(spark, tmp_path):
     back = spark.read.option("header", "true").csv(out)
     rows = sorted((r.id, r.s, r.x) for r in back.collect())
     assert rows == [("1", "a", "2.5"), ("2", "b,with,commas", "3.5")]
+
+
+def test_compact_parquet(spark, tmp_path):
+    from yelp_business_data_pipeline_spark.sources.writers import compact_parquet
+
+    out = str(tmp_path / "t")
+    # simulate many micro-batch appends -> many small files
+    for i in range(6):
+        spark.createDataFrame([(i * 10 + j, f"v{i}") for j in range(5)], ["id", "v"]).coalesce(
+            2
+        ).write.mode("append").parquet(out)
+    import glob
+
+    before = len(glob.glob(f"{out}/part-*.parquet"))
+    rows_before = sorted(r.id for r in spark.read.parquet(out).collect())
+    n = compact_parquet(spark, out, target_mb=128)
+    after = len(glob.glob(f"{out}/part-*.parquet"))
+    assert n == 1 and after == 1 and after < before
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == rows_before

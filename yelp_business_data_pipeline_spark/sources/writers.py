@@ -80,3 +80,40 @@ def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
     consumers; array/struct columns must be flattened first (CSV cannot
     carry them — the reference's flat-schema rule, README.md:160-162)."""
     df.write.mode("overwrite").option("header", str(header).lower()).csv(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+) -> int:
+    """Compact a parquet directory's small files (the operational follow-up
+    to idempotent streaming appends, which produce one file set per
+    micro-batch) into ~``target_mb`` files. Returns the new file count.
+
+    Staged rewrite: write to ``<path>__compacting``, then swap directories
+    via filesystem renames so readers never observe a half-written table.
+    (With a real lakehouse format this is OPTIMIZE/rewrite-data-files; on
+    plain parquet directory-swap is the portable equivalent.)
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+    staging = f"{path}__compacting"
+    backup = f"{path}__precompact"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(staging)
+    s_path = jvm.org.apache.hadoop.fs.Path(staging)
+    b_path = jvm.org.apache.hadoop.fs.Path(backup)
+    if not fs.rename(hpath, b_path):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(s_path, hpath):
+        fs.rename(b_path, hpath)  # roll back
+        raise IOError(f"compaction swap failed: could not move {staging} into place")
+    fs.delete(b_path, True)
+    return n_files
