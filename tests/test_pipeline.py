@@ -57,3 +57,27 @@ def test_run_batch_and_idempotent_rerun(spark, paths):
 def test_run_streaming(spark, paths, tmp_path):
     out = run_streaming(spark, paths, checkpoint_dir=str(tmp_path / "ckpt"))
     _assert_outputs(spark, out)
+
+
+def test_unified_gated_on_all_domains(spark, tmp_path):
+    """Reference DAG gate: UnifiedAnalytics only runs once all three domain
+    tables exist (README.md:215)."""
+    import json as _json
+
+    from .test_yelp_etl import REVIEWS
+
+    for name in ("business", "review", "user"):
+        (tmp_path / name).mkdir()
+    # only reviews have data
+    (tmp_path / "review" / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in REVIEWS)
+    )
+    p = YelpPaths(
+        business_raw=str(tmp_path / "business"),
+        review_raw=str(tmp_path / "review"),
+        user_raw=str(tmp_path / "user"),
+        out_dir=str(tmp_path / "out"),
+    )
+    out = run_batch(spark, p)
+    assert "unified" not in out  # gate held
+    assert "review" in out and out["review"].count() == 3

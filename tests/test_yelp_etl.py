@@ -71,6 +71,9 @@ BUSINESSES = [
     },
     # null hours -> dropped
     {"business_id": "b4", "name": "No Hours", "is_open": 1, "categories": "Bars", "hours": None},
+    # null business_id -> dropped (README.md rule; absent from notebook code)
+    {"business_id": None, "name": "Ghost", "is_open": 1, "categories": "Bars",
+     "hours": {"Monday": "8:0-12:0"}},
 ]
 
 REVIEWS = [

@@ -103,7 +103,11 @@ def business_etl(raw: DataFrame, include_attribute_structs: bool = False) -> Dat
     BusinessParking (extension; default output matches the reference schema).
     """
     df = (
-        raw.drop("address")
+        # null business_id drop: stated in README.md:167 and asserted by
+        # test_cases/business.py:6 but absent from the notebook code — the
+        # engine enforces the documented rule (same policy as review F4).
+        raw.filter(F.col("business_id").isNotNull())
+        .drop("address")
         .filter(F.col("categories").isNotNull())
         .filter(F.col("hours").isNotNull())
         .filter(F.col("is_open") == 1)

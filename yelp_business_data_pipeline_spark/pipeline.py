@@ -125,9 +125,38 @@ def run_streaming(
     return _rebuild_unified(spark, paths, build_graph, register_views)
 
 
+def _domain_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath)
+
+
 def _rebuild_unified(
     spark: SparkSession, paths: YelpPaths, build_graph: bool, register_views: bool
 ) -> dict[str, DataFrame]:
+    # The reference's job DAG gates UnifiedAnalytics on ALL THREE domain
+    # tasks having produced data (README.md:150,215: 'Only when all three
+    # domains have data will the UnifiedAnalytics task execute'). Mirror
+    # that: with any domain still missing, return what exists and skip the
+    # unified rebuild.
+    missing = [
+        p
+        for p in (paths.business_out, paths.review_out, paths.user_out)
+        if not _domain_exists(spark, p)
+    ]
+    if missing:
+        out: dict[str, DataFrame] = {}
+        for name, p in (
+            ("business", paths.business_out),
+            ("review", paths.review_out),
+            ("user", paths.user_out),
+        ):
+            if _domain_exists(spark, p):
+                out[name] = spark.read.parquet(p)
+                if register_views:
+                    out[name].createOrReplaceTempView(f"yelp_{name}")
+        return out
+
     biz_t = spark.read.parquet(paths.business_out)
     rev_t = spark.read.parquet(paths.review_out)
     usr_t = spark.read.parquet(paths.user_out)

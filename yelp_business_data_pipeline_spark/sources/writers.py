@@ -66,6 +66,12 @@ def write_append_idempotent(
             [fresh_a[k].eqNullSafe(existing_keys[k]) for k in keys],
         )
         fresh = fresh_a.join(existing_keys, on=cond, how="left_anti")
+    # Appending nothing must not create table state: an empty write would
+    # still materialize the directory, falsely signalling "this domain has
+    # data" to consumers gating on table existence (pipeline.py's unified
+    # DAG gate).
+    if fresh.isEmpty():
+        return
     writer = fresh.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
