@@ -30,7 +30,14 @@ from .similarity import (
     lsh_ann_topk,
 )
 from .skew import salted_aggregate, salted_join
-from .text import distinct_token_ratio, fingerprint, lang_id, stopword_ratio, token_count
+from .text import (
+    distinct_token_ratio,
+    fingerprint,
+    lang_id,
+    stopword_ratio,
+    token_count,
+    winnowing_fingerprints_long,
+)
 from .topk import top_k_global, top_k_per_group
 from .unified import unified_analytics
 from .user import user_etl, user_friend_edges
@@ -75,5 +82,6 @@ __all__ = [
     "unified_analytics",
     "user_etl",
     "user_friend_edges",
+    "winnowing_fingerprints_long",
     "with_simhash",
 ]

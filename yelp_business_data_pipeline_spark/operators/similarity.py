@@ -84,28 +84,6 @@ def hyperplane(dim: int, plane: int) -> list[float]:
     return w
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-pattern bucket id from ``n_planes`` fixed hyperplanes.
-
-    bucket = sum over planes of 2^p * [dot(vec, plane_p) > 0]. Pure column
-    arithmetic (the plane weights are literals folded into codegen).
-    """
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        w = hyperplane(dim, p)
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in w]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
-
-
 def lsh_buckets_multi(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
     """Array of ``n_tables`` independent sign-bucket ids (table t uses planes
     t*n_planes .. t*n_planes+n_planes-1). Standard multi-table LSH: a

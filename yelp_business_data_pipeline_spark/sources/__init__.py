@@ -1,10 +1,12 @@
 from .readers import load_testdata, read_json_lines, read_parquet_table
-from .writers import write_append_idempotent, write_overwrite
+from .writers import compact_parquet, export_csv, write_append_idempotent, write_overwrite
 
 __all__ = [
     "load_testdata",
     "read_json_lines",
     "read_parquet_table",
+    "compact_parquet",
+    "export_csv",
     "write_append_idempotent",
     "write_overwrite",
 ]
