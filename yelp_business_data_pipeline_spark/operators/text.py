@@ -133,15 +133,17 @@ def winnowing_fingerprints_long(
     """
     from pyspark.sql import Window
 
+    # max window start = n_grams - window + 1, computable per row from the
+    # text length (posexplode emits 0-based pos) — no second window pass.
     grams = df.select(
-        F.col(id_col), F.posexplode(char_kgram_hashes(F.col(text_col), k)).alias("_pos", "_h")
+        F.col(id_col),
+        (F.length(text_col) - (k - 1) - window).alias("_last_start"),
+        F.posexplode(char_kgram_hashes(F.col(text_col), k)).alias("_pos", "_h"),
     )
     w_frame = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
-    w_doc = Window.partitionBy(id_col)
     return (
         grams.withColumn("_wm", F.min("_h").over(w_frame))
-        .withColumn("_max_pos", F.max("_pos").over(w_doc))
-        .filter(F.col("_pos") <= F.col("_max_pos") - (window - 1))
+        .filter(F.col("_pos") <= F.col("_last_start"))
         .select(F.col(id_col), F.col("_wm").alias("fp"))
         .distinct()
     )
