@@ -45,3 +45,30 @@ def test_fake_decoder_roundtrip(media_df):
     assert by_id[2].features == [0.0] * FEATURE_DIM
     # deterministic: local recompute matches the distributed result
     assert by_id[3].features == pytest.approx(_fake_features(bytes(range(64))))
+
+
+def test_sample_frames_fanout(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        media_meta_expr,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(40))), (2, b"")], ["media_id", "payload"]
+    ).withColumn("media_meta", media_meta_expr(F.col("payload"), "video", "mp4"))
+    # fake a known duration
+    df = df.withColumn(
+        "media_meta",
+        F.col("media_meta").withField("duration_ms", F.lit(8000).cast("long")),
+    )
+    frames = sample_frames(df, n_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 4  # fan-out: one row per sampled frame
+    assert [r.frame_idx for r in sorted(by_id[1], key=lambda x: x.frame_idx)] == [0, 1, 2, 3]
+    assert [r.frame_ts_ms for r in sorted(by_id[1], key=lambda x: x.frame_idx)] == [0, 2000, 4000, 6000]
+    assert all(len(r.frame_payload) == 10 for r in by_id[1])
+    assert 2 not in by_id  # empty payload -> no frames

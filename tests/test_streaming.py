@@ -134,3 +134,25 @@ def test_stream_skips_non_json_files(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out).collect()
     assert [r.review_id for r in rows] == ["r1"]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: withWatermark + dropDuplicates keeps one row
+    per id across micro-batches while state stays bounded by the watermark
+    (the streaming twin of the batch exact-dedup operator)."""
+    src = str(tmp_path / "src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows1 = [(1, "2024-01-01 00:00:00", 1, "click", 1.0),
+             (2, "2024-01-01 00:01:00", 2, "view", 2.0)]
+    rows2 = [(2, "2024-01-01 00:01:00", 2, "view", 2.0),   # duplicate id
+             (3, "2024-01-01 00:02:00", 3, "click", 3.0)]
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"]) \
+            .withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_stream").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_stream").collect())
+    assert got == [1, 2, 3]

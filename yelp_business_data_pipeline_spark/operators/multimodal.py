@@ -127,3 +127,61 @@ def extract_media_features(
             )
 
     return src.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), True),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (the fan-out
+    shape every video pipeline needs before per-frame embedding).
+
+    Real decoders would seek/decode keyframes; without codec libraries the
+    stub slices the payload into ``n_frames`` evenly-spaced byte windows
+    and spaces timestamps across ``duration_ms`` — the Spark-side contract
+    (schema, per-row fan-out inside mapInPandas, binary passthrough, batch
+    shape) is fully real. Swap ``_slice_frames`` for a decoder to go live.
+    """
+
+    def _slice_frames(blob: bytes | None, duration_ms) -> list[tuple[int, int, bytes]]:
+        if not blob:
+            return []
+        step = max(1, len(blob) // n_frames)
+        dur = int(duration_ms) if duration_ms is not None else 0
+        out = []
+        for i in range(min(n_frames, len(blob))):
+            ts = (dur * i) // n_frames if dur else 0
+            out.append((i, ts, blob[i * step : (i + 1) * step]))
+        return out
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.col(meta_col).getField("duration_ms").alias("duration_ms"),
+    )
+
+    def _expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_payload": []}
+            for mid, blob, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                for idx, ts, frame in _slice_frames(blob, dur):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ts_ms"].append(ts)
+                    rows["frame_payload"].append(frame)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(_expand, schema=FRAMES_SCHEMA)
