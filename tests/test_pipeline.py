@@ -81,3 +81,17 @@ def test_unified_gated_on_all_domains(spark, tmp_path):
     out = run_batch(spark, p)
     assert "unified" not in out  # gate held
     assert "review" in out and out["review"].count() == 3
+
+
+def test_partitioned_domain_layout(spark, paths):
+    """SURVEY §1.4 scale layout: business partitioned by state, review by
+    year — partition directories exist and pruning filters work."""
+    import glob
+
+    out = run_batch(spark, paths)
+    assert glob.glob(f"{paths.business_out}/state=IL"), "business not partitioned by state"
+    assert glob.glob(f"{paths.review_out}/review_year=2021"), "review not partitioned by year"
+    # reading with a partition filter still yields correct rows
+    il = spark.read.parquet(paths.business_out).filter(F.col("state") == "IL")
+    assert il.count() == 3  # 3 categories of b1
+    assert "unified" in out and out["unified"].count() == 15

@@ -76,19 +76,36 @@ def run_batch(
     as_of: str | None = "2026-01-01 00:00:00",
     build_graph: bool = False,
     register_views: bool = True,
+    partition_outputs: bool = True,
 ) -> dict[str, DataFrame]:
     """One batch pass over the raw JSON folders. Returns the output tables.
 
     Idempotent: re-running with the same inputs appends nothing (domain
     writers anti-join on primary keys) and rebuilds unified to the same
     state.
+
+    ``partition_outputs`` (SURVEY.md §1.4 scale layout): business
+    partitions by ``state``, review by ``review_year`` (derived, kept in
+    the schema) — downstream filters on state/year prune partitions
+    instead of scanning the world.
     """
+    from pyspark.sql import functions as F
+
     biz = business_etl(read_json_lines(spark, paths.business_raw, BUSINESS_RAW_SCHEMA))
     rev = review_etl(read_json_lines(spark, paths.review_raw, REVIEW_RAW_SCHEMA))
     usr = user_etl(read_json_lines(spark, paths.user_raw, USER_RAW_SCHEMA), as_of=as_of)
 
-    write_append_idempotent(biz, paths.business_out, keys=DOMAIN_KEYS["business"])
-    write_append_idempotent(rev, paths.review_out, keys=DOMAIN_KEYS["review"])
+    if partition_outputs:
+        rev = rev.withColumn("review_year", F.year("date"))
+        write_append_idempotent(
+            biz, paths.business_out, keys=DOMAIN_KEYS["business"], partition_by=["state"]
+        )
+        write_append_idempotent(
+            rev, paths.review_out, keys=DOMAIN_KEYS["review"], partition_by=["review_year"]
+        )
+    else:
+        write_append_idempotent(biz, paths.business_out, keys=DOMAIN_KEYS["business"])
+        write_append_idempotent(rev, paths.review_out, keys=DOMAIN_KEYS["review"])
     write_append_idempotent(usr, paths.user_out, keys=DOMAIN_KEYS["user"])
 
     return _rebuild_unified(spark, paths, build_graph, register_views)
