@@ -23,8 +23,16 @@ def write_overwrite(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
-    """Atomic rebuild (reference ``join/unified_data_analytics.py:56``)."""
+    """Atomic rebuild (reference ``join/unified_data_analytics.py:56``).
+
+    ``sort_by`` sorts within output partitions before writing so parquet
+    row-group min/max stats become selective — point/range filters on the
+    sort key skip row groups at scan time (SURVEY.md §4 'sorted-on-PK
+    writes')."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -36,6 +44,7 @@ def write_append_idempotent(
     path: str,
     keys: list[str],
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """Append only rows whose ``keys`` are not already present.
 
@@ -72,6 +81,8 @@ def write_append_idempotent(
     # DAG gate).
     if fresh.isEmpty():
         return
+    if sort_by:
+        fresh = fresh.sortWithinPartitions(*sort_by)
     writer = fresh.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
