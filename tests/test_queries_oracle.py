@@ -61,3 +61,17 @@ def test_oracle_schema_types_align(spark, sf_dir):
         if diffs:
             problems[name] = diffs
     assert not problems, problems
+
+
+def test_documented_counts_match_registry():
+    """COVERAGE.md's driver-contract summary must track the registry."""
+    import re
+
+    n_total = len(QUERIES)
+    n_oracle = sum(1 for s in QUERIES.values() if s.oracle is not None)
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"(\d+) registered queries: (\d+) with exact DuckDB oracles", text)
+    assert m, "COVERAGE.md summary line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (n_total, n_oracle), (
+        f"COVERAGE.md says {m.groups()}, registry has ({n_total}, {n_oracle})"
+    )

@@ -1,6 +1,7 @@
 from .hours import day_hours_expr, hours_features
 from .sentiment import (
     NEGATIVE_WORDS,
+    sentiment_oracle_sql,
     POSITIVE_WORDS,
     sentiment_label_expr,
     sentiment_score_expr,
@@ -13,6 +14,7 @@ __all__ = [
     "day_hours_expr",
     "hours_features",
     "sentiment_label_expr",
+    "sentiment_oracle_sql",
     "sentiment_score_expr",
     "tokens_expr",
 ]
