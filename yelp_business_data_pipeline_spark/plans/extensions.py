@@ -527,3 +527,126 @@ def winnowing_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def _sql_shingle_hashes() -> str:
+    from ..operators.dedup import MINHASH_MOD, SHINGLE_C1, SHINGLE_C2
+
+    return (
+        f"list_transform(range(1, len(th) - 1), "
+        f"i -> (th[i] * {SHINGLE_C1} + th[i+1] * {SHINGLE_C2} + th[i+2]) % {MINHASH_MOD})"
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    tokh AS (
+      SELECT doc_id, list_transform({TOKS}, tok -> {_sql_hash('tok', 'mh:')}) AS th
+      FROM docs WHERE len({TOKS}) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct({_sql_shingle_hashes()})) AS shingle
+      FROM tokh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.id_a = sa.doc_id
+    JOIN sizes sb ON inter.id_b = sb.doc_id
+    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
+    """,
+    doc="Word-3-gram Jaccard similarity join (the n-gram variant of "
+    "jaccard_similar_pairs; shingle hashes shared with the MinHash "
+    "pipeline): inverted index on shingle hash, exact set Jaccard, "
+    "bounded doc window. The ground truth MinHash's band collisions "
+    "estimate — at scale it runs only on LSH candidates.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as _F
+
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = F.split(F.col("text"), " ")
+    hashed = d.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.transform(toks, lambda t: dd.portable_hash(t, salt="mh:")).alias("_th"),
+    )
+    sh = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dd.shingle_hashes_from_tokens(F.col("_th"), 3))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query(
+    "hypertable_rollup_events",
+    """
+    WITH b AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M') AS bucket_day,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS bucket_hour,
+             value
+      FROM events
+    )
+    SELECT event_type, bucket_day, bucket_hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM b
+    GROUP BY GROUPING SETS ((event_type, bucket_day), (event_type, bucket_day, bucket_hour))
+    """,
+    doc="Hypertable-style continuous-aggregate rollup (TimescaleDB's "
+    "time_bucket cascade): hour- and day-granularity aggregates of the "
+    "event stream in ONE pass via grouping sets — no second scan for the "
+    "coarser tier. Buckets rendered as strings (UTC pinned) for "
+    "cross-engine comparability.",
+)
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm").alias("bucket_day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("bucket_hour"),
+        "value",
+    )
+    return (
+        b.groupingSets(
+            [["event_type", "bucket_day"], ["event_type", "bucket_day", "bucket_hour"]],
+            "event_type", "bucket_day", "bucket_hour",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
