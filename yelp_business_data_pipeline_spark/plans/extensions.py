@@ -569,8 +569,6 @@ def _sql_shingle_hashes() -> str:
     "estimate — at scale it runs only on LSH candidates.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as _F
-
     d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     toks = F.split(F.col("text"), " ")
     hashed = d.filter(F.size(toks) >= 3).select(
