@@ -72,3 +72,23 @@ def test_sample_frames_fanout(spark):
     assert [r.frame_ts_ms for r in sorted(by_id[1], key=lambda x: x.frame_idx)] == [0, 2000, 4000, 6000]
     assert all(len(r.frame_payload) == 10 for r in by_id[1])
     assert 2 not in by_id  # empty payload -> no frames
+
+
+def test_resize_images_contract(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        media_meta_expr,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes([7, 8, 9])), (2, b"")], ["media_id", "payload"]
+    ).withColumn("media_meta", media_meta_expr(F.col("payload"), "image", "png"))
+    out = {r.media_id: r for r in resize_images(df, width=4, height=2).collect()}
+    r1 = out[1]
+    assert len(r1.payload) == 8  # 4x2 target bytes
+    assert r1.media_meta.width == 4 and r1.media_meta.height == 2
+    assert r1.media_meta.n_bytes == 8
+    assert r1.payload == bytes([7, 8, 9, 7, 8, 9, 7, 8])  # deterministic stub
+    assert out[2].payload == b"" and out[2].media_meta.n_bytes == 0

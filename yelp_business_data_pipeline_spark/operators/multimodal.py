@@ -185,3 +185,63 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(_expand, schema=FRAMES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Image resize stage: payload -> resized payload with updated meta.
+
+    A real implementation decodes, resamples, and re-encodes inside the same
+    Arrow batch loop; the stub derives a deterministic fake payload of
+    width*height bytes (cycled source bytes) so the contract — binary in /
+    binary out, meta width/height/n_bytes/content_hash updated, executor-
+    side only — is fully exercised without codec libraries.
+    """
+    import hashlib
+
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for blob, meta in zip(pdf["payload"], pdf["meta_struct"]):
+                if blob is None or len(blob) == 0:
+                    new = b""
+                else:
+                    reps = (target // len(blob)) + 1
+                    new = (bytes(blob) * reps)[:target]
+                payloads.append(new)
+                metas.append(
+                    {
+                        "modality": meta["modality"],
+                        "format": meta["format"],
+                        "width": width,
+                        "height": height,
+                        "duration_ms": meta["duration_ms"],
+                        "n_bytes": len(new),
+                        "content_hash": hashlib.md5(new).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads, "media_meta": metas}
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META_SCHEMA, True),
+        ]
+    )
+    src = df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.col(meta_col).alias("meta_struct"),
+    )
+    return src.mapInPandas(_resize, schema=out_schema)
