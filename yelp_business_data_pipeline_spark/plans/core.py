@@ -1107,3 +1107,35 @@ def range_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id", "click_id",
         F.abs(F.col("tp") - F.col("tc")).cast("bigint").alias("gap_s"),
     )
+
+
+@query(
+    "zscore_outlier_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / stddev_pop(o_totalprice) OVER w, 4) AS zscore
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    QUALIFY abs(round((o_totalprice - avg(o_totalprice) OVER w)
+                      / stddev_pop(o_totalprice) OVER w, 4)) >= 2.0
+    """,
+    doc="Per-group z-score outliers via window aggregates (avg + stddev_pop "
+    "over an unordered partition — one shuffle on the group key): orders "
+    "more than 2 sigma from their priority class's mean price. The "
+    "grouped-map pandas twin lives in operators/grouped.py; this is the "
+    "plan Catalyst optimizes.",
+)
+def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    z = F.round(
+        (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+        / F.stddev_pop("o_totalprice").over(w),
+        4,
+    )
+    return (
+        o.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= 2.0)
+        .select("o_orderkey", "o_orderpriority", "zscore")
+    )
