@@ -1139,3 +1139,33 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) >= 2.0)
         .select("o_orderkey", "o_orderpriority", "zscore")
     )
+
+
+@query(
+    "price_quartiles_per_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority, quartile
+    """,
+    doc="ntile ranking windows (SURVEY §2.5 extension): price quartiles per "
+    "priority class with per-quartile ranges — fully tie-broken ordering "
+    "so bucket assignment is deterministic across engines.",
+)
+def price_quartiles_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
