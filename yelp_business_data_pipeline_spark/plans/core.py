@@ -1144,13 +1144,16 @@ def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "price_quartiles_per_priority",
     """
-    SELECT o_orderpriority,
-           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
-                               ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+    SELECT o_orderpriority, quartile,
            COUNT(*) AS n,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
-    FROM orders
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+      FROM orders
+    )
     GROUP BY o_orderpriority, quartile
     """,
     doc="ntile ranking windows (SURVEY §2.5 extension): price quartiles per "
