@@ -1172,3 +1172,31 @@ def price_quartiles_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@query(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey AND a.c_custkey < 100 AND b.c_custkey < 100
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Record-linkage primitive: fuzzy self-join on Levenshtein edit "
+    "distance <= 2 (entity resolution's verification predicate). Bounded "
+    "window keeps the pairwise stage constant-cost; at scale the same "
+    "predicate runs after blocking (fingerprint/LSH), exactly like the "
+    "Jaccard verification stage.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("_na"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_distance", F.levenshtein("_na", "_nb").cast("int"))
+        .filter(F.col("edit_distance") <= 2)
+        .select("id_a", "id_b", "edit_distance")
+    )
