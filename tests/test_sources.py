@@ -84,3 +84,16 @@ def test_compact_parquet(spark, tmp_path):
     after = len(glob.glob(f"{out}/part-*.parquet"))
     assert n == 1 and after == 1 and after < before
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == rows_before
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    """Appended batches may gain columns over time (the reference re-infers
+    schemas per batch, silently drifting; this engine reads evolved tables
+    explicitly with mergeSchema and fills missing columns with nulls)."""
+    out = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.mode("append").parquet(out)
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    rows = {r.id: r for r in merged.collect()}
+    assert set(merged.columns) == {"id", "v", "score"}
+    assert rows[1].score is None and rows[2].score == 9.5
