@@ -46,7 +46,9 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("modality", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("features", T.ArrayType(T.FloatType()), True),
+        # double: the Python kernel computes float64; declaring float32
+        # would quantize values the oracle gate checks bit-for-bit
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -73,7 +75,10 @@ def _fake_features(blob: bytes | None) -> list[float]:
     if blob is None or len(blob) == 0:
         return [0.0] * FEATURE_DIM
     n = len(blob)
-    return [round(sum(blob[i::FEATURE_DIM]) / n, 6) for i in range(FEATURE_DIM)]
+    # raw division, no rounding: int-sum / length is bit-exact IEEE on any
+    # engine, whereas Python's banker's rounding diverges from SQL ROUND at
+    # exact .5 decimal boundaries (found by the oracle gate)
+    return [sum(blob[i::FEATURE_DIM]) / n for i in range(FEATURE_DIM)]
 
 
 def _decode_stub(blob: bytes | None) -> list[float]:

@@ -648,3 +648,49 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
         )
     )
+
+
+def _sql_fake_features() -> str:
+    # mirror multimodal._fake_features on utf-8 text payloads:
+    # f_i = round(sum(byte[i::8]) / n, 6) — ascii() == the utf-8 byte for
+    # the documents table's ascii text
+    cols = []
+    for i in range(8):
+        s = (
+            f"list_sum(list_transform(range({i + 1}, length(text) + 1, 8), "
+            f"p -> ascii(substr(text, p, 1))))::DOUBLE / length(text)"
+        )
+        cols.append(f"{s} AS f{i}")
+    return ",\n           ".join(cols)
+
+
+@query(
+    "multimodal_feature_roundtrip",
+    f"""
+    SELECT doc_id,
+           {_sql_fake_features()}
+    FROM documents WHERE doc_id < 50 AND length(text) > 0
+    """,
+    doc="The Arrow mapInPandas path under the exact oracle gate: document "
+    "text re-encoded as a binary payload, run through the multimodal "
+    "feature extractor (byte-histogram moments in Python), values matched "
+    "bit-for-bit against DuckDB's arithmetic twin — proof the Python/Arrow "
+    "roundtrip computes exactly what the operator claims.",
+)
+def multimodal_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import _fake_features, extract_media_features, media_meta_expr
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 50) & (F.length("text") > 0))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        .withColumn("media_meta", media_meta_expr(F.col("payload"), "image"))
+    )
+    feats = extract_media_features(d, decoders={"image": _fake_features})
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        *[F.col("features").getItem(i).cast("double").alias(f"f{i}") for i in range(8)],
+    )
