@@ -1202,3 +1202,30 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_distance") <= 1)
         .select("id_a", "id_b", "edit_distance")
     )
+
+
+@query(
+    "data_quality_checks",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(count_if(o_totalprice <= 0) AS BIGINT) AS n_nonpositive_price,
+           CAST(count_if(o_orderdate IS NULL) AS BIGINT) AS n_null_dates,
+           bool_and(o_custkey >= 0) AS all_custkeys_valid,
+           bool_or(o_totalprice > 400000) AS has_jumbo_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Declarative data-quality assertion pack (the dbt-test shape; the "
+    "reference's test_cases/* null/validity asserts as ONE grouped scan): "
+    "conditional aggregates count_if / bool_and / bool_or — each check is "
+    "a column, all checks share a single pass.",
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpositive_price"),
+        F.count_if(F.col("o_orderdate").isNull()).alias("n_null_dates"),
+        F.every(F.col("o_custkey") >= 0).alias("all_custkeys_valid"),
+        F.some(F.col("o_totalprice") > 400000).alias("has_jumbo_order"),
+    )
