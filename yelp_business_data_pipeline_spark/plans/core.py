@@ -1229,3 +1229,37 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("o_custkey") >= 0).alias("all_custkeys_valid"),
         F.some(F.col("o_totalprice") > 400000).alias("has_jumbo_order"),
     )
+
+
+@query(
+    "rank_functions_panel",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    QUALIFY o_orderkey % 199 = 0
+    """,
+    doc="The full ranking-function panel (row_number/rank/dense_rank/"
+    "percent_rank/cume_dist) in one window pass, fully tie-broken ordering; "
+    "deterministic row sample bounds the output across SFs.",
+)
+def rank_functions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).cast("int").alias("rn"),
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .filter(F.col("o_orderkey") % 199 == 0)
+    )
