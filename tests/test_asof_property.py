@@ -59,3 +59,24 @@ def test_asof_matches_pandas_merge_asof(spark, seed):
     exp_payload = [None if pd.isna(x) else x for x in expected["asof_payload"]]
     got_payload = [None if pd.isna(x) else x for x in got["asof_payload"]]
     assert got_payload == pytest.approx(exp_payload)
+
+
+def test_asof_null_payload_stays_null_and_rows_stay_atomic(spark):
+    """Regression: a matched right row with NULL payload must yield NULL (not
+    be back-filled from an older right row), and all payload columns must
+    come from the SAME matched row (struct carry, not per-column carry)."""
+    left = spark.createDataFrame([(1, 10, "l0"), (1, 20, "l1")], "k int, t int, lid string")
+    # At t=5: (a=1, b="x").  At t=15: (a=NULL, b="y").
+    right = spark.createDataFrame(
+        [(1, 5, 1, "x"), (1, 15, None, "y")],
+        "k int, t int, a int, b string",
+    )
+    got = {
+        r["lid"]: (r["asof_a"], r["asof_b"])
+        for r in asof_join_backward(left, right, ["k"], "t", "t", ["a", "b"]).collect()
+    }
+    # l0 matches t=5 -> (1, "x").
+    assert got["l0"] == (1, "x")
+    # l1 matches t=15 -> (NULL, "y"): NULL a must NOT be back-filled with 1,
+    # and b must come from the same (t=15) row.
+    assert got["l1"] == (None, "y")

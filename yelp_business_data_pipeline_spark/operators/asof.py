@@ -46,19 +46,24 @@ def asof_join_backward(
             .drop("_rn")
         )
 
-    carried = [f"_carry_{c}" for c in payload_cols]
+    # All payload columns travel inside ONE struct so a single
+    # last(ignorenulls=True) picks the whole matched row atomically: a NULL
+    # payload value inside the matched row stays NULL (it is a non-null
+    # struct), and every payload column provably comes from the same right
+    # row — carrying columns independently would back-fill NULL payloads
+    # from older rows and could mix rows.
     r_tagged = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(cc) for c, cc in zip(payload_cols, carried)],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_carry"),
     )
     left_cols = left.columns
     l_tagged = left.select(
         *left_cols,
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(r_tagged.schema[cc].dataType).alias(cc) for cc in carried],
+        F.lit(None).cast(r_tagged.schema["_carry"].dataType).alias("_carry"),
     )
     # Align schemas: right side gets nulls for left payload columns.
     extra_left = [c for c in left_cols if c not in on]
@@ -66,7 +71,7 @@ def asof_join_backward(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c in extra_left else F.col(c) for c in left_cols],
         "_t",
         "_side",
-        *carried,
+        "_carry",
     )
     unioned = l_tagged.unionByName(r_full)
 
@@ -75,12 +80,11 @@ def asof_join_backward(
         .orderBy(F.col("_t"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c, cc in zip(payload_cols, carried):
-        unioned = unioned.withColumn(cc, F.last(F.col(cc), ignorenulls=True).over(w))
-    out = unioned.filter(F.col("_side") == 1).drop("_t", "_side")
-    for c, cc in zip(payload_cols, carried):
-        out = out.withColumnRenamed(cc, f"asof_{c}")
-    return out
+    unioned = unioned.withColumn("_carry", F.last(F.col("_carry"), ignorenulls=True).over(w))
+    out = unioned.filter(F.col("_side") == 1)
+    for c in payload_cols:
+        out = out.withColumn(f"asof_{c}", F.col("_carry").getField(c))
+    return out.drop("_t", "_side", "_carry")
 
 
 def time_bucket_range_join(

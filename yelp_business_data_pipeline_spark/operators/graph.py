@@ -207,16 +207,39 @@ def duplicate_nodes(vertices: DataFrame) -> DataFrame:
     return duplicate_keys(vertices, ["label", "id"])
 
 
+#: Endpoint labels are statically determined by the relationship type
+#: (graph.cypher:56-95): each MERGE clause matches typed node patterns, so
+#: Neo4j's orphan check is per-label. Used to namespace endpoint ids.
+REL_ENDPOINT_LABELS = {
+    "WROTE": ("User", "Review"),
+    "REVIEWS": ("Review", "Business"),
+    "LOCATED_IN": ("Business", "City"),
+    "IN_STATE": ("City", "State"),
+    "HAS_CATEGORY": ("Business", "Category"),
+    "OFFERS": ("Business", "Feature"),
+    "FRIENDS_WITH": ("User", "User"),
+}
+
+
 def orphan_nodes(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """neo4j_test.cypher:13-15 — nodes with NO relationship, counted per
-    label. Anti-join against the union of endpoint ids."""
+    label. Anti-join against the union of endpoint (label, id) pairs —
+    namespaced by label (via REL_ENDPOINT_LABELS) so an id collision across
+    label spaces (e.g. a Category named identically to a City) cannot mask
+    an orphan, matching Neo4j's typed pattern matching."""
+    src_label = F.coalesce(
+        *[F.when(F.col("rel_type") == rel, F.lit(labels[0])) for rel, labels in REL_ENDPOINT_LABELS.items()]
+    )
+    dst_label = F.coalesce(
+        *[F.when(F.col("rel_type") == rel, F.lit(labels[1])) for rel, labels in REL_ENDPOINT_LABELS.items()]
+    )
     endpoints = (
-        edges.select(F.col("src").alias("id"))
-        .unionAll(edges.select(F.col("dst").alias("id")))
+        edges.select(F.col("src").alias("id"), src_label.alias("label"))
+        .unionAll(edges.select(F.col("dst").alias("id"), dst_label.alias("label")))
         .dropDuplicates()
     )
     return (
-        vertices.join(endpoints, "id", "left_anti")
+        vertices.join(endpoints, ["id", "label"], "left_anti")
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_orphans"))
     )

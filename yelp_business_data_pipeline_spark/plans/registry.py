@@ -51,5 +51,9 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # Integer division (`div`), not `/`: Spark's `/` on longs is
+            # double division, and ~1.7e18 ns exceeds double's 53-bit exact
+            # range — sub-microsecond components could truncate to the wrong
+            # microsecond vs DuckDB's exact integer conversion.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -109,9 +109,15 @@ def compact_parquet(
     micro-batch) into ~``target_mb`` files. Returns the new file count.
 
     Staged rewrite: write to ``<path>__compacting``, then swap directories
-    via filesystem renames so readers never observe a half-written table.
-    (With a real lakehouse format this is OPTIMIZE/rewrite-data-files; on
-    plain parquet directory-swap is the portable equivalent.)
+    via filesystem renames so readers never observe a HALF-written table.
+    NB this is not fully atomic on plain parquet: between the two renames
+    the path briefly does not exist (a concurrent read fails path-not-found
+    rather than seeing partial data), and if the rollback rename itself
+    fails the primary copy survives under ``<path>__precompact`` (logged).
+    On real deployments point callers at a table format with atomic commit
+    (Delta/Iceberg OPTIMIZE / rewrite-data-files); plain-parquet
+    directory-swap is the portable, crash-recoverable-but-not-atomic
+    equivalent.
     """
     import math
 
@@ -130,7 +136,11 @@ def compact_parquet(
     if not fs.rename(hpath, b_path):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(s_path, hpath):
-        fs.rename(b_path, hpath)  # roll back
+        if not fs.rename(b_path, hpath):  # roll back
+            raise IOError(
+                f"compaction swap failed AND rollback failed: original data "
+                f"is intact under {backup}; restore it manually"
+            )
         raise IOError(f"compaction swap failed: could not move {staging} into place")
     fs.delete(b_path, True)
     return n_files
