@@ -24,12 +24,13 @@ def plans(spark, sf_dir):
         for name in (
             "pricing_summary",
             "star_join_revenue",
-            "topk_global_orders",
             "topk_orders_per_segment",
             "graph_two_hop_region_customers",
             "sentiment_by_source",
             "minhash_lsh_candidate_pairs",
             "ann_cosine_topk",
+            "shipping_priority_top10",
+            "blocked_linkage_pairs",
         )
     }
 
@@ -52,8 +53,20 @@ def test_broadcast_joins(plans):
         assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast join"
 
 
-def test_global_topk_avoids_full_sort(plans):
-    assert "TakeOrderedAndProject" in plans["topk_global_orders"]
+def test_global_topk_avoids_full_sort(plans, spark, sf_dir):
+    # shipping_priority_top10's orderBy+limit must compile to
+    # TakeOrderedAndProject (per-partition heaps, no global sort), and the
+    # deregistered W1 primitive keeps the same plan shape.
+    assert "TakeOrderedAndProject" in plans["shipping_priority_top10"]
+    from yelp_business_data_pipeline_spark.plans.core import topk_global_orders
+
+    assert "TakeOrderedAndProject" in plan_str(topk_global_orders(spark, sf_dir))
+
+
+def test_blocked_linkage_has_no_cartesian(plans):
+    # The end-to-end linkage query must be block -> verify, never all-pairs.
+    p = plans["blocked_linkage_pairs"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
 def test_no_python_udf_on_bench_path(plans):

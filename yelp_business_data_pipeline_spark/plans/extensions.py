@@ -337,26 +337,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lsh_ann_topk",
-    None,  # hyperplane literal table would bloat SQL; recall pytest-verified
-    doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
-    "(Charikar) sign buckets, brute-force cosine only within the bucket. "
-    "Rows-only driver check; pytest verifies bucket determinism and recall "
-    "against ann_cosine_topk.",
-)
-def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
-    )
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
-    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
-    return sim.lsh_ann_topk(
-        q, c, dim=64, query_id="q_id", corpus_id="c_id", vec_col="v", k=10,
-        n_planes=6, n_tables=4, multiprobe=True,
-    )
-
-
-@query(
     "tfidf_top_terms",
     f"""
     WITH bounded AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
@@ -449,48 +429,6 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup_pairs(e, "vec_id", "v", threshold=0.30)
 
 
-@query(
-    "ann_cosine_topk_arrow",
-    None,  # numpy pairwise-summed dot differs in final ulps from a fold;
-    # exactness vs the JVM implementation is pytest-pinned instead
-    doc="Arrow-vectorized exact cosine top-k: mapInPandas + one BLAS matmul "
-    "per Arrow batch against the closure-captured query matrix, partial "
-    "top-k per batch. The sanctioned Pandas-UDF case (dense linear "
-    "algebra): measured 2.9x at 200 queries, 7.4x at 500 vs the "
-    "interpreted HOF fold; below ~100 queries the JVM fold wins "
-    "(Python-worker fixed cost) — see operators/similarity.py.",
-)
-def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
-    )
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
-    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
-    return sim.arrow_cosine_topk(q, c, "q_id", "c_id", "v", k=10)
-
-
-@query(
-    "ivf_ann_topk",
-    None,  # k-means quantizer is engine-specific; recall pytest-pinned
-    doc="IVF approximate nearest neighbors: deterministic Lloyd's coarse "
-    "quantizer (16 lists, lowest-id init — no RNG; on near-uniform data "
-    "extra Lloyd iterations don't lift recall, so bench uses 1), corpus "
-    "assigned to inverted lists, queries probe their 3 nearest lists. "
-    "Complements sign-LSH: IVF adapts to clustered embeddings; measured "
-    "0.40 recall at ~19% candidate coverage on the near-uniform worst "
-    "case (operators/ivf.py).",
-)
-def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ivf import ivf_ann_topk, ivf_index, train_ivf_centroids
-
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
-    )
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
-    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
-    cent = train_ivf_centroids(c, "c_id", "v", n_lists=16, iters=1)
-    idx = ivf_index(c, cent, "c_id", "v")
-    return ivf_ann_topk(q, idx, cent, "q_id", "c_id", "v", k=10, nprobe=3)
 
 
 def _sql_winnowing(k: int = 8, window: int = 4) -> str:
@@ -694,3 +632,72 @@ def multimodal_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         *[F.col("features").getItem(i).cast("double").alias(f"f{i}") for i in range(8)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only sketch queries — REGISTERED LAST by design: the driver's
+# CORRECTNESS gate records the first 50 registry entries, so every
+# oracle-backed query must precede these. Their correctness is pytest-pinned
+# (determinism, recall floors, JVM-equivalence) instead of SQL-oracled.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lsh_ann_topk",
+    None,  # hyperplane literal table would bloat SQL; recall pytest-verified
+    doc="LSH-bucketed approximate nearest neighbors: random-hyperplane "
+    "(Charikar) sign buckets, brute-force cosine only within the bucket. "
+    "Rows-only driver check; pytest verifies bucket determinism and recall "
+    "against ann_cosine_topk.",
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
+    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
+    return sim.lsh_ann_topk(
+        q, c, dim=64, query_id="q_id", corpus_id="c_id", vec_col="v", k=10,
+        n_planes=6, n_tables=4, multiprobe=True,
+    )
+
+
+@query(
+    "ann_cosine_topk_arrow",
+    None,  # numpy pairwise-summed dot differs in final ulps from a fold;
+    # exactness vs the JVM implementation is pytest-pinned instead
+    doc="Arrow-vectorized exact cosine top-k: mapInPandas + one BLAS matmul "
+    "per Arrow batch against the closure-captured query matrix, partial "
+    "top-k per batch. The sanctioned Pandas-UDF case (dense linear "
+    "algebra): measured 2.9x at 200 queries, 7.4x at 500 vs the "
+    "interpreted HOF fold; below ~100 queries the JVM fold wins "
+    "(Python-worker fixed cost) — see operators/similarity.py.",
+)
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
+    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
+    return sim.arrow_cosine_topk(q, c, "q_id", "c_id", "v", k=10)
+
+
+@query(
+    "ivf_ann_topk",
+    None,  # k-means quantizer is engine-specific; recall pytest-pinned
+    doc="IVF approximate nearest neighbors: deterministic Lloyd's coarse "
+    "quantizer, corpus assigned to inverted lists, queries probe their "
+    "nearest lists. Complements sign-LSH: IVF adapts to clustered "
+    "embeddings (see operators/ivf.py for recall/coverage tuning).",
+)
+def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_ann_topk, ivf_index, train_ivf_centroids
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
+    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
+    cent = train_ivf_centroids(c, "c_id", "v", n_lists=16, iters=1)
+    idx = ivf_index(c, cent, "c_id", "v")
+    return ivf_ann_topk(q, idx, cent, "q_id", "c_id", "v", k=10, nprobe=3)
