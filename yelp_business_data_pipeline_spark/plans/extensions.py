@@ -479,7 +479,7 @@ def _sql_shingle_hashes() -> str:
 @query(
     "ngram_jaccard_pairs",
     f"""
-    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
     tokh AS (
       SELECT doc_id, list_transform({TOKS}, tok -> {_sql_hash('tok', 'mh:')}) AS th
       FROM docs WHERE len({TOKS}) >= 3
@@ -498,16 +498,20 @@ def _sql_shingle_hashes() -> str:
     FROM inter
     JOIN sizes sa ON inter.id_a = sa.doc_id
     JOIN sizes sb ON inter.id_b = sb.doc_id
-    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05
+    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.02
     """,
     doc="Word-3-gram Jaccard similarity join (the n-gram variant of "
     "jaccard_similar_pairs; shingle hashes shared with the MinHash "
     "pipeline): inverted index on shingle hash, exact set Jaccard, "
     "bounded doc window. The ground truth MinHash's band collisions "
-    "estimate — at scale it runs only on LSH candidates.",
+    "estimate — at scale it runs only on LSH candidates. Window/threshold "
+    "tuned to the corpus (doc_id < 200, J >= 0.02): measured ~57 pairs at "
+    "sf0.001 and ~58 at sf0.01 with max J ~0.98 (real template near-dups), "
+    "so the oracle comparison exercises the arithmetic — the round-1 "
+    "(window 60, 0.05) setting matched vacuously on 0 rows at sf0.01.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     toks = F.split(F.col("text"), " ")
     hashed = d.filter(F.size(toks) >= 3).select(
         "doc_id",
@@ -541,7 +545,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= 0.05)
+        .filter(F.col("jaccard") >= 0.02)
         .select("id_a", "id_b", "jaccard")
     )
 
