@@ -65,10 +65,30 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, sf).collect()}
     approx = {(r.q_id, r.c_id) for r in QUERIES["lsh_ann_topk"].spark(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
-    # random-ish 64-dim vectors are the LSH worst case; 4 tables x 6 planes
-    # with Hamming-1 multiprobe measured ~0.68 at ~37% candidate coverage —
-    # pin a conservative floor
-    assert recall >= 0.5, f"LSH recall degraded: {recall}"
+    # Cross-polytope LSH (24 tables, 4-probe): measured recall 1.0 at
+    # sf0.001, 0.96 at sf0.01, 0.98 at sf0.1 — pin >= 0.9. The round-1
+    # hyperplane family could not clear this bar on isotropic vectors
+    # (0.68 at comparable coverage).
+    assert recall >= 0.9, f"LSH recall degraded: {recall}"
+
+
+def test_lsh_ann_candidate_coverage_bounded(spark):
+    """Recall must NOT come from near-brute-force: candidate coverage
+    (distinct candidate pairs / all query-corpus pairs) stays < 0.5."""
+    sf = "/root/testdata/sf0.001"
+    e = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select("vec_id", sim.as_double_vec(F.col("embedding")).alias("v"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
+    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
+    n_cand = sim.cross_polytope_candidates(
+        q, c, dim=64, n_tables=24, n_probes=4
+    ).count()
+    coverage = n_cand / (q.count() * c.count())
+    assert coverage < 0.5, f"candidate coverage {coverage} is near-brute-force"
+    # and the candidates must be a real subset, not everything minus epsilon
+    assert coverage > 0.05, f"suspiciously few candidates: {coverage}"
 
 
 def test_embedding_near_dup_lsh_blocking_recall(spark):
@@ -136,9 +156,12 @@ def test_ivf_ann_recall(spark):
     exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, sf).collect()}
     approx = {(r.q_id, r.c_id) for r in QUERIES["ivf_ann_topk"].spark(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
-    # near-uniform vectors give k-means weak clusters: measured 0.42 at
-    # ~19% coverage (nprobe 3/16); floor conservatively
-    assert recall >= 0.25, f"IVF recall degraded: {recall}"
+    # Isotropic vectors give k-means weak clusters: nlist=32/nprobe=8 with
+    # sample-trained 5-iter Lloyd's measures ~0.74 at sf0.01 (~27%
+    # coverage); floor with margin. IVF is the clustered-data path — the
+    # >=0.9 ANN bar on this corpus is held by lsh_ann_topk
+    # (cross-polytope), see operators/ivf.py frontier table.
+    assert recall >= 0.6, f"IVF recall degraded: {recall}"
     # determinism: the no-RNG quantizer must reproduce identical results
     again = {(r.q_id, r.c_id) for r in QUERIES["ivf_ann_topk"].spark(spark, sf).collect()}
     assert approx == again

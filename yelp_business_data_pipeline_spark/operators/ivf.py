@@ -20,9 +20,17 @@ Spark-first shapes:
   candidate scoring joins corpus on the list id — an equi-join Catalyst
   shuffles on a low-cardinality key, AQE-coalesced.
 
-The centroid table is collected to the driver between stages: it is
-n_lists x dim floats (bounded small by construction — the coarse quantizer
-is MEANT to be tiny; 4096 x 1024 doubles = 32 MB worst case).
+The centroid table is trained driver-side on a bounded sample and
+MATERIALIZED (explicit list_id values, not a lazy plan): it is n_lists x
+dim floats (bounded small by construction — the coarse quantizer is MEANT
+to be tiny; 4096 x 1024 doubles = 32 MB worst case).
+
+Honest frontier on isotropic corpora (measured, sf0.01): recall/coverage
+0.74/0.27 (nlist=32, nprobe=8), 0.80/0.49 (+2-way corpus multi-assign),
+0.94/0.69 (nlist=64, assign=2, nprobe=24) — IVF cannot reach recall 0.9
+under 50% coverage when the data has no cluster structure; the
+cross-polytope LSH path (operators/similarity.py) does. IVF is registered
+as the clustered-data scale path.
 """
 
 from __future__ import annotations
@@ -39,46 +47,47 @@ def _sq_dist(a, b):
     )
 
 
-def _centroids_df(df: DataFrame, id_col: str, vec_col: str, n_lists: int) -> DataFrame:
-    return df.orderBy(id_col).limit(n_lists).select(
-        F.monotonically_increasing_id().alias("list_id"), F.col(vec_col).alias("cv")
-    )
-
-
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     n_lists: int = 16,
-    iters: int = 3,
+    iters: int = 5,
+    sample_n: int = 100_000,
 ) -> DataFrame:
-    """Deterministic Lloyd's k-means: init from the ``n_lists`` lowest-id
-    vectors, ``iters`` assign/update rounds. Returns (list_id, cv)."""
-    centroids = _centroids_df(corpus, id_col, vec_col, n_lists)
-    base = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    """Deterministic Lloyd's k-means on a driver-side SAMPLE, returning a
+    MATERIALIZED centroid table (explicit sequential list_id, values fixed
+    at train time — never a lazy plan whose re-execution could scramble
+    list assignments).
+
+    Sample-training is the standard coarse-quantizer recipe (FAISS trains
+    IVF on <=256 vectors/centroid): the quantizer needs only the coarse
+    density shape, so a bounded sample (here: the ``sample_n`` lowest-id
+    vectors via TakeOrderedAndProject — swap for a hash-sample
+    ``WHERE xxhash64(id) % m = 0`` when low ids are not representative)
+    collects to the driver, numpy runs the assign/update rounds in
+    milliseconds, and only ASSIGNMENT (ivf_index) touches the full corpus
+    distributed. Deterministic: lowest-id init, fixed iteration count,
+    no RNG.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    n_lists = min(n_lists, len(x))
+    cent = x[:n_lists].copy()
     for _ in range(iters):
-        assigned = (
-            base.crossJoin(F.broadcast(centroids))
-            .groupBy("_vid")
-            .agg(
-                F.min_by("list_id", _sq_dist(F.col("_v"), F.col("cv"))).alias("list_id"),
-                F.first("_v").alias("_v"),
-            )
-        )
-        dims = assigned.select(
-            "list_id", F.posexplode("_v").alias("dim", "x")
-        )
-        centroids = (
-            dims.groupBy("list_id", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("list_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.getField("m")
-                ).alias("cv")
-            )
-        )
-    return centroids
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(n_lists):
+            members = assign == j
+            if members.any():
+                cent[j] = x[members].mean(0)
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(j, [float(v) for v in cent[j]]) for j in range(n_lists)],
+        "list_id bigint, cv array<double>",
+    )
 
 
 def ivf_index(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:

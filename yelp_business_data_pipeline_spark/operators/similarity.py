@@ -168,6 +168,152 @@ def lsh_ann_topk(
     )
 
 
+def cross_polytope_rotations(n_tables: int, dim: int):
+    """Deterministic pseudo-random rotations for cross-polytope LSH
+    (Andoni et al. 2015, 'Practical and Optimal LSH for Angular Distance').
+
+    Rotation t = QR-orthonormalization of an md5-seeded Gaussian matrix,
+    sign-canonicalized (positive R diagonal) so every platform's LAPACK
+    produces the same matrix. Returned as one (dim, n_tables*dim) numpy
+    block so the bucket kernel is a single matmul per Arrow batch.
+    """
+    import hashlib
+
+    import numpy as np
+
+    mats = []
+    for t in range(n_tables):
+        seed = int(hashlib.md5(f"rot{t}".encode()).hexdigest()[:8], 16)
+        a = np.random.default_rng(seed).standard_normal((dim, dim))
+        q, r = np.linalg.qr(a)
+        mats.append(q * np.sign(np.diag(r)))
+    return np.concatenate(mats, axis=1)  # (dim, L*dim)
+
+
+def _cp_buckets(mat, rot, n_tables: int, dim: int, top: int = 1):
+    """Per-row cross-polytope buckets: for each table, bucket = 2*argmax|y|
+    + (y>0) of the rotated vector; ``top`` > 1 returns the ``top`` largest
+    coordinates' buckets (query-side multiprobe)."""
+    import numpy as np
+
+    y = (mat @ rot).reshape(mat.shape[0], n_tables, dim)
+    a = np.abs(y)
+    idx = np.argsort(-a, axis=2)[:, :, :top]  # (n, L, top)
+    sgn = (np.take_along_axis(y, idx, axis=2) > 0).astype(np.int64)
+    return idx * 2 + sgn
+
+
+def cross_polytope_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "v",
+    n_tables: int = 24,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Candidate (query, corpus) pairs sharing a cross-polytope bucket in
+    any of ``n_tables`` tables; queries probe their ``n_probes`` largest
+    rotated coordinates per table (multiprobe).
+
+    Why this family: on isotropic embeddings (this corpus: neighbor cosine
+    0.24-0.40 vs random mean 0) hyperplane sign-LSH has per-bit signal
+    0.6-vs-0.5 and measured 0.68 recall at 37% coverage (round 1); the
+    cross-polytope family concentrates collision probability much faster
+    (ln(1/p) ~ tan^2(theta/2) ln d), measured (L=24, probe=4): recall
+    1.0/0.96/0.98 at coverage 0.476/0.468/0.473 for sf0.001/0.01/0.1.
+
+    Physical plan: the corpus streams once through an Arrow kernel (one
+    matmul per batch against the closure-captured (dim x L*dim) rotation
+    block — the sanctioned dense-linear-algebra Pandas-UDF case, like
+    arrow_cosine_topk); the tiny query side is bucketed driver-side and
+    broadcast. The join is an equi-join on (table, bucket) — ~uniform keys,
+    no self-join, corpus never reshuffled until the candidate dedup.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rot = cross_polytope_rotations(n_tables, dim)
+
+    q_rows = queries.select(query_id, vec_col).collect()  # small by contract
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qb = _cp_buckets(q_mat, rot, n_tables, dim, top=n_probes)  # (nq, L, probes)
+    nq = len(q_ids)
+    probes = pd.DataFrame(
+        {
+            query_id: np.repeat(q_ids, n_tables * n_probes),
+            "_table": np.tile(np.repeat(np.arange(n_tables), n_probes), nq),
+            "_bucket": qb.reshape(-1),
+        }
+    )
+    spark = queries.sparkSession
+    probe_df = spark.createDataFrame(probes)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("c_id_", T.LongType()),
+            T.StructField("_table", T.IntegerType()),
+            T.StructField("_bucket", T.LongType()),
+        ]
+    )
+
+    def _bucketize(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cb = _cp_buckets(m, rot, n_tables, dim, top=1)[:, :, 0]  # (n, L)
+            yield pd.DataFrame(
+                {
+                    "c_id_": np.repeat(pdf[corpus_id].to_numpy(), n_tables),
+                    "_table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "_bucket": cb.reshape(-1),
+                }
+            )
+
+    c_buckets = corpus.select(corpus_id, vec_col).mapInPandas(_bucketize, schema=out_schema)
+    return (
+        c_buckets.join(F.broadcast(probe_df), ["_table", "_bucket"])
+        .select(query_id, F.col("c_id_").alias(corpus_id))
+        .distinct()
+    )
+
+
+def cross_polytope_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "v",
+    k: int = 10,
+    n_tables: int = 24,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine via cross-polytope LSH candidates + exact
+    JVM-fold rescoring + per-query window top-k (same output contract as
+    cosine_topk / lsh_ann_topk)."""
+    cand = cross_polytope_candidates(
+        queries, corpus, dim, query_id, corpus_id, vec_col, n_tables, n_probes
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec_col).alias("_cv"), l2_norm(F.col(vec_col)).alias("_cn")
+    )
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qv"), l2_norm(F.col(vec_col)).alias("_qn")
+    )
+    cos = F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        cand.join(c, corpus_id)
+        .join(F.broadcast(q), query_id)
+        .select(query_id, corpus_id, cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id, corpus_id, "rnk", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
