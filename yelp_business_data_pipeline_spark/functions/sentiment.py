@@ -19,6 +19,9 @@ This engine provides the same interface two ways:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves the 'pd.Series'
+# string annotations (PEP 563) against THIS module's globals — a local
+# import inside the factory breaks typehint resolution.
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -129,11 +132,169 @@ def vader_sentiment_udf():
     """
     from vaderSentiment.vaderSentiment import SentimentIntensityAnalyzer  # noqa: F401
 
-    import pandas as pd
-
     @F.pandas_udf("double")
     def _score(texts: pd.Series) -> pd.Series:
         analyzer = SentimentIntensityAnalyzer()
         return texts.map(lambda t: analyzer.polarity_scores(t)["compound"] if t else 0.0)
+
+    return _score
+
+
+# ---------------------------------------------------------------------------
+# Full VADER algorithm (Hutto & Gilbert 2014), lexicon-parameterized
+# ---------------------------------------------------------------------------
+# The published heuristics H1-H5 with the paper's exact constants, so the
+# reference's Review_ETL.py:73-85 semantics are matched ALGORITHMICALLY even
+# though the container lacks the vaderSentiment package and its 7.5k-word
+# lexicon file (no network to vendor it). With the real lexicon loaded via
+# load_vader_lexicon(), scores track the package closely (the skipif-gated
+# equivalence test in tests/test_sentiment_vader.py asserts label agreement
+# whenever the package IS importable). Documented deviations from the
+# reference implementation: idiom special cases ("the bomb", "bad ass", ...),
+# the "least" pre-check, and the full 60+-entry degree-modifier dictionary
+# (a representative subset below) are not implemented.
+
+#: Paper constants (Hutto & Gilbert 2014, §3.1.1).
+B_INCR = 0.293
+B_DECR = -0.293
+C_INCR = 0.733  # ALL-CAPS emphasis
+N_SCALAR = -0.74  # negation flip scalar
+
+BOOSTERS: dict[str, float] = {
+    # intensifiers (B_INCR)
+    "absolutely": B_INCR, "amazingly": B_INCR, "completely": B_INCR,
+    "considerably": B_INCR, "decidedly": B_INCR, "deeply": B_INCR,
+    "enormously": B_INCR, "entirely": B_INCR, "especially": B_INCR,
+    "exceptionally": B_INCR, "extremely": B_INCR, "fabulously": B_INCR,
+    "highly": B_INCR, "hugely": B_INCR, "incredibly": B_INCR,
+    "intensely": B_INCR, "majorly": B_INCR, "more": B_INCR, "most": B_INCR,
+    "particularly": B_INCR, "purely": B_INCR, "quite": B_INCR,
+    "really": B_INCR, "remarkably": B_INCR, "so": B_INCR,
+    "substantially": B_INCR, "thoroughly": B_INCR, "totally": B_INCR,
+    "tremendously": B_INCR, "unbelievably": B_INCR, "unusually": B_INCR,
+    "utterly": B_INCR, "very": B_INCR,
+    # dampeners (B_DECR)
+    "almost": B_DECR, "barely": B_DECR, "hardly": B_DECR, "kinda": B_DECR,
+    "less": B_DECR, "little": B_DECR, "marginally": B_DECR,
+    "occasionally": B_DECR, "partly": B_DECR, "scarcely": B_DECR,
+    "slightly": B_DECR, "somewhat": B_DECR,
+}
+
+NEGATIONS: frozenset[str] = frozenset(
+    {
+        "not", "no", "never", "neither", "nor", "none", "nothing", "nowhere",
+        "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt",
+        "doesnt", "dont", "hadnt", "hasnt", "havent", "isnt", "mightnt",
+        "mustnt", "neednt", "oughtnt", "shant", "shouldnt", "wasnt",
+        "werent", "wont", "wouldnt", "rarely", "seldom", "despite", "without",
+    }
+)
+
+#: Built-in fallback valence map: the frozen 15+15-word lexicon at VADER-ish
+#: magnitudes (VADER's mean absolute valence is ~1.9).
+DEFAULT_VALENCE: dict[str, float] = {
+    **{w: 2.0 for w in POSITIVE_WORDS},
+    **{w: -2.0 for w in NEGATIVE_WORDS},
+}
+
+
+def load_vader_lexicon(path: str) -> dict[str, float]:
+    """Parse the standard ``vader_lexicon.txt`` format (word<TAB>valence...)
+    for full-fidelity scoring when the (MIT-licensed) file is available."""
+    lex: dict[str, float] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2:
+                try:
+                    lex[parts[0]] = float(parts[1])
+                except ValueError:
+                    continue
+    return lex
+
+
+def _vader_tokenize(text: str) -> list[str]:
+    """Words with inner apostrophes collapsed; punctuation split off but
+    counted separately (caller handles ! and ?)."""
+    import re
+
+    return re.findall(r"[A-Za-z']+", text.replace("'", ""))
+
+
+def vader_full_score(text: str | None, lexicon: dict[str, float] | None = None) -> float:
+    """Compound score in [-1, 1] per the published VADER algorithm:
+
+    - per-token valence from the lexicon (H1)
+    - ALL-CAPS emphasis +-C_INCR when the token is upper-cased amid
+      mixed-case text (H2)
+    - degree modifiers within 3 preceding tokens, distance-damped
+      x1.0/x0.95/x0.9 (H3)
+    - 'but' pivots: valences before x0.5, after x1.5 (H4)
+    - negation within 3 preceding tokens flips by N_SCALAR (H5)
+    - '!' adds 0.292 each (max 4) and '?' adds 0.18 each for 2-3 (0.96
+      beyond), signed with the sentiment total
+    - normalization x / sqrt(x^2 + alpha), alpha = 15; null/empty -> 0.0
+    """
+    import math
+
+    if not text:
+        return 0.0
+    lex = lexicon if lexicon is not None else DEFAULT_VALENCE
+    raw = _vader_tokenize(text)
+    if not raw:
+        return 0.0
+    lower = [t.lower() for t in raw]
+    has_mixed_case = any(t.isupper() and len(t) > 1 for t in raw) and not all(
+        t.isupper() for t in raw if len(t) > 1
+    )
+    but_idx = lower.index("but") if "but" in lower else None
+
+    total = 0.0
+    for i, tok in enumerate(lower):
+        if tok in BOOSTERS:
+            continue
+        v = lex.get(tok, 0.0)
+        if v == 0.0:
+            continue
+        if has_mixed_case and raw[i].isupper() and len(raw[i]) > 1:
+            v += C_INCR if v > 0 else -C_INCR
+        # degree modifiers + negation in the 3-token lookback window
+        for back in (1, 2, 3):
+            j = i - back
+            if j < 0:
+                break
+            prev = lower[j]
+            if prev in BOOSTERS:
+                b = BOOSTERS[prev] * (1.0, 0.95, 0.9)[back - 1]
+                v += b if v > 0 else -b
+            if prev in NEGATIONS:
+                v *= N_SCALAR
+        if but_idx is not None:
+            v *= 0.5 if i < but_idx else 1.5
+        total += v
+
+    n_excl = min(text.count("!"), 4)
+    ep = n_excl * 0.292
+    n_q = text.count("?")
+    qm = 0.0 if n_q <= 1 else (n_q * 0.18 if n_q <= 3 else 0.96)
+    punct = ep + qm
+    if total > 0:
+        total += punct
+    elif total < 0:
+        total -= punct
+    score = total / math.sqrt(total * total + ALPHA)
+    return max(-1.0, min(1.0, round(score, 6)))
+
+
+def vader_full_udf(lexicon: dict[str, float] | None = None):
+    """Arrow-vectorized pandas_udf over :func:`vader_full_score` — the
+    fidelity-mode scorer that needs no third-party package. Pass a lexicon
+    from :func:`load_vader_lexicon` for full-VADER numerical fidelity;
+    default uses the frozen built-in valence map."""
+    lex = lexicon if lexicon is not None else DEFAULT_VALENCE
+
+    @F.pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: vader_full_score(t, lex))
 
     return _score
