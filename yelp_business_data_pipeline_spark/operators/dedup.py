@@ -26,17 +26,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def portable_hash(s: Column | str, salt: str = "") -> Column:
-    """Deterministic 32-bit-range hash reproducible in ANSI SQL:
-    ``bigint(hex_prefix_8(md5(salt || s)))``. DuckDB twin:
+def portable_hash(s: Column | str, salt: str = "", impl: str = "md5") -> Column:
+    """Deterministic 32-bit-range hash.
+
+    ``impl="md5"`` (default, the ORACLE path): reproducible in ANSI SQL as
+    ``bigint(hex_prefix_8(md5(salt || s)))``; DuckDB twin:
     ``('0x' || substr(md5(salt || s), 1, 8))::BIGINT``.
 
-    Used instead of ``xxhash64`` so sketch operators stay oracle-checkable;
-    swap for ``F.xxhash64`` when oracle parity is not needed (it's faster).
+    ``impl="xxhash64"`` (the BENCH/production path): Spark's native xxHash64
+    folded into the same [0, 2^32) range with pmod, so every downstream
+    bound (minhash affine rehash < 2^62, shingle combine < 2^52) still
+    holds. Not expressible in DuckDB — use only where oracle parity is not
+    required; equal blocking power, measured speedup in BASELINE.md.
     """
     c = F.col(s) if isinstance(s, str) else s
     if salt:
         c = F.concat(F.lit(salt), c)
+    if impl == "xxhash64":
+        return F.pmod(F.xxhash64(c), F.lit(MINHASH_MOD)).cast("bigint")
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
@@ -80,7 +87,7 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signature(shingles: Column, k: int = 8) -> list[Column]:
+def minhash_signature(shingles: Column, k: int = 8, impl: str = "md5") -> list[Column]:
     """k min-hash values over a shingle array, one column expression each.
 
     One md5 per shingle (``portable_hash`` base), then k affine rehashes
@@ -90,15 +97,15 @@ def minhash_signature(shingles: Column, k: int = 8) -> list[Column]:
     array — no shuffle, and the expensive md5 runs once per shingle, not k
     times.
     """
-    return minhash_rehash(base_hashes(shingles), k)
+    return minhash_rehash(base_hashes(shingles, impl), k)
 
 
-def base_hashes(shingles: Column) -> Column:
+def base_hashes(shingles: Column, impl: str = "md5") -> Column:
     """One portable md5 hash per shingle. Materialize this as its own column
     before computing the k rehashes: higher-order functions are interpreted
     (no common-subexpression elimination), so inlining it into each sig
     expression would recompute the md5 pass k times."""
-    return F.transform(shingles, lambda s: portable_hash(s, salt="mh:"))
+    return F.transform(shingles, lambda s: portable_hash(s, salt="mh:", impl=impl))
 
 
 #: Shingle-combination constants (mirrored literally in the SQL oracle).
@@ -157,6 +164,7 @@ def minhash_lsh_candidates(
     k: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash+LSH banding.
 
@@ -171,7 +179,7 @@ def minhash_lsh_candidates(
     toks = F.split(F.col(text_col), " ")
     token_hashed = df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
         F.col(id_col).alias("_id"),
-        F.transform(toks, lambda t: portable_hash(t, salt="mh:")).alias("_th"),
+        F.transform(toks, lambda t: portable_hash(t, salt="mh:", impl=hash_impl)).alias("_th"),
     )
     hashed = token_hashed.select(
         "_id", shingle_hashes_from_tokens(F.col("_th"), shingle_n).alias("_hashes")
@@ -298,7 +306,7 @@ def token_jaccard_pairs(
     )
 
 
-def simhash(tokens: Column, bits: int = 16) -> Column:
+def simhash(tokens: Column, bits: int = 16, impl: str = "md5") -> Column:
     """SimHash fingerprint (Charikar 2002): for each bit position, sum +-1
     votes of each token's hash bit; the sign vector packs into an int.
 
@@ -307,7 +315,7 @@ def simhash(tokens: Column, bits: int = 16) -> Column:
     demonstrating the operator; widen via multiple 16-bit words at scale.
     """
     return simhash_from_hashes(
-        F.transform(tokens, lambda t: portable_hash(t, salt="sh:")), bits
+        F.transform(tokens, lambda t: portable_hash(t, salt="sh:", impl=impl)), bits
     )
 
 
@@ -333,14 +341,15 @@ def simhash_from_hashes(token_hashes: Column, bits: int = 16) -> Column:
 
 
 def with_simhash(
-    df: DataFrame, text_col: str, out_col: str = "simhash", bits: int = 16
+    df: DataFrame, text_col: str, out_col: str = "simhash", bits: int = 16,
+    hash_impl: str = "md5",
 ) -> DataFrame:
     """Add a SimHash fingerprint column: token md5s materialize once in a
     separate projection, then ``bits`` vote-folds read the shared array
     (Catalyst keeps the non-cheap alias un-inlined across the 16 uses)."""
     hashed = df.withColumn(
         "_token_hashes",
-        F.transform(F.split(F.col(text_col), " "), lambda t: portable_hash(t, salt="sh:")),
+        F.transform(F.split(F.col(text_col), " "), lambda t: portable_hash(t, salt="sh:", impl=hash_impl)),
     )
     return hashed.withColumn(out_col, simhash_from_hashes(F.col("_token_hashes"), bits)).drop(
         "_token_hashes"

@@ -79,7 +79,7 @@ def fingerprint(text: Column, n_tokens: int = 2) -> Column:
     return F.md5(prefix)
 
 
-def char_kgram_hashes(text: Column, k: int = 8) -> Column:
+def char_kgram_hashes(text: Column, k: int = 8, impl: str = "md5") -> Column:
     """Portable hash of every character k-gram (empty array for short text).
 
     The k-gram hash is recomputed per position — O(n*k) instead of the
@@ -92,7 +92,7 @@ def char_kgram_hashes(text: Column, k: int = 8) -> Column:
     n_grams = F.length(text) - (k - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: portable_hash(F.substring(text, i, F.lit(k)), salt="wn:"),
+        lambda i: portable_hash(F.substring(text, i, F.lit(k)), salt="wn:", impl=impl),
     )
     return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<bigint>"))
 
@@ -117,7 +117,8 @@ def winnowing_from_hashes(gram_hashes: Column, window: int = 4) -> Column:
 
 
 def winnowing_fingerprints_long(
-    df, id_col: str, text_col: str, k: int = 8, window: int = 4
+    df, id_col: str, text_col: str, k: int = 8, window: int = 4,
+    hash_impl: str = "md5",
 ):
     """Winnowing fingerprints in long form: one (id, fp) row per distinct
     fingerprint per document.
@@ -138,7 +139,7 @@ def winnowing_fingerprints_long(
     grams = df.select(
         F.col(id_col),
         (F.length(text_col) - (k - 1) - window).alias("_last_start"),
-        F.posexplode(char_kgram_hashes(F.col(text_col), k)).alias("_pos", "_h"),
+        F.posexplode(char_kgram_hashes(F.col(text_col), k, hash_impl)).alias("_pos", "_h"),
     )
     w_frame = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
     return (
