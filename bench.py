@@ -33,16 +33,21 @@ def main() -> None:
     # Warmup: JVM/codegen/readers.
     run("topk_orders_per_segment")
 
-    # Best of 2: the first run also pays one-off costs (file-index build per
-    # table, codegen cache) — min is the standard noise-resistant estimator.
+    # Median of 3: the first run pays one-off costs (file-index build per
+    # table, codegen cache) and any run can catch a GC/scheduler hiccup —
+    # the median absorbs a single outlier in either direction, so
+    # round-over-round deltas reflect real regressions, not the +-10%
+    # shared-hardware noise that best-of-2 left in.
+    import statistics
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.perf_counter()
             run(name)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -203,6 +203,37 @@ def _cp_buckets(mat, rot, n_tables: int, dim: int, top: int = 1):
     return idx * 2 + sgn
 
 
+def cp_bucket_rows(
+    df: DataFrame, id_col: str, vec_col: str, rot, n_tables: int, dim: int
+) -> DataFrame:
+    """(id, _table, _bucket) rows — one cross-polytope bucket per table per
+    vector, computed in one Arrow-batch matmul per partition."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_cp_id", T.LongType()),
+            T.StructField("_table", T.IntegerType()),
+            T.StructField("_bucket", T.LongType()),
+        ]
+    )
+
+    def _bucketize(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cb = _cp_buckets(m, rot, n_tables, dim, top=1)[:, :, 0]  # (n, L)
+            yield pd.DataFrame(
+                {
+                    "_cp_id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "_table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
+                    "_bucket": cb.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_bucketize, schema=out_schema)
+
+
 def cross_polytope_candidates(
     queries: DataFrame,
     corpus: DataFrame,
@@ -251,30 +282,10 @@ def cross_polytope_candidates(
     spark = queries.sparkSession
     probe_df = spark.createDataFrame(probes)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("c_id_", T.LongType()),
-            T.StructField("_table", T.IntegerType()),
-            T.StructField("_bucket", T.LongType()),
-        ]
-    )
-
-    def _bucketize(batches):
-        for pdf in batches:
-            m = np.array(list(pdf[vec_col]), dtype=np.float64)
-            cb = _cp_buckets(m, rot, n_tables, dim, top=1)[:, :, 0]  # (n, L)
-            yield pd.DataFrame(
-                {
-                    "c_id_": np.repeat(pdf[corpus_id].to_numpy(), n_tables),
-                    "_table": np.tile(np.arange(n_tables, dtype=np.int32), len(pdf)),
-                    "_bucket": cb.reshape(-1),
-                }
-            )
-
-    c_buckets = corpus.select(corpus_id, vec_col).mapInPandas(_bucketize, schema=out_schema)
+    c_buckets = cp_bucket_rows(corpus, corpus_id, vec_col, rot, n_tables, dim)
     return (
         c_buckets.join(F.broadcast(probe_df), ["_table", "_bucket"])
-        .select(query_id, F.col("c_id_").alias(corpus_id))
+        .select(query_id, F.col("_cp_id").alias(corpus_id))
         .distinct()
     )
 
@@ -322,31 +333,45 @@ def embedding_near_dup_pairs(
     n_planes: int | None = None,
     dim: int | None = None,
     n_tables: int = 6,
+    family: str = "hyperplane",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr).
 
     ``n_planes=None``: exact all-pairs via self cross join — the bounded /
     verification path. With ``n_planes`` set: multi-table LSH blocking
-    (requires ``dim``; ``n_tables`` tables of ``n_planes`` sign bits) — the
-    100 TB path. A pair is a candidate if it shares ANY table's bucket:
-    recall 1-(1-p^k)^L where p = 1 - theta/pi, so truly-near duplicates
-    (cos >= 0.9) are caught with near-certainty while candidate volume
-    drops by ~2^k/L.
+    (requires ``dim``) — the 100 TB path, two families:
+
+    - ``family="hyperplane"``: ``n_tables`` tables of ``n_planes`` sign
+      bits; candidate recall 1-(1-p^k)^L with p = 1 - theta/pi.
+    - ``family="crosspolytope"``: ``n_tables`` rotate->argmax tables
+      (``n_planes`` ignored) — much sharper collision decay
+      (ln(1/p) ~ tan^2(theta/2) ln d); measured on the threshold-0.3
+      pairs (theta ~72deg, far OUTSIDE the near-dup regime): recall
+      0.70/0.86/0.91 at pair coverage ~0.14/0.28/0.33 for L=24/48/64,
+      where hyperplane 6x4 managed ~0.57. True near-dups (cos >= 0.9)
+      are caught with near-certainty by either family.
     """
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
         "_n", l2_norm(F.col("_v"))
     )
-    if n_planes is not None:
+    if n_planes is not None or family == "crosspolytope":
         if dim is None:
-            raise ValueError("dim is required when n_planes is set")
-        bucketed = base.select(
-            "_id",
-            "_v",
-            "_n",
-            F.posexplode(lsh_buckets_multi(F.col("_v"), dim, n_planes, n_tables)).alias(
-                "_table", "_bucket"
-            ),
-        )
+            raise ValueError("dim is required when blocking is enabled")
+        if family == "crosspolytope":
+            rot = cross_polytope_rotations(n_tables, dim)
+            bucket_rows = cp_bucket_rows(base, "_id", "_v", rot, n_tables, dim)
+            bucketed = bucket_rows.join(
+                base.select("_id", "_v", "_n"), bucket_rows._cp_id == base._id
+            ).select("_id", "_v", "_n", "_table", "_bucket")
+        else:
+            bucketed = base.select(
+                "_id",
+                "_v",
+                "_n",
+                F.posexplode(lsh_buckets_multi(F.col("_v"), dim, n_planes, n_tables)).alias(
+                    "_table", "_bucket"
+                ),
+            )
         a = bucketed.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
             "_table", "_bucket",
