@@ -174,16 +174,20 @@ def horizontal_row_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_approx (see approx_aggregates).",
 )
 def priority_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        tbl(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
-            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
-        )
+    o = tbl(spark, sf_dir, "orders")
+    # Distinct agg kept in its own aggregation: combined with the
+    # percentile buffers, countDistinct's Expand plan degrades the whole
+    # agg to sort-based fallback (see approx_aggregates). Broadcast join
+    # on the 5-row group key re-attaches it for ~free.
+    pct = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+    )
+    nd = o.groupBy("o_orderpriority").agg(F.countDistinct("o_custkey").alias("n_customers"))
+    return pct.join(F.broadcast(nd), "o_orderpriority").select(
+        "o_orderpriority", "n_customers", "n_orders", "p25", "p50", "p75"
     )
 
 
@@ -941,15 +945,14 @@ def salted_agg_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tbl(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    # Two aggregations, NOT one: countDistinct plans through Expand while
+    # percentile_approx is a TypedImperativeAggregate — combined in one agg
+    # Spark falls back to sort-based aggregation with per-row buffer
+    # serialization (measured 30s at sf0.1 vs 0.5s for either alone). Two
+    # scans + a broadcast join on the 5-row group key cost ~1s total.
+    sketches = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        (
-            F.abs(
-                F.approx_count_distinct("o_custkey", rsd=0.02)
-                - F.countDistinct("o_custkey")
-            )
-            <= F.countDistinct("o_custkey") * 0.05
-        ).alias("hll_within_5pct"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
         # t-digest median must land inside the exact inter-quantile band
         # [p40, p60] — a rank-tolerance bound that is robust to flat or
         # spiky value distributions (an absolute-value bound is not).
@@ -959,6 +962,17 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(o_totalprice, 0.60)"),
         )
         .alias("tdigest_in_p40_p60"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("_nd")
+    )
+    return sketches.join(F.broadcast(exact), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        (F.abs(F.col("_hll") - F.col("_nd")) <= F.col("_nd") * 0.05).alias(
+            "hll_within_5pct"
+        ),
+        "tdigest_in_p40_p60",
     )
 
 
