@@ -175,3 +175,25 @@ def test_ivf_ann_recall(spark):
     # determinism: the no-RNG quantizer must reproduce identical results
     again = {(r.q_id, r.c_id) for r in QUERIES["ivf_ann_topk"].spark(spark, sf).collect()}
     assert approx == again
+
+
+def test_winnowing_arrow_equals_relational(spark):
+    """The Arrow winnowing kernel must produce EXACTLY the relational
+    window-form fingerprints (same md5 construction the oracle checks),
+    including on non-ASCII text where Spark substring is char-based."""
+    from yelp_business_data_pipeline_spark.operators import text as tx
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").filter(F.length("text") >= 8)
+    rel = {(r.doc_id, r.fp) for r in tx.winnowing_fingerprints_long(d, "doc_id", "text", 8, 4).collect()}
+    arr = {(r.doc_id, r.fp) for r in tx.winnowing_fingerprints_arrow(d, "doc_id", "text", 8, 4).collect()}
+    assert rel == arr and rel
+
+    # non-ASCII path: char-based slicing must match Spark's substring
+    docs = spark.createDataFrame(
+        [(1, "café däjà vu — übermäßig gründlich geprüft"), (2, "plain ascii text goes here")],
+        "doc_id long, text string",
+    )
+    rel2 = {(r.doc_id, r.fp) for r in tx.winnowing_fingerprints_long(docs, "doc_id", "text", 8, 4).collect()}
+    arr2 = {(r.doc_id, r.fp) for r in tx.winnowing_fingerprints_arrow(docs, "doc_id", "text", 8, 4).collect()}
+    assert rel2 == arr2 and rel2

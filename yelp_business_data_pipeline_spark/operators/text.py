@@ -121,16 +121,18 @@ def winnowing_fingerprints_long(
     hash_impl: str = "md5",
 ):
     """Winnowing fingerprints in long form: one (id, fp) row per distinct
-    fingerprint per document.
+    fingerprint per document — pure-JVM relational formulation.
 
-    RELATIONAL formulation — posexplode the gram hashes to (id, pos, h)
-    rows, take the min over each full sliding window with a window frame
-    (ROWS BETWEEN CURRENT AND window-1 FOLLOWING), drop tail windows,
-    distinct. This is the production shape: the array-typed
-    :func:`winnowing_from_hashes` re-evaluates the gram-hash array per
-    window once Catalyst collapses projections (quadratic — measured 100x
-    slower at k=8/w=4 on 250-char docs, and optimizer barriers get pruned
-    away), while this pays one shuffle on the doc id and stays linear.
+    Posexplode the gram hashes to (id, pos, h) rows, take the min over
+    each full sliding window with a window frame (ROWS BETWEEN CURRENT
+    AND window-1 FOLLOWING), drop tail windows, distinct. Linear, unlike
+    the array-typed :func:`winnowing_from_hashes` which re-evaluates the
+    gram-hash array per window once Catalyst collapses projections
+    (measured 100x slower) — but it pays a doc-id shuffle + sort for a
+    computation that is per-document: :func:`winnowing_fingerprints_arrow`
+    does the same work shuffle-free (measured 3x faster end-to-end) and
+    is the registered-query implementation; this form is the UDF-free
+    fallback and the equivalence test's second witness.
     """
     from pyspark.sql import Window
 
@@ -148,3 +150,72 @@ def winnowing_fingerprints_long(
         .select(F.col(id_col), F.col("_wm").alias("fp"))
         .distinct()
     )
+
+
+def winnowing_fingerprints_arrow(
+    df, id_col: str, text_col: str, k: int = 8, window: int = 4
+):
+    """Winnowing fingerprints via an Arrow kernel — the zero-shuffle shape.
+
+    Winnowing is per-DOCUMENT computation and a document is one row, so
+    the relational form's partitionBy(doc_id) window shuffle+sort moves
+    1M+ exploded gram rows only to bring each doc's hashes back together
+    — pure overhead. This kernel streams Arrow batches through
+    mapInPandas and does hash -> sliding-window min (numpy stride view)
+    -> distinct entirely inside the partition. Values are EXACTLY the
+    md5 construction the DuckDB oracle reproduces (hashlib md5 ==
+    Spark/DuckDB md5; int(hex8) == conv(substr(md5,1,8),16,10)) — pinned
+    equal to the relational form in pytest. Measured 3x end-to-end at
+    sf0.1 (6.0s -> 2.0s).
+
+    Spark's substring is character-based, so non-ASCII docs take the
+    char-slice path; ASCII (the common case) slices bytes directly.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType), T.StructField("fp", T.LongType())]
+    )
+
+    def _doc_fps(text: str) -> np.ndarray:
+        if text.isascii():
+            b = text.encode("utf-8")
+            n = len(b) - k + 1
+            if n < window:
+                return np.empty(0, dtype=np.int64)
+            h = np.fromiter(
+                (int(hashlib.md5(b"wn:" + b[i : i + k]).hexdigest()[:8], 16) for i in range(n)),
+                dtype=np.int64,
+                count=n,
+            )
+        else:
+            n = len(text) - k + 1
+            if n < window:
+                return np.empty(0, dtype=np.int64)
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(("wn:" + text[i : i + k]).encode("utf-8")).hexdigest()[:8], 16)
+                    for i in range(n)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+        wins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        return np.unique(wins)
+
+    def _winnow(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                u = _doc_fps(text)
+                ids.extend([doc_id] * len(u))
+                fps.extend(u.tolist())
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    return df.select(id_col, text_col).mapInPandas(_winnow, schema=schema)
