@@ -33,6 +33,44 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+#: BPE-ish pre-tokenization pattern: letter runs, single digits,
+#: punctuation-run singletons — the GPT-2-style split shape reduced to a
+#: class-based regex identical under Java regex (Spark) and RE2 (DuckDB).
+#: Counting these pieces approximates subword token counts far better than
+#: whitespace words (digits and punctuation each cost a token).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token-budget estimate with a BPE-ish regex (see BPE_ISH_PATTERN).
+    DuckDB twin: ``len(regexp_extract_all(text, pattern))``."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation density: non-alphanumeric non-space chars / chars —
+    boilerplate, ASCII art and markup skew high (a C4-style filter
+    signal)."""
+    stripped = F.regexp_replace(text, "[a-z0-9 ]", "")
+    return F.round(F.length(stripped).cast("double") / F.length(text), 6)
+
+
+def top_token_ratio(text: Column) -> Column:
+    """Most-frequent-token share of the document (Gopher-style repetition
+    signal: templated/spammy docs concentrate mass on one token).
+
+    Per-row HOF count over distinct tokens — O(distinct x n) per doc,
+    fine for the short-document regime; for book-length docs use the
+    explode -> groupBy -> max/sum relational form instead (one shuffle).
+    """
+    toks = tokens_col(text)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    return F.round(F.array_max(counts).cast("double") / F.size(toks), 6)
+
+
 def distinct_token_ratio(text: Column) -> Column:
     """Lexical diversity: distinct tokens / tokens — a standard quality signal
     (boilerplate and spam skew low)."""

@@ -98,21 +98,28 @@ def _sql_simhash(bits: int = 16) -> str:
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(len({TOKS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))) AS BIGINT)
+             AS total_bpe_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(len({TOKS})) AS BIGINT)::DOUBLE / COUNT(*) AS avg_tokens
     FROM documents GROUP BY lang
     """,
     doc="Token counting per corpus slice — the basic training-data budget "
-    "metric. Whitespace tokenizer (JVM split), aggregated per lang.",
+    "metric, two tokenizers per the spec: whitespace words (JVM split) "
+    "AND a BPE-ish regex (letter runs / single digits / punctuation — "
+    "approximates subword token budgets; identical pattern semantics "
+    "under Java regex and RE2, so the oracle reproduces it).",
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     return (
         d.withColumn("n_tokens", tx.token_count(F.col("text")))
+        .withColumn("n_bpe", tx.bpe_ish_token_count(F.col("text")))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             F.sum("n_chars").alias("total_chars"),
             (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         )
@@ -126,13 +133,20 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len({TOKS}) AS INTEGER) AS n_tokens,
            round(len(list_distinct({TOKS}))::DOUBLE / len({TOKS}), 6) AS distinct_ratio,
            round(len(list_filter({TOKS}, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
-                 / len({TOKS}), 6) AS stopword_ratio
+                 / len({TOKS}), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE
+                 / length(text), 6) AS punct_ratio,
+           round(list_max(list_transform(list_distinct({TOKS}),
+                 u -> len(list_filter({TOKS}, t -> t = u))))::DOUBLE
+                 / len({TOKS}), 6) AS top_token_ratio
     FROM documents
     WHERE len(list_distinct({TOKS}))::DOUBLE / len({TOKS}) >= 0.3
     """,
-    doc="Quality scoring: lexical diversity + stopword density filters "
-    "(standard corpus-cleaning signals), pure column math, filter pushed "
-    "into the scan stage.",
+    doc="Quality scoring: lexical diversity, stopword density, punctuation "
+    "density (C4-style markup/boilerplate signal) and top-token "
+    "concentration (Gopher-style repetition signal) — the standard "
+    "corpus-cleaning panel as pure column math, filter pushed into the "
+    "scan stage.",
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
@@ -142,8 +156,13 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("n_tokens", tx.token_count(F.col("text")))
         .withColumn("distinct_ratio", tx.distinct_token_ratio(F.col("text")))
         .withColumn("stopword_ratio", tx.stopword_ratio(F.col("text"), "en"))
+        .withColumn("punct_ratio", tx.punct_ratio(F.col("text")))
+        .withColumn("top_token_ratio", tx.top_token_ratio(F.col("text")))
         .filter(raw_ratio >= 0.3)
-        .select("doc_id", "n_tokens", "distinct_ratio", "stopword_ratio")
+        .select(
+            "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio",
+            "punct_ratio", "top_token_ratio",
+        )
     )
 
 
