@@ -197,3 +197,27 @@ def test_winnowing_arrow_equals_relational(spark):
     rel2 = {(r.doc_id, r.fp) for r in tx.winnowing_fingerprints_long(docs, "doc_id", "text", 8, 4).collect()}
     arr2 = {(r.doc_id, r.fp) for r in tx.winnowing_fingerprints_arrow(docs, "doc_id", "text", 8, 4).collect()}
     assert rel2 == arr2 and rel2
+
+
+def test_pii_redaction(spark):
+    from yelp_business_data_pipeline_spark.operators import text as tx
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk or call +1 (555) 123-4567 today"),
+        (2, "server at 192.168.0.17 logs to https://logs.example.com/x?u=a@b.com"),
+        (3, "ssn 123-45-6789 should vanish; year 2024 and price 19.99 should not"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    red = {r.id: r.t for r in df.select("id", tx.redact_pii(F.col("text")).alias("t")).collect()}
+    assert red[1] == "contact me at <EMAIL> or call <PHONE> today"
+    # URL is scrubbed before the email inside its query string
+    assert red[2] == "server at <IP> logs to <URL>"
+    assert "<SSN>" in red[3] and "2024" in red[3] and "19.99" in red[3]
+    assert red[4] == "no pii here at all"
+
+    counts = {r.id: r.c for r in df.select("id", tx.pii_counts(F.col("text")).alias("c")).collect()}
+    assert counts[1]["email"] == 1 and counts[1]["phone"] == 1
+    assert counts[2]["ipv4"] == 1 and counts[2]["url"] == 1
+    assert counts[3]["ssn"] == 1
+    assert all(v == 0 for v in counts[4].values())

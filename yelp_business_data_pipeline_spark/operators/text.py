@@ -109,6 +109,50 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+#: PII patterns for training-data scrubbing — deliberately conservative,
+#: class-based regexes that behave identically under Java regex and RE2.
+#: Order matters: URLs before emails (an email inside a URL query string
+#: would otherwise split), and the greedy phone pattern LAST — dotted IPs
+#: and dashed SSNs both match it, so the specific patterns must fire first.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
+    """Scrub PII spans (URL / email / phone / IPv4 / SSN) with typed
+    placeholder tokens — the standard pre-training scrubbing stage.
+
+    Chained JVM-side regexp_replace (one codegen'd pass per pattern, no
+    UDF); ``kinds`` selects a subset in PII_PATTERNS order. At 100 TB this
+    is embarrassingly parallel projection work — zero shuffle.
+    """
+    out = text
+    selected = {k for k in kinds} if kinds is not None else None
+    for kind, pattern, token in PII_PATTERNS:
+        if selected is None or kind in selected:
+            out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Map of PII kind -> match count per document (audit companion to
+    :func:`redact_pii`: measure before you scrub)."""
+    return F.map_from_arrays(
+        F.array(*[F.lit(kind) for kind, _, _ in PII_PATTERNS]),
+        F.array(
+            *[
+                F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+                for _, pattern, _ in PII_PATTERNS
+            ]
+        ),
+    )
+
+
 def fingerprint(text: Column, n_tokens: int = 2) -> Column:
     """Prefix-token document fingerprint: md5 of the first ``n_tokens``
     whitespace tokens. A cheap rolling-hash stand-in for near-dup blocking;
