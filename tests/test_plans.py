@@ -63,6 +63,26 @@ def test_global_topk_avoids_full_sort(plans, spark, sf_dir):
     assert "TakeOrderedAndProject" in plan_str(topk_global_orders(spark, sf_dir))
 
 
+def test_distinct_agg_never_mixes_with_percentile_buffers(spark, sf_dir):
+    # Regression pin for the 30x pathology: countDistinct (Expand-planned)
+    # combined with percentile buffers in ONE aggregation drops Spark to
+    # SortAggregate with per-row buffer serialization. Both queries were
+    # split into two aggs + broadcast join; a SortAggregate reappearing
+    # here means someone recombined them.
+    for name in ("approx_aggregates", "priority_stats_panel"):
+        p = plan_str(QUERIES[name].spark(spark, sf_dir))
+        assert "SortAggregate" not in p, f"{name} regressed to sort-based aggregation"
+
+
+def test_winnowing_is_shuffle_free_until_fingerprint_groupby(spark, sf_dir):
+    # The Arrow kernel does per-doc work inside the partition: no Window
+    # (the relational form's doc-id sort) may appear; the only exchange is
+    # the cross-doc fingerprint groupBy.
+    p = plan_str(QUERIES["winnowing_shared_fingerprints"].spark(spark, sf_dir))
+    assert "Window" not in p, "winnowing regressed to the window-shuffle form"
+    assert "SortAggregate" not in p
+
+
 def test_blocked_linkage_has_no_cartesian(plans):
     # The end-to-end linkage query must be block -> verify, never all-pairs.
     p = plans["blocked_linkage_pairs"]
