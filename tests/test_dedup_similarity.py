@@ -221,3 +221,95 @@ def test_pii_redaction(spark):
     assert counts[2]["ipv4"] == 1 and counts[2]["url"] == 1
     assert counts[3]["ssn"] == 1
     assert all(v == 0 for v in counts[4].values())
+
+
+def test_deletion_blocking_is_exact_for_edit_distance_1(spark):
+    """Property: deletion-neighborhood candidates ⊇ ALL pairs within
+    Levenshtein distance 1 (substitution, insertion, deletion) — the
+    exactness claim, checked against a Python brute force on a random-ish
+    corpus with planted near-pairs."""
+    import itertools
+
+    def lev1(a: str, b: str) -> bool:
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:  # substitution
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # insertion: b = a with one extra char
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1 :]
+
+    base = ["kitten", "sitten", "sittin", "mitten", "kitty", "smitten",
+            "flack", "flock", "block", "blocks", "lock", "clock",
+            "abc", "abd", "xbc", "ab", "abcd", "zzzz"]
+    df = spark.createDataFrame(list(enumerate(base)), "id long, s string")
+    from yelp_business_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_candidates,
+    )
+
+    cand = {(r.doc_a, r.doc_b) for r in deletion_neighborhood_candidates(df, "id", "s").collect()}
+    truth = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(base), 2)
+        if lev1(a, b)
+    }
+    missing = truth - cand
+    assert not missing, f"deletion blocking missed true d<=1 pairs: {missing}"
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    from yelp_business_data_pipeline_spark.operators.text import chunk_tokens
+
+    words = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame([(1, words), (2, "short doc only")], "doc_id long, text string")
+    out = chunk_tokens(df, "doc_id", "text", chunk_size=128, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # short doc -> one chunk, intact
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc only"
+    # long doc: stride 112 over 300 tokens -> ceil((300-16)/112) = 3 chunks
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert len(chunks) == 3
+    # every token appears in some chunk (coverage)
+    seen = set()
+    for c in chunks:
+        seen.update(c.chunk_text.split(" "))
+    assert seen == set(words.split(" "))
+    # consecutive chunks overlap by exactly `overlap` tokens
+    t0, t1 = chunks[0].chunk_text.split(" "), chunks[1].chunk_text.split(" ")
+    assert t0[-16:] == t1[:16]
+    assert chunks[0].n_tokens == 128
+
+
+def test_int8_quantization_preserves_cosine(spark):
+    from yelp_business_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        cosine_topk,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
+    c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
+    exact = {(r.q_id, r.c_id) for r in cosine_topk(q, c, k=10).collect()}
+
+    # quantize the corpus, rebuild vectors, re-rank: top-10 overlap >= 0.9
+    cq = dequantize_int8(quantize_int8(c, "v"), "v").select("c_id", "v")
+    approx = {(r.q_id, r.c_id) for r in cosine_topk(q, cq, k=10).collect()}
+    assert len(exact & approx) / len(exact) >= 0.9
+
+    # quantized values are genuinely int8-ranged
+    row = quantize_int8(c, "v").select("v_q").first()
+    assert all(-127 <= x <= 127 for x in row.v_q)

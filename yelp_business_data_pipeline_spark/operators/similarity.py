@@ -401,6 +401,37 @@ def embedding_near_dup_pairs(
     )
 
 
+def quantize_int8(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: q = round(x / scale),
+    scale = max|x| / 127 — 4x storage vs float32 (8x vs the double math
+    type) for ANN corpora, with cosine preserved to ~1e-3 on unit-scale
+    embeddings (pinned in pytest).
+
+    Adds ``<vec_col>_q`` (array<tinyint>-ranged ints) and
+    ``<vec_col>_scale``; all per-row HOF math, zero shuffle. At 100 TB the
+    quantized table is what you store/scan; rerank the final candidates
+    against the float originals if exactness matters.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    return df.withColumn(f"{vec_col}_scale", safe).withColumn(
+        f"{vec_col}_q",
+        F.transform(v, lambda x: F.round(x / F.col(f"{vec_col}_scale")).cast("int")),
+    )
+
+
+def dequantize_int8(df: DataFrame, vec_col: str = "v") -> DataFrame:
+    """Inverse of :func:`quantize_int8`: rebuild ``<vec_col>`` as
+    array<double> from the quantized column and scale."""
+    return df.withColumn(
+        vec_col,
+        F.transform(
+            F.col(f"{vec_col}_q"), lambda q: q.cast("double") * F.col(f"{vec_col}_scale")
+        ),
+    )
+
+
 def arrow_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

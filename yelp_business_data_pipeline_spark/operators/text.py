@@ -109,6 +109,37 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def chunk_tokens(
+    df, id_col: str, text_col: str, chunk_size: int = 128, overlap: int = 16
+):
+    """Split documents into overlapping token-window chunks — the standard
+    context-window prep for training/embedding pipelines.
+
+    Per-row HOF slicing (stride = chunk_size - overlap) then posexplode:
+    (id, chunk_idx, chunk_text, n_tokens) rows. A document shorter than
+    one chunk yields a single chunk. Zero shuffle — pure per-row fan-out;
+    at 100 TB chunking is embarrassingly parallel projection work and the
+    chunk stream feeds straight into dedup/embedding stages.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / stride).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i * stride + 1).cast("int"), chunk_size)),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn("n_tokens", F.size(F.split("chunk_text", " ")))
+
+
 #: PII patterns for training-data scrubbing — deliberately conservative,
 #: class-based regexes that behave identically under Java regex and RE2.
 #: Order matters: URLs before emails (an email inside a URL query string
