@@ -156,3 +156,50 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_stream").collect())
     assert got == [1, 2, 3]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Streaming session_window (file stream, watermark, AvailableNow)
+    must produce the same per-user session counts as the batch lag-gap
+    construction."""
+    import shutil
+
+    from yelp_business_data_pipeline_spark.streaming.pipeline import streaming_sessionize
+
+    src = str(tmp_path / "events_src")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if "ts" in [f.name for f in ev.schema.fields if str(f.dataType) == "LongType()"]:
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev.write.parquet(src)
+    schema = ev.schema
+
+    out = streaming_sessionize(spark, src, schema, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sessions_out")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+    got_map = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
+
+    # batch twin: the lag-gap sessionize over the same data
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
+    batch = (
+        ev.withColumn("ns", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+    batch_map = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
+    assert got_map == batch_map
+    shutil.rmtree(src, ignore_errors=True)

@@ -96,3 +96,32 @@ def streaming_event_counts(
         .groupBy(win, "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
     )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session aggregation over a parquet file stream using the
+    native session_window — the STREAMING twin of the batch lag-gap
+    sessionize (plans/core.py:sessionize_events; their agreement in batch
+    mode is pytest-pinned). State per open session closes once the
+    watermark passes the session end, so memory is bounded by active
+    sessions, not history — the reason session_window beats a stateful UDF
+    here. Returns (user_id, session_start, session_end, n_events).
+    """
+    ev = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
