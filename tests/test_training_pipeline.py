@@ -1,0 +1,56 @@
+"""End-to-end training-data pipeline composition: the §2.9 operators are
+not isolated demos — chunk -> quality-filter -> PII-scrub -> exact dedup
+-> near-dup blocking -> entity clustering -> canonical selection -> token
+budget runs as ONE lazy plan chain over the documents corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators import dedup as dd
+from yelp_business_data_pipeline_spark.operators import text as tx
+from yelp_business_data_pipeline_spark.operators.components import resolve_entities
+
+
+def test_documents_to_training_corpus(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = d.count()
+
+    # 1. chunk into context windows (stable chunk ids for downstream stages)
+    chunks = tx.chunk_tokens(d, "doc_id", "text", chunk_size=64, overlap=8).withColumn(
+        "chunk_id", F.col("doc_id") * 1000 + F.col("chunk_idx")
+    )
+    n_chunks = chunks.count()
+    assert n_chunks >= n_docs  # chunking never loses documents
+
+    # 2. quality filter (lexical diversity) + PII scrub
+    toks = F.split("chunk_text", " ")
+    clean = (
+        chunks.filter(F.size(F.array_distinct(toks)) / F.size(toks) >= 0.3)
+        .withColumn("chunk_text", tx.redact_pii(F.col("chunk_text")))
+    )
+    n_clean = clean.count()
+    assert 0 < n_clean <= n_chunks
+
+    # 3. exact dedup on content fingerprint (deterministic keep-lowest-id)
+    hashed = clean.withColumn("content_hash", F.md5("chunk_text"))
+    deduped = dd.exact_dedup(hashed, ["content_hash"], [F.asc("chunk_id")])
+    n_deduped = deduped.count()
+    assert n_deduped <= n_clean
+    assert deduped.groupBy("content_hash").count().filter("count > 1").count() == 0
+
+    # 4. near-dup blocking (MinHash-LSH) -> entity clustering -> canonical
+    pairs = dd.minhash_lsh_candidates(deduped, "chunk_id", "chunk_text")
+    resolved = resolve_entities(deduped, pairs, "chunk_id")
+    canonical = resolved.filter("is_canonical")
+    n_entities = canonical.count()
+    assert 0 < n_entities <= n_deduped
+    # every entity keeps exactly one canonical chunk
+    assert resolved.select("entity_id").distinct().count() == n_entities
+
+    # 5. token budget of the final corpus, both tokenizers
+    budget = canonical.agg(
+        F.sum(F.size(F.split("chunk_text", " "))).alias("ws_tokens"),
+        F.sum(tx.bpe_ish_token_count(F.col("chunk_text"))).alias("bpe_tokens"),
+    ).collect()[0]
+    assert budget.ws_tokens > 0 and budget.bpe_tokens >= budget.ws_tokens
