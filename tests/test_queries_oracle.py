@@ -81,3 +81,24 @@ def test_documented_counts_match_registry():
     assert (int(m.group(1)), int(m.group(2))) == (n_total, n_oracle), (
         f"COVERAGE.md says {m.groups()}, registry has ({n_total}, {n_oracle})"
     )
+
+
+def test_null_profile_operator_equals_quality_profile_total_row(spark, sf_dir):
+    """The docstring claim: the standalone null_profile operator must equal
+    data_quality_profile's ROLLUP grand-total row, column for column."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.cleaning import null_profile
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    op = null_profile(o, cols).collect()[0]
+    total = (
+        QUERIES["data_quality_profile"].spark(spark, sf_dir)
+        .filter(F.col("o_orderstatus").isNull())
+        .collect()
+    )
+    assert len(total) == 1
+    row = total[0]
+    for c in cols:
+        assert op[c] == row[f"null_{c.removeprefix('o_')}"], c
