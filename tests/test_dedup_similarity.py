@@ -310,6 +310,14 @@ def test_int8_quantization_preserves_cosine(spark):
     approx = {(r.q_id, r.c_id) for r in cosine_topk(q, cq, k=10).collect()}
     assert len(exact & approx) / len(exact) >= 0.9
 
+    # cosine VALUES are preserved to ~1e-3 (the docstring claim): compare
+    # per-pair scores between the float and dequantized corpora
+    ex_scores = {(r.q_id, r.c_id): r.cosine for r in cosine_topk(q, c, k=10).collect()}
+    qt_scores = {(r.q_id, r.c_id): r.cosine for r in cosine_topk(q, cq, k=10).collect()}
+    common = set(ex_scores) & set(qt_scores)
+    assert common
+    assert max(abs(ex_scores[p] - qt_scores[p]) for p in common) < 5e-3
+
     # quantized values are genuinely int8-ranged
     row = quantize_int8(c, "v").select("v_q").first()
     assert all(-127 <= x <= 127 for x in row.v_q)
