@@ -38,3 +38,24 @@ def test_sketch_merge_matches_global(spark, sf_dir, tmp_path):
         grouped_distinct_sketches(o.repartition(13), ["o_orderpriority"], "o_custkey")
     ).collect()[0].distinct_estimate
     assert est2 == est
+
+
+def test_heavy_hitters_superset_guarantee(spark):
+    from yelp_business_data_pipeline_spark.operators.sketches import (
+        frequent_tokens,
+        verified_heavy_hitters,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    total = toks.count()
+    exact = {
+        r.tok
+        for r in toks.groupBy("tok").count().filter(F.col("count") > 0.01 * total).collect()
+    }
+    assert exact, "expected some >1% tokens in the corpus"
+    approx = set(frequent_tokens(d, "text", 0.01))
+    assert exact <= approx  # freqItems guarantee: superset of true heavy hitters
+
+    verified = {r.tok for r in verified_heavy_hitters(d, "text", 0.01).collect()}
+    assert verified == exact  # candidates + exact count = exact answer

@@ -53,3 +53,36 @@ def merge_distinct_estimate(
 
 def sketch_estimate(sketch: Column) -> Column:
     return F.hll_sketch_estimate(sketch)
+
+
+def frequent_tokens(
+    df: DataFrame, text_col: str = "text", support: float = 0.01
+) -> list[str]:
+    """Approximate heavy hitters over the token stream via Spark's
+    freqItems (Karp/Schenker/Papadimitriou one-pass counters): returns a
+    SUPERSET of every token with frequency > support — the guarantee that
+    matters for stopword mining / boilerplate detection at scale (false
+    positives are then filtered by one exact count over the small
+    candidate set, never over the full vocabulary).
+    """
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    return toks.stat.freqItems(["tok"], support).collect()[0][0]
+
+
+def verified_heavy_hitters(
+    df: DataFrame, text_col: str = "text", support: float = 0.01
+) -> DataFrame:
+    """Exact heavy hitters computed the scale-correct way: freqItems gives
+    the bounded candidate superset in one pass; an exact count restricted
+    to those candidates (broadcast filter, tiny group-by) removes the
+    false positives. Returns (tok, n, freq) for true frequency > support."""
+    cands = frequent_tokens(df, text_col, support)
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    total = toks.count()
+    return (
+        toks.filter(F.col("tok").isin(cands))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("freq", F.col("n") / F.lit(float(total)))
+        .filter(F.col("freq") > support)
+    )
