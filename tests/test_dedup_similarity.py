@@ -321,3 +321,22 @@ def test_int8_quantization_preserves_cosine(spark):
     # quantized values are genuinely int8-ranged
     row = quantize_int8(c, "v").select("v_q").first()
     assert all(-127 <= x <= 127 for x in row.v_q)
+
+
+def test_unigram_logprob_quality_scoring(spark):
+    """Corpus-LM scoring must rank fluent in-domain text above
+    rare-vocabulary noise, and be deterministic."""
+    from yelp_business_data_pipeline_spark.operators.text import unigram_logprob_scores
+
+    common = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, common.strip()) for i in range(20)] + [
+        (100, "zxqv wkjh qpzm vbnx lkjq zzyx qwer asdf"),  # garbled
+        (101, "the quick brown fox naps under the lazy dog"),  # in-domain-ish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.mean_logprob for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+    # garbled doc scores far below the common docs and the near-domain doc
+    assert got[100] < got[101] < got[0]
+    # deterministic across runs
+    again = {r.doc_id: r.mean_logprob for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert got == again

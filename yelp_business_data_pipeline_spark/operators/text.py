@@ -109,6 +109,34 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def unigram_logprob_scores(df, id_col: str, text_col: str):
+    """CCNet-style language-model quality scoring with the corpus itself as
+    the LM: per-document mean log10 unigram probability (add-one smoothed
+    against the corpus vocabulary). Out-of-distribution documents (rare
+    vocabulary, garbled text) score strongly negative; fluent in-domain
+    text scores near the corpus mode — threshold on the score to filter,
+    exactly like CCNet buckets by LM perplexity.
+
+    Relational shape: one explode + token-count groupBy builds the LM (the
+    only corpus-wide shuffle, reusable across scoring runs), a broadcast
+    join scores tokens, and a per-doc mean folds back. Returns
+    (id, n_tokens, mean_logprob).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    totals = lm.agg(
+        F.sum("n_tok").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
+    ).collect()[0]
+    denom = float(totals.n_total + totals.n_vocab)  # add-one smoothing
+    scored = toks.join(F.broadcast(lm), "tok", "left").withColumn(
+        "_lp", F.log10((F.coalesce(F.col("n_tok"), F.lit(0)) + 1) / F.lit(denom))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+    )
+
+
 def chunk_tokens(
     df, id_col: str, text_col: str, chunk_size: int = 128, overlap: int = 16
 ):
