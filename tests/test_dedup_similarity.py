@@ -268,13 +268,18 @@ def test_chunk_tokens_coverage_and_overlap(spark):
     from yelp_business_data_pipeline_spark.operators.text import chunk_tokens
 
     words = " ".join(f"w{i}" for i in range(300))
-    df = spark.createDataFrame([(1, words), (2, "short doc only")], "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc only"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
     out = chunk_tokens(df, "doc_id", "text", chunk_size=128, overlap=16).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
     # short doc -> one chunk, intact
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc only"
+    # empty / null docs -> ZERO chunks (no phantom 1-token chunk)
+    assert 3 not in by_doc and 4 not in by_doc
     # long doc: stride 112 over 300 tokens -> ceil((300-16)/112) = 3 chunks
     chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
     assert len(chunks) == 3

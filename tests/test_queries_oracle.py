@@ -95,7 +95,8 @@ def test_null_profile_operator_equals_quality_profile_total_row(spark, sf_dir):
     op = null_profile(o, cols).collect()[0]
     total = (
         QUERIES["data_quality_profile"].spark(spark, sf_dir)
-        .filter(F.col("o_orderstatus").isNull())
+        .filter(F.col("is_total") == 1)  # grouping(), NOT isNull: a genuine
+        # NULL-status group would also have o_orderstatus NULL
         .collect()
     )
     assert len(total) == 1

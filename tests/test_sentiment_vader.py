@@ -43,6 +43,14 @@ def test_heuristics_directionality():
     assert S.vader_full_score("very bad!") < S.vader_full_score("bad") < 0
 
 
+def test_negation_words_carry_no_valence():
+    # "never" is both in the simple lexicon's NEGATIVE_WORDS and in
+    # NEGATIONS; the full algorithm must treat it purely as a flipper —
+    # "never bad" is a POSITIVE construction (bad flipped), not negative.
+    assert S.vader_full_score("never bad") > 0
+    assert S.vader_full_score("never good") < 0
+
+
 def test_null_and_neutral_handling():
     assert S.vader_full_score(None) == 0.0
     assert S.vader_full_score("") == 0.0

@@ -189,7 +189,10 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     )
     got_map = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
 
-    # batch twin: the lag-gap sessionize over the same data
+    # batch twin: the lag-gap sessionize over the same data. `>` matches
+    # session_window's boundary semantics — an event EXACTLY gap after the
+    # previous one still merges into the session (verified by the boundary
+    # pin below), so only strictly-greater gaps open a new session.
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -203,3 +206,17 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     batch_map = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
     assert got_map == batch_map
     shutil.rmtree(src, ignore_errors=True)
+
+    # Boundary pin: events EXACTLY gap apart MERGE into one session
+    # (session_window treats the gap as inclusive; measured, not assumed)
+    # — which is why the lag twin uses strict `>`.
+    b = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")],
+        "user_id long, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    n = (
+        b.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .count()
+    )
+    assert n == 1

@@ -191,10 +191,13 @@ NEGATIONS: frozenset[str] = frozenset(
 )
 
 #: Built-in fallback valence map: the frozen 15+15-word lexicon at VADER-ish
-#: magnitudes (VADER's mean absolute valence is ~1.9).
+#: magnitudes (VADER's mean absolute valence is ~1.9). Negation words carry
+#: NO valence here — real VADER treats them purely as flippers; keeping
+#: "never" valenced (as the simple lexicon scorer does) would double-count
+#: it AND invert phrases like "never bad" in the full algorithm.
 DEFAULT_VALENCE: dict[str, float] = {
-    **{w: 2.0 for w in POSITIVE_WORDS},
-    **{w: -2.0 for w in NEGATIVE_WORDS},
+    **{w: 2.0 for w in POSITIVE_WORDS if w not in NEGATIONS},
+    **{w: -2.0 for w in NEGATIVE_WORDS if w not in NEGATIONS},
 }
 
 

@@ -227,11 +227,19 @@ def orphan_nodes(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     namespaced by label (via REL_ENDPOINT_LABELS) so an id collision across
     label spaces (e.g. a Category named identically to a City) cannot mask
     an orphan, matching Neo4j's typed pattern matching."""
+    # Unknown rel_types FAIL LOUDLY: a silent NULL label would drop those
+    # endpoints from the anti-join and miscount every vertex connected
+    # only by the unmapped relationship as an orphan.
+    unknown = F.raise_error(
+        F.concat(F.lit("orphan_nodes: rel_type missing from REL_ENDPOINT_LABELS: "), F.col("rel_type"))
+    )
     src_label = F.coalesce(
-        *[F.when(F.col("rel_type") == rel, F.lit(labels[0])) for rel, labels in REL_ENDPOINT_LABELS.items()]
+        *[F.when(F.col("rel_type") == rel, F.lit(labels[0])) for rel, labels in REL_ENDPOINT_LABELS.items()],
+        unknown,
     )
     dst_label = F.coalesce(
-        *[F.when(F.col("rel_type") == rel, F.lit(labels[1])) for rel, labels in REL_ENDPOINT_LABELS.items()]
+        *[F.when(F.col("rel_type") == rel, F.lit(labels[1])) for rel, labels in REL_ENDPOINT_LABELS.items()],
+        unknown,
     )
     endpoints = (
         edges.select(F.col("src").alias("id"), src_label.alias("label"))

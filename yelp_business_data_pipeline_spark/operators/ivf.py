@@ -76,8 +76,13 @@ def train_ivf_centroids(
     x = np.array([r[1] for r in rows], dtype=np.float64)
     n_lists = min(n_lists, len(x))
     cent = x[:n_lists].copy()
+    x_sq = (x * x).sum(1)  # fixed across iterations
     for _ in range(iters):
-        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c as one (n, k) matmul — the
+        # broadcasted (n, k, dim) difference tensor would be
+        # sample_n*n_lists*dim*8 bytes (terabytes at the docstring's
+        # 4096x1024 quantizer scale) reallocated per iteration.
+        d = x_sq[:, None] + (cent * cent).sum(1)[None, :] - 2.0 * (x @ cent.T)
         assign = d.argmin(1)
         for j in range(n_lists):
             members = assign == j

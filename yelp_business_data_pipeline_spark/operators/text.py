@@ -50,9 +50,12 @@ def bpe_ish_token_count(text: Column) -> Column:
 def punct_ratio(text: Column) -> Column:
     """Punctuation density: non-alphanumeric non-space chars / chars —
     boilerplate, ASCII art and markup skew high (a C4-style filter
-    signal)."""
-    stripped = F.regexp_replace(text, "[a-z0-9 ]", "")
-    return F.round(F.length(stripped).cast("double") / F.length(text), 6)
+    signal). Case-insensitive (uppercase letters are NOT punctuation);
+    empty/null text scores 0.0 rather than dividing by zero."""
+    stripped = F.regexp_replace(text, "[a-zA-Z0-9 ]", "")
+    return F.when(
+        text.isNull() | (F.length(text) == 0), F.lit(0.0)
+    ).otherwise(F.round(F.length(stripped).cast("double") / F.length(text), 6))
 
 
 def top_token_ratio(text: Column) -> Column:
@@ -161,6 +164,11 @@ def chunk_tokens(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, (i * stride + 1).cast("int"), chunk_size)),
     )
+    # Null/empty documents yield ZERO chunks (split('') is [''], which
+    # would otherwise emit a phantom 1-token chunk inflating the corpus
+    # token budget); posexplode drops the empty array row.
+    valid = F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    chunks = F.when(valid, chunks).otherwise(F.array().cast("array<string>"))
     out = df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
@@ -200,16 +208,20 @@ def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
 
 def pii_counts(text: Column) -> Column:
     """Map of PII kind -> match count per document (audit companion to
-    :func:`redact_pii`: measure before you scrub)."""
-    return F.map_from_arrays(
-        F.array(*[F.lit(kind) for kind, _, _ in PII_PATTERNS]),
-        F.array(
-            *[
-                F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
-                for _, pattern, _ in PII_PATTERNS
-            ]
-        ),
-    )
+    :func:`redact_pii`: measure before you scrub).
+
+    Counts are taken SEQUENTIALLY on the progressively-redacted text —
+    the same precedence as redact_pii — so an SSN or dotted IP is counted
+    once under its specific kind, never double-reported by the greedy
+    phone pattern, and the audit totals reconcile exactly with what
+    redaction replaces."""
+    kinds, counts = [], []
+    cur = text
+    for kind, pattern, token in PII_PATTERNS:
+        kinds.append(F.lit(kind))
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pattern), 0)))
+        cur = F.regexp_replace(cur, pattern, token)
+    return F.map_from_arrays(F.array(*kinds), F.array(*counts))
 
 
 def fingerprint(text: Column, n_tokens: int = 2) -> Column:
@@ -324,6 +336,8 @@ def winnowing_fingerprints_arrow(
     )
 
     def _doc_fps(text: str) -> np.ndarray:
+        if text is None:  # match the relational form: null text -> no rows
+            return np.empty(0, dtype=np.int64)
         if text.isascii():
             b = text.encode("utf-8")
             n = len(b) - k + 1

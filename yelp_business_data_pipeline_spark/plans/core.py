@@ -60,6 +60,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data_quality_profile",
     """
     SELECT o_orderstatus,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS is_total,
            COUNT(*) AS n_rows,
            (COUNT(*) - COUNT(o_orderkey)) AS null_orderkey,
            (COUNT(*) - COUNT(o_custkey)) AS null_custkey,
@@ -87,7 +88,10 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c.removeprefix('o_')}")
         for c in ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
     ]
+    # grouping() disambiguates the grand-total row from a genuine NULL
+    # o_orderstatus group — exactly the row a null-audit would create.
     return o.rollup("o_orderstatus").agg(
+        F.grouping("o_orderstatus").cast("int").alias("is_total"),
         F.count(F.lit(1)).alias("n_rows"),
         *nulls,
         F.count_if(F.col("o_totalprice") <= 0).alias("n_nonpositive_price"),

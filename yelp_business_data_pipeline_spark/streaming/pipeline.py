@@ -112,6 +112,11 @@ def streaming_sessionize(
     watermark passes the session end, so memory is bounded by active
     sessions, not history — the reason session_window beats a stateful UDF
     here. Returns (user_id, session_start, session_end, n_events).
+
+    Boundary semantics (measured, pinned in the agreement test): an event
+    EXACTLY ``gap`` after the previous one merges into the same session,
+    matching the batch lag construction's strict ``ts > prev + gap`` —
+    the same contract as the oracle-gated sessionize_events.
     """
     ev = spark.readStream.schema(schema).parquet(source_dir)
     return (
