@@ -80,3 +80,39 @@ def test_asof_null_payload_stays_null_and_rows_stay_atomic(spark):
     # l1 matches t=15 -> (NULL, "y"): NULL a must NOT be back-filled with 1,
     # and b must come from the same (t=15) row.
     assert got["l1"] == (None, "y")
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_forward_nearest_match_pandas(spark, direction):
+    from yelp_business_data_pipeline_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 6, 250), "t": rng.integers(0, 5000, 250), "lid": np.arange(250)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 6, 150), "t": rng.integers(0, 5000, 150), "rid": np.arange(150)}
+    )
+    # dedup right per (k, t): forward/nearest keep the SMALLEST rid on ties
+    right_d = right.sort_values("rid").groupby(["k", "t"], as_index=False).first()
+
+    expected = pd.merge_asof(
+        left.sort_values("t"),
+        right_d.sort_values("t").rename(columns={"rid": "asof_rid"}),
+        on="t",
+        by="k",
+        direction=direction,
+    ).sort_values("lid")
+
+    fn = asof_join_forward if direction == "forward" else asof_join_nearest
+    got = (
+        fn(spark.createDataFrame(left), spark.createDataFrame(right), ["k"], "t", "t", ["rid"], right_tiebreak="rid")
+        .toPandas()
+        .sort_values("lid")
+    )
+    exp_pairs = list(zip(expected["lid"], [None if pd.isna(x) else int(x) for x in expected["asof_rid"]]))
+    got_pairs = list(zip(got["lid"], [None if pd.isna(x) else int(x) for x in got["asof_rid"]]))
+    assert got_pairs == exp_pairs

@@ -87,6 +87,104 @@ def asof_join_backward(
     return out.drop("_t", "_side", "_carry")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of: attach the right row with the SMALLEST
+    ``right_ts >= left_ts`` (pandas merge_asof direction='forward').
+
+    Same union-window construction as backward, mirrored: right rows sort
+    AFTER left rows at equal timestamps (inclusive match) and the window
+    looks at following rows via a descending sort + last(ignorenulls)
+    carry. Deterministic tiebreak keeps the SMALLEST ``right_tiebreak``
+    at equal timestamps.
+    """
+    if right_tiebreak is not None:
+        w_dedup = Window.partitionBy(*on, right_ts).orderBy(F.asc(right_tiebreak))
+        right = (
+            right.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    r_tagged = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_carry"),
+    )
+    left_cols = left.columns
+    l_tagged = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_carry"].dataType).alias("_carry"),
+    )
+    extra_left = [c for c in left_cols if c not in on]
+    r_full = r_tagged.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c in extra_left else F.col(c) for c in left_cols],
+        "_t",
+        "_side",
+        "_carry",
+    )
+    unioned = l_tagged.unionByName(r_full)
+    # Descending time: the "most recent previous" row in this order is the
+    # smallest right_ts >= left_ts in real time. _side ascending keeps
+    # right rows (0) before left rows (1) at equal t -> inclusive.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.desc("_t"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = unioned.withColumn("_carry", F.last(F.col("_carry"), ignorenulls=True).over(w))
+    out = unioned.filter(F.col("_side") == 1)
+    for c in payload_cols:
+        out = out.withColumn(f"asof_{c}", F.col("_carry").getField(c))
+    return out.drop("_t", "_side", "_carry")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest as-of: the right row minimizing ``|right_ts - left_ts|``
+    (pandas direction='nearest'; backward wins exact ties, like pandas).
+
+    Composition of the backward and forward passes plus a per-row
+    distance pick — two window shuffles on the same keys (AQE reuses the
+    partitioning), still no range-join blowup.
+    """
+    back = asof_join_backward(left, right, on, left_ts, right_ts, [right_ts, *payload_cols], right_tiebreak)
+    for c in [right_ts, *payload_cols]:
+        back = back.withColumnRenamed(f"asof_{c}", f"_b_{c}")
+    fwd = asof_join_forward(left, right, on, left_ts, right_ts, [right_ts, *payload_cols], right_tiebreak)
+    for c in [right_ts, *payload_cols]:
+        fwd = fwd.withColumnRenamed(f"asof_{c}", f"_f_{c}")
+    joined = back.join(fwd, [*left.columns])
+    b_gap = F.abs(F.col(left_ts).cast("double") - F.col(f"_b_{right_ts}").cast("double"))
+    f_gap = F.abs(F.col(f"_f_{right_ts}").cast("double") - F.col(left_ts).cast("double"))
+    use_back = F.col(f"_f_{right_ts}").isNull() | (
+        F.col(f"_b_{right_ts}").isNotNull() & (b_gap <= f_gap)
+    )
+    out = joined
+    for c in payload_cols:
+        out = out.withColumn(
+            f"asof_{c}", F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+        )
+    drop = [f"_b_{c}" for c in [right_ts, *payload_cols]] + [f"_f_{c}" for c in [right_ts, *payload_cols]]
+    return out.drop(*drop)
+
+
 def time_bucket_range_join(
     left: DataFrame,
     right: DataFrame,
