@@ -345,3 +345,43 @@ def test_unigram_logprob_quality_scoring(spark):
     # deterministic across runs
     again = {r.doc_id: r.mean_logprob for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
     assert got == again
+
+
+def test_chunk_tokens_invariants_property(spark):
+    """Property (hypothesis): for any doc length and any valid
+    (chunk_size, overlap), chunks cover every token in order, consecutive
+    chunks overlap by exactly `overlap` (except a possibly-shorter tail),
+    and no chunk exceeds chunk_size."""
+    from hypothesis import given, settings, strategies as st
+
+    from yelp_business_data_pipeline_spark.operators.text import chunk_tokens
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        chunk_size=st.integers(min_value=2, max_value=64),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    )
+    def check(n, chunk_size, overlap_frac):
+        overlap = min(int(chunk_size * overlap_frac), chunk_size - 1)
+        stride = chunk_size - overlap
+        words = [f"w{i}" for i in range(n)]
+        df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+        rows = sorted(
+            chunk_tokens(df, "doc_id", "text", chunk_size, overlap).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        chunks = [r.chunk_text.split(" ") for r in rows]
+        assert all(len(c) <= chunk_size for c in chunks)
+        # reconstruction: chunk i starts at i*stride and is contiguous
+        for i, c in enumerate(chunks):
+            assert c == words[i * stride : i * stride + len(c)]
+        # full coverage, in order
+        flat = chunks[0] + [t for c in chunks[1:] for t in c[overlap:]]
+        assert flat == words or (len(chunks) == 1 and chunks[0] == words[:chunk_size] and n <= chunk_size)
+        covered = set()
+        for c in chunks:
+            covered.update(c)
+        assert covered == set(words)
+
+    check()
