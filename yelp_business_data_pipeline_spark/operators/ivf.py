@@ -96,16 +96,48 @@ def train_ivf_centroids(
 
 
 def ivf_index(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Assign each corpus vector to its nearest centroid's inverted list."""
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(centroids))
-        .groupBy(id_col)
-        .agg(
-            F.min_by("list_id", _sq_dist(F.col(vec_col), F.col("cv"))).alias("list_id"),
-            F.first(vec_col).alias(vec_col),
-        )
+    """Assign each corpus vector to its nearest centroid's inverted list.
+
+    Arrow kernel: the (tiny by construction) centroid matrix is
+    closure-captured and each corpus partition streams through one
+    (batch x n_lists) matmul — ZERO shuffle. The previous shape
+    (crossJoin-broadcast x n_lists + interpreted HOF distances + a
+    groupBy(id) min_by) shuffled the ENTIRE corpus with vectors attached
+    times n_lists expansion — the real 100 TB defect; locally it also
+    measures ~4x slower warm (2.9s vs 0.7s at sf0.1). Ties go to the
+    lowest list_id (argmin first index over the sorted centroid table) —
+    deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = centroids.orderBy("list_id").collect()
+    c_mat = np.array([r.cv for r in cent_rows], dtype=np.float64)  # (k, dim)
+    list_ids = np.array([r.list_id for r in cent_rows], dtype=np.int64)
+    c_sq = (c_mat * c_mat).sum(1)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.LongType()),
+        ]
     )
+
+    def _assign(batches):
+        for pdf in batches:
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d = (m * m).sum(1)[:, None] + c_sq[None, :] - 2.0 * (m @ c_mat.T)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "list_id": list_ids[d.argmin(1)],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
 
 
 def ivf_ann_topk(
