@@ -220,3 +220,41 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         .count()
     )
     assert n == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join must produce exactly the
+    batch range-join pairs (the oracle-gated range_join_purchase_click
+    semantics: |tp - tc| <= 300s per user)."""
+    import shutil
+
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.streaming.pipeline import (
+        streaming_stream_stream_join,
+    )
+
+    src = str(tmp_path / "events_ss")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    if any(f.name == "ts" and str(f.dataType) == "LongType()" for f in ev.schema.fields):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev.write.parquet(src)
+
+    out = streaming_stream_stream_join(spark, src, ev.schema, max_gap="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.purchase_id, r.click_id, r.gap_s)
+        for r in spark.table("ss_join_out").collect()
+    }
+    batch = {
+        (r.purchase_id, r.click_id, r.gap_s)
+        for r in QUERIES["range_join_purchase_click"].spark(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == batch and batch
+    shutil.rmtree(src, ignore_errors=True)

@@ -130,3 +130,44 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_stream_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    max_gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: purchases joined to the
+    same user's clicks within ``max_gap`` — the streaming twin of the
+    batch range_join_purchase_click query.
+
+    Both sides carry watermarks and the join condition bounds the event
+    times on both sides, so Spark can expire buffered state once the
+    watermark passes each row's join window — without the time bound a
+    stream-stream join must buffer one side forever. Returns
+    (purchase_id, click_id, gap_s).
+    """
+    ev = spark.readStream.schema(schema).parquet(source_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL {max_gap} AND p_ts + INTERVAL {max_gap}"
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.abs(F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).cast("bigint").alias("gap_s"),
+    )
