@@ -96,8 +96,9 @@ def test_asof_forward_nearest_match_pandas(spark, direction):
     right = pd.DataFrame(
         {"k": rng.integers(0, 6, 150), "t": rng.integers(0, 5000, 150), "rid": np.arange(150)}
     )
-    # dedup right per (k, t): forward/nearest keep the SMALLEST rid on ties
-    right_d = right.sort_values("rid").groupby(["k", "t"], as_index=False).first()
+    # dedup right per (k, t) keeping max rid — the operator's single
+    # tiebreak rule for ALL directions (greatest right_tiebreak wins)
+    right_d = right.sort_values("rid").groupby(["k", "t"], as_index=False).last()
 
     expected = pd.merge_asof(
         left.sort_values("t"),
@@ -116,3 +117,37 @@ def test_asof_forward_nearest_match_pandas(spark, direction):
     exp_pairs = list(zip(expected["lid"], [None if pd.isna(x) else int(x) for x in expected["asof_rid"]]))
     got_pairs = list(zip(got["lid"], [None if pd.isna(x) else int(x) for x in got["asof_rid"]]))
     assert got_pairs == exp_pairs
+
+
+def test_asof_nearest_preserves_null_and_duplicate_left_rows(spark):
+    """Regression (review findings): nearest must emit exactly one row per
+    left row — including left rows with NULLs (a null-unsafe re-join
+    dropped them) and duplicate left rows (a re-join multiplied them) —
+    and a NULL left_ts matches nothing in any direction."""
+    from yelp_business_data_pipeline_spark.operators.asof import (
+        asof_join_forward,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, "a", None),   # null payload column
+            (1, 10, "a", None),   # exact duplicate row
+            (1, None, "b", 5),    # null timestamp
+            (2, 7, "c", 1),
+        ],
+        "k int, t int, tag string, extra int",
+    )
+    right = spark.createDataFrame([(1, 8, 100), (1, 12, 200), (2, 9, 300)], "k int, t int, rid int")
+
+    for fn in (asof_join_nearest, asof_join_forward):
+        out = fn(left, right, ["k"], "t", "t", ["rid"]).collect()
+        assert len(out) == 4, f"{fn.__name__} changed left cardinality: {len(out)}"
+        by_tag = {}
+        for r in out:
+            by_tag.setdefault(r.tag, []).append(r.asof_rid)
+        # null left_ts -> null match, never a phantom one
+        assert by_tag["b"] == [None], by_tag
+    # nearest semantics: t=10 is 2 from both 8 and 12 -> backward (8) wins ties
+    near = {r.tag: r.asof_rid for r in asof_join_nearest(left, right, ["k"], "t", "t", ["rid"]).collect()}
+    assert near["a"] == 100 and near["c"] == 300

@@ -1,21 +1,39 @@
-"""As-of (backward temporal) join.
+"""As-of (temporal) joins — backward, forward, nearest.
 
 Spark has no native as-of join (guide: 'As-of / range join — Spark lacks a
 native one'). This implements the scalable union-window construction rather
 than a per-group ``merge_asof`` Pandas UDF:
 
 1. tag both inputs and union them on a common schema;
-2. one window over (keys) ordered by (time, side, tiebreak) — right rows
-   sort before left rows at equal timestamps, making the match inclusive
-   (right.t <= left.t);
-3. ``last(value, ignorenulls=True)`` carries the most recent right-side
-   payload forward;
-4. keep the left rows.
+2. window(s) over (keys) ordered by (time, side) — right rows sort before
+   left rows at equal timestamps, making matches inclusive;
+3. ``last(carry_struct, ignorenulls=True)`` carries the nearest right-side
+   row forward (backward direction: ascending time) and/or backward
+   (forward direction: descending time) — BOTH carries come from the SAME
+   single union, so `nearest` needs no self-join (a re-join on left columns
+   would drop null-bearing left rows and multiply duplicates);
+4. keep the left rows: exactly one output row per left row, always.
 
-Cost: ONE shuffle on the join keys (the union is shuffle-free), versus a
-range-join blowup or a groupBy-collect. Skewed keys are split by AQE since
-the window partitions on the same key as any equivalent join would.
-DuckDB's native ``ASOF LEFT JOIN`` is the oracle twin.
+All payload columns travel inside ONE struct so a single
+last(ignorenulls=True) picks the whole matched row atomically: a NULL
+payload value inside the matched row stays NULL, and every payload column
+provably comes from the same right row.
+
+Null timestamps: right rows with a NULL ``right_ts`` can never match and
+are filtered; left rows with a NULL ``left_ts`` sort BEFORE any right row
+in both window directions (nulls-first) so they get a NULL match, never a
+phantom one.
+
+Cost: ONE shuffle on the join keys (the union is shuffle-free); `nearest`
+adds a second sort over the same partitioning, not a second shuffle.
+Skewed keys are split by AQE since the window partitions on the same key
+as any equivalent join would. DuckDB's native ``ASOF LEFT JOIN`` is the
+oracle twin for the backward direction.
+
+Tiebreak rule (all directions, deterministic): when several right rows
+share a timestamp, the GREATEST ``right_tiebreak`` wins. (pandas
+merge_asof resolves duplicate right keys positionally and differs per
+direction; a single explicit rule is reproducible across engines.)
 """
 
 from __future__ import annotations
@@ -24,7 +42,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def asof_join_backward(
+def asof_join(
     left: DataFrame,
     right: DataFrame,
     on: list[str],
@@ -32,12 +50,17 @@ def asof_join_backward(
     right_ts: str,
     payload_cols: list[str],
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``payload_cols`` from the right row with the
-    greatest ``right_ts <= left_ts`` within the same ``on`` keys (null if no
-    prior right row). If several right rows share a timestamp, the greatest
-    ``right_tiebreak`` wins (dedup to keep semantics deterministic).
+    """Attach ``payload_cols`` (as ``asof_<col>``) from the right row:
+
+    - ``backward``: greatest ``right_ts <= left_ts`` (null if none);
+    - ``forward``:  smallest ``right_ts >= left_ts`` (null if none);
+    - ``nearest``:  whichever of the two is closer in time; exact ties go
+      backward (pandas semantics).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
     if right_tiebreak is not None:
         w_dedup = Window.partitionBy(*on, right_ts).orderBy(F.desc(right_tiebreak))
         right = (
@@ -45,18 +68,17 @@ def asof_join_backward(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    right = right.filter(F.col(right_ts).isNotNull())
 
-    # All payload columns travel inside ONE struct so a single
-    # last(ignorenulls=True) picks the whole matched row atomically: a NULL
-    # payload value inside the matched row stays NULL (it is a non-null
-    # struct), and every payload column provably comes from the same right
-    # row — carrying columns independently would back-fill NULL payloads
-    # from older rows and could mix rows.
+    # Carry struct always includes the matched right timestamp (_rt) so
+    # `nearest` can compare gaps without re-joining.
     r_tagged = right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_carry"),
+        F.struct(
+            F.col(right_ts).alias("_rt"), *[F.col(c) for c in payload_cols]
+        ).alias("_carry"),
     )
     left_cols = left.columns
     l_tagged = left.select(
@@ -75,16 +97,51 @@ def asof_join_backward(
     )
     unioned = l_tagged.unionByName(r_full)
 
-    w = (
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    # nulls_first in BOTH directions: a null-ts left row must precede every
+    # right row so it carries nothing.
+    w_back = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_t"), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("_t").asc_nulls_first(), F.col("_side"))
+        .rowsBetween(*frame)
     )
-    unioned = unioned.withColumn("_carry", F.last(F.col("_carry"), ignorenulls=True).over(w))
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").desc_nulls_first(), F.col("_side"))
+        .rowsBetween(*frame)
+    )
+    if direction in ("backward", "nearest"):
+        unioned = unioned.withColumn("_cb", F.last("_carry", ignorenulls=True).over(w_back))
+    if direction in ("forward", "nearest"):
+        unioned = unioned.withColumn("_cf", F.last("_carry", ignorenulls=True).over(w_fwd))
+
     out = unioned.filter(F.col("_side") == 1)
+    if direction == "backward":
+        picked = F.col("_cb")
+    elif direction == "forward":
+        picked = F.col("_cf")
+    else:
+        b_gap = F.col(left_ts).cast("double") - F.col("_cb").getField("_rt").cast("double")
+        f_gap = F.col("_cf").getField("_rt").cast("double") - F.col(left_ts).cast("double")
+        use_back = F.col("_cf").isNull() | (F.col("_cb").isNotNull() & (b_gap <= f_gap))
+        picked = F.when(use_back, F.col("_cb")).otherwise(F.col("_cf"))
+    out = out.withColumn("_picked", picked)
     for c in payload_cols:
-        out = out.withColumn(f"asof_{c}", F.col("_carry").getField(c))
-    return out.drop("_t", "_side", "_carry")
+        out = out.withColumn(f"asof_{c}", F.col("_picked").getField(c))
+    return out.drop("_t", "_side", "_carry", "_cb", "_cf", "_picked")
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of (see :func:`asof_join`)."""
+    return asof_join(left, right, on, left_ts, right_ts, payload_cols, right_tiebreak, "backward")
 
 
 def asof_join_forward(
@@ -96,56 +153,8 @@ def asof_join_forward(
     payload_cols: list[str],
     right_tiebreak: str | None = None,
 ) -> DataFrame:
-    """Forward as-of: attach the right row with the SMALLEST
-    ``right_ts >= left_ts`` (pandas merge_asof direction='forward').
-
-    Same union-window construction as backward, mirrored: right rows sort
-    AFTER left rows at equal timestamps (inclusive match) and the window
-    looks at following rows via a descending sort + last(ignorenulls)
-    carry. Deterministic tiebreak keeps the SMALLEST ``right_tiebreak``
-    at equal timestamps.
-    """
-    if right_tiebreak is not None:
-        w_dedup = Window.partitionBy(*on, right_ts).orderBy(F.asc(right_tiebreak))
-        right = (
-            right.withColumn("_rn", F.row_number().over(w_dedup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    r_tagged = right.select(
-        *[F.col(k) for k in on],
-        F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_carry"),
-    )
-    left_cols = left.columns
-    l_tagged = left.select(
-        *left_cols,
-        F.col(left_ts).alias("_t"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r_tagged.schema["_carry"].dataType).alias("_carry"),
-    )
-    extra_left = [c for c in left_cols if c not in on]
-    r_full = r_tagged.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c in extra_left else F.col(c) for c in left_cols],
-        "_t",
-        "_side",
-        "_carry",
-    )
-    unioned = l_tagged.unionByName(r_full)
-    # Descending time: the "most recent previous" row in this order is the
-    # smallest right_ts >= left_ts in real time. _side ascending keeps
-    # right rows (0) before left rows (1) at equal t -> inclusive.
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.desc("_t"), F.asc("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    unioned = unioned.withColumn("_carry", F.last(F.col("_carry"), ignorenulls=True).over(w))
-    out = unioned.filter(F.col("_side") == 1)
-    for c in payload_cols:
-        out = out.withColumn(f"asof_{c}", F.col("_carry").getField(c))
-    return out.drop("_t", "_side", "_carry")
+    """Forward as-of (see :func:`asof_join`)."""
+    return asof_join(left, right, on, left_ts, right_ts, payload_cols, right_tiebreak, "forward")
 
 
 def asof_join_nearest(
@@ -157,32 +166,8 @@ def asof_join_nearest(
     payload_cols: list[str],
     right_tiebreak: str | None = None,
 ) -> DataFrame:
-    """Nearest as-of: the right row minimizing ``|right_ts - left_ts|``
-    (pandas direction='nearest'; backward wins exact ties, like pandas).
-
-    Composition of the backward and forward passes plus a per-row
-    distance pick — two window shuffles on the same keys (AQE reuses the
-    partitioning), still no range-join blowup.
-    """
-    back = asof_join_backward(left, right, on, left_ts, right_ts, [right_ts, *payload_cols], right_tiebreak)
-    for c in [right_ts, *payload_cols]:
-        back = back.withColumnRenamed(f"asof_{c}", f"_b_{c}")
-    fwd = asof_join_forward(left, right, on, left_ts, right_ts, [right_ts, *payload_cols], right_tiebreak)
-    for c in [right_ts, *payload_cols]:
-        fwd = fwd.withColumnRenamed(f"asof_{c}", f"_f_{c}")
-    joined = back.join(fwd, [*left.columns])
-    b_gap = F.abs(F.col(left_ts).cast("double") - F.col(f"_b_{right_ts}").cast("double"))
-    f_gap = F.abs(F.col(f"_f_{right_ts}").cast("double") - F.col(left_ts).cast("double"))
-    use_back = F.col(f"_f_{right_ts}").isNull() | (
-        F.col(f"_b_{right_ts}").isNotNull() & (b_gap <= f_gap)
-    )
-    out = joined
-    for c in payload_cols:
-        out = out.withColumn(
-            f"asof_{c}", F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
-        )
-    drop = [f"_b_{c}" for c in [right_ts, *payload_cols]] + [f"_f_{c}" for c in [right_ts, *payload_cols]]
-    return out.drop(*drop)
+    """Nearest as-of (see :func:`asof_join`)."""
+    return asof_join(left, right, on, left_ts, right_ts, payload_cols, right_tiebreak, "nearest")
 
 
 def time_bucket_range_join(

@@ -127,6 +127,12 @@ def ivf_index(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 
     def _assign(batches):
         for pdf in batches:
+            # NULL vectors cannot be assigned (and would break the batch
+            # matmul); drop them — an unindexable vector is useless to ANN.
+            # Ragged dims remain a caller contract (fixed-dim corpus).
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             d = (m * m).sum(1)[:, None] + c_sq[None, :] - 2.0 * (m @ c_mat.T)
             yield pd.DataFrame(

@@ -148,6 +148,13 @@ def streaming_stream_stream_join(
     watermark passes each row's join window — without the time bound a
     stream-stream join must buffer one side forever. Returns
     (purchase_id, click_id, gap_s).
+
+    Gap semantics match the batch query EXACTLY: the batch form truncates
+    timestamps to whole epoch seconds before comparing, so the raw
+    event-time bound here is widened by 1 second (state pruning needs a
+    raw-timestamp condition) and the truncated-gap predicate is applied
+    as a residual filter — otherwise sub-second components make pairs at
+    the boundary diverge between the two engines.
     """
     ev = spark.readStream.schema(schema).parquet(source_dir)
     p = (
@@ -163,11 +170,19 @@ def streaming_stream_stream_join(
     joined = p.join(
         c,
         F.expr(
-            f"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL {max_gap} AND p_ts + INTERVAL {max_gap}"
+            f"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL {max_gap} - INTERVAL 1 SECOND "
+            f"AND p_ts + INTERVAL {max_gap} + INTERVAL 1 SECOND"
         ),
     )
-    return joined.select(
-        "purchase_id",
-        "click_id",
-        F.abs(F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).cast("bigint").alias("gap_s"),
+    import pandas as pd
+
+    trunc_gap = F.abs(F.col("p_ts").cast("long") - F.col("c_ts").cast("long"))
+    max_gap_s = int(pd.Timedelta(max_gap).total_seconds())
+    return (
+        joined.filter(trunc_gap <= F.lit(max_gap_s))
+        .select(
+            "purchase_id",
+            "click_id",
+            trunc_gap.cast("bigint").alias("gap_s"),
+        )
     )
