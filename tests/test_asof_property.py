@@ -83,19 +83,25 @@ def test_asof_null_payload_stays_null_and_rows_stay_atomic(spark):
 
 
 @pytest.mark.parametrize("direction", ["forward", "nearest"])
-def test_asof_forward_nearest_match_pandas(spark, direction):
+@pytest.mark.parametrize("seed,t_range", [(11, 5000), (23, 400)])
+def test_asof_forward_nearest_match_pandas(spark, direction, seed, t_range):
+    """t_range=400 forces duplicate (k, t) right rows so the tiebreak rule
+    is actually exercised (a wide range can sample zero collisions and
+    vacuously pass)."""
     from yelp_business_data_pipeline_spark.operators.asof import (
         asof_join_forward,
         asof_join_nearest,
     )
 
-    rng = np.random.default_rng(11)
+    rng = np.random.default_rng(seed)
     left = pd.DataFrame(
-        {"k": rng.integers(0, 6, 250), "t": rng.integers(0, 5000, 250), "lid": np.arange(250)}
+        {"k": rng.integers(0, 6, 250), "t": rng.integers(0, t_range, 250), "lid": np.arange(250)}
     )
     right = pd.DataFrame(
-        {"k": rng.integers(0, 6, 150), "t": rng.integers(0, 5000, 150), "rid": np.arange(150)}
+        {"k": rng.integers(0, 6, 150), "t": rng.integers(0, t_range, 150), "rid": np.arange(150)}
     )
+    if t_range <= 400:
+        assert right.duplicated(["k", "t"]).any(), "fixture must contain (k,t) collisions"
     # dedup right per (k, t) keeping max rid — the operator's single
     # tiebreak rule for ALL directions (greatest right_tiebreak wins)
     right_d = right.sort_values("rid").groupby(["k", "t"], as_index=False).last()
