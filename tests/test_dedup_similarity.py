@@ -217,6 +217,10 @@ def test_pii_redaction(spark):
     assert red[4] == "no pii here at all"
 
     counts = {r.id: r.c for r in df.select("id", tx.pii_counts(F.col("text")).alias("c")).collect()}
+    # subset audit mirrors subset redaction: email-only counting sees the
+    # email inside the URL (no URL pre-redaction), like redact_pii(kinds=('email',))
+    sub = {r.id: r.c for r in df.select("id", tx.pii_counts(F.col("text"), kinds=("email",)).alias("c")).collect()}
+    assert set(sub[2].keys()) == {"email"} and sub[2]["email"] == 1
     assert counts[1]["email"] == 1 and counts[1]["phone"] == 1
     assert counts[2]["ipv4"] == 1 and counts[2]["url"] == 1
     assert counts[3]["ssn"] == 1
@@ -269,7 +273,7 @@ def test_chunk_tokens_coverage_and_overlap(spark):
 
     words = " ".join(f"w{i}" for i in range(300))
     df = spark.createDataFrame(
-        [(1, words), (2, "short doc only"), (3, ""), (4, None)],
+        [(1, words), (2, "short doc only"), (3, ""), (4, None), (5, "   ")],
         "doc_id long, text string",
     )
     out = chunk_tokens(df, "doc_id", "text", chunk_size=128, overlap=16).collect()
@@ -278,8 +282,8 @@ def test_chunk_tokens_coverage_and_overlap(spark):
         by_doc.setdefault(r.doc_id, []).append(r)
     # short doc -> one chunk, intact
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc only"
-    # empty / null docs -> ZERO chunks (no phantom 1-token chunk)
-    assert 3 not in by_doc and 4 not in by_doc
+    # empty / null / whitespace-only docs -> ZERO chunks (no phantom chunk)
+    assert 3 not in by_doc and 4 not in by_doc and 5 not in by_doc
     # long doc: stride 112 over 300 tokens -> ceil((300-16)/112) = 3 chunks
     chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
     assert len(chunks) == 3

@@ -40,13 +40,13 @@ def test_sketch_merge_matches_global(spark, sf_dir, tmp_path):
     assert est2 == est
 
 
-def test_heavy_hitters_superset_guarantee(spark):
+def test_heavy_hitters_superset_guarantee(spark, sf_dir):
     from yelp_business_data_pipeline_spark.operators.sketches import (
         frequent_tokens,
         verified_heavy_hitters,
     )
 
-    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
     total = toks.count()
     exact = {

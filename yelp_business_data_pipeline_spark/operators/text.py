@@ -120,24 +120,29 @@ def unigram_logprob_scores(df, id_col: str, text_col: str):
     text scores near the corpus mode — threshold on the score to filter,
     exactly like CCNet buckets by LM perplexity.
 
-    Relational shape: one explode + token-count groupBy builds the LM (the
-    only corpus-wide shuffle, reusable across scoring runs), a broadcast
-    join scores tokens, and a per-doc mean folds back. Returns
-    (id, n_tokens, mean_logprob).
+    Relational shape: one explode + token-count groupBy builds the LM,
+    PERSISTED so the totals pass and the scoring join reuse it (not two
+    corpus scans); the score join shuffles on tok — the vocabulary is
+    unbounded (typos, ids), so it is NOT broadcast. The result is
+    materialized (localCheckpoint) before returning so the cached LM can
+    be released immediately. Returns (id, n_tokens, mean_logprob).
     """
     toks = df.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
-    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
-    totals = lm.agg(
-        F.sum("n_tok").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
-    ).collect()[0]
-    denom = float(totals.n_total + totals.n_vocab)  # add-one smoothing
-    scored = toks.join(F.broadcast(lm), "tok", "left").withColumn(
-        "_lp", F.log10((F.coalesce(F.col("n_tok"), F.lit(0)) + 1) / F.lit(denom))
-    )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("_lp"), 6).alias("mean_logprob"),
-    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok")).persist()
+    try:
+        totals = lm.agg(
+            F.sum("n_tok").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
+        ).collect()[0]
+        denom = float(totals.n_total + totals.n_vocab)  # add-one smoothing
+        scored = toks.join(lm, "tok", "left").withColumn(
+            "_lp", F.log10((F.coalesce(F.col("n_tok"), F.lit(0)) + 1) / F.lit(denom))
+        )
+        return scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("_lp"), 6).alias("mean_logprob"),
+        ).localCheckpoint()
+    finally:
+        lm.unpersist()
 
 
 def chunk_tokens(
@@ -164,10 +169,10 @@ def chunk_tokens(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, (i * stride + 1).cast("int"), chunk_size)),
     )
-    # Null/empty documents yield ZERO chunks (split('') is [''], which
-    # would otherwise emit a phantom 1-token chunk inflating the corpus
-    # token budget); posexplode drops the empty array row.
-    valid = F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    # Null/empty/whitespace-only documents yield ZERO chunks (split('')
+    # is [''], which would otherwise emit a phantom chunk inflating the
+    # corpus token budget); posexplode drops the empty array row.
+    valid = F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
     chunks = F.when(valid, chunks).otherwise(F.array().cast("array<string>"))
     out = df.select(
         F.col(id_col),
@@ -206,22 +211,26 @@ def redact_pii(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
     return out
 
 
-def pii_counts(text: Column) -> Column:
+def pii_counts(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
     """Map of PII kind -> match count per document (audit companion to
     :func:`redact_pii`: measure before you scrub).
 
     Counts are taken SEQUENTIALLY on the progressively-redacted text —
     the same precedence as redact_pii — so an SSN or dotted IP is counted
     once under its specific kind, never double-reported by the greedy
-    phone pattern, and the audit totals reconcile exactly with what
-    redaction replaces."""
-    kinds, counts = [], []
+    phone pattern. Pass the SAME ``kinds`` subset you pass to redact_pii
+    and the audit totals reconcile exactly with what redaction replaces
+    (a full-chain count does not describe a subset redaction run)."""
+    selected = {k for k in kinds} if kinds is not None else None
+    out_kinds, counts = [], []
     cur = text
     for kind, pattern, token in PII_PATTERNS:
-        kinds.append(F.lit(kind))
+        if selected is not None and kind not in selected:
+            continue
+        out_kinds.append(F.lit(kind))
         counts.append(F.size(F.regexp_extract_all(cur, F.lit(pattern), 0)))
         cur = F.regexp_replace(cur, pattern, token)
-    return F.map_from_arrays(F.array(*kinds), F.array(*counts))
+    return F.map_from_arrays(F.array(*out_kinds), F.array(*counts))
 
 
 def fingerprint(text: Column, n_tokens: int = 2) -> Column:

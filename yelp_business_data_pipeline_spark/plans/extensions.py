@@ -134,8 +134,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(len(list_distinct({TOKS}))::DOUBLE / len({TOKS}), 6) AS distinct_ratio,
            round(len(list_filter({TOKS}, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
                  / len({TOKS}), 6) AS stopword_ratio,
-           round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-                 / length(text), 6) AS punct_ratio,
+           CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                ELSE round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                           / length(text), 6) END AS punct_ratio,
            round(list_max(list_transform(list_distinct({TOKS}),
                  u -> len(list_filter({TOKS}, t -> t = u))))::DOUBLE
                  / len({TOKS}), 6) AS top_token_ratio
