@@ -136,6 +136,28 @@ def shingle_hashes_from_tokens(token_hashes: Column, n: int = 3) -> Column:
     )
 
 
+def folded_shingle_hashes(token_hashes: Column, n: int) -> Column:
+    """General-n shingle hashes via a Horner fold:
+    ``h = th[i]; h = (h*C1 + th[i+j]) mod 2^32`` for j = 1..n-1.
+
+    The n=3 fast path above uses two fixed multipliers; this fold extends
+    to the longer n-grams decontamination needs (n=5..13) while keeping
+    every intermediate below 2^52 (h < 2^32, C1 < 2^20 — exact int64 on
+    any engine). DuckDB twin nests the identical expression literally.
+    """
+    idx = F.sequence(F.lit(0), F.size(token_hashes) - n)
+
+    def _combine(i: Column) -> Column:
+        acc = F.element_at(token_hashes, (i + 1).cast("int"))
+        for j in range(1, n):
+            acc = (acc * F.lit(SHINGLE_C1) + F.element_at(token_hashes, (i + j + 1).cast("int"))) % F.lit(MINHASH_MOD)
+        return acc
+
+    return F.when(F.size(token_hashes) >= n, F.transform(idx, _combine)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def minhash_rehash(hashes: Column, k: int) -> list[Column]:
     """k affine min-rehashes of a base-hash array."""
 

@@ -1,0 +1,127 @@
+"""Deterministic sampling and corpus-mixing operators (SURVEY.md §2.9 —
+training-data composition; no reference counterpart, the engine adds them
+as first-class LLM-pipeline surface).
+
+Training corpora are MIXED, not dumped: each source gets a sampling rate
+(up- or down-weighting) and a token budget, and the selection must be
+**deterministic** — re-running the pipeline on the same snapshot must pick
+the same documents, or downstream dedup/eval splits silently shift. Spark's
+``df.sample`` is seed-stable only per partition layout, so these operators
+derive keep/drop decisions from a content-independent portable hash of the
+document key instead:
+
+- :func:`hash_unit` — md5-based uniform draw in [0, 1) per key. Portable:
+  the DuckDB oracle reproduces the identical doubles, and the decision
+  survives repartitioning, cluster resize, and engine swap.
+- :func:`hash_sample` — Bernoulli(p) sampling by hash threshold. At 100 TB
+  this is a narrow (shuffle-free) transformation: the filter is pushed to
+  the scan and every executor decides locally.
+- :func:`stratified_sample` — per-stratum rates from a rate expression or
+  a small dict (broadcast-join-free: the rate is a column expression).
+- :func:`select_to_token_budget` — per-stratum quality-ranked selection up
+  to a token budget: one window (single shuffle on the stratum key) whose
+  running token sum caps each source's contribution. The standard
+  "N billion tokens from source X, best-first" composition step.
+
+Determinism rule: every ordering used for budget selection carries a full
+tie-break (metric, then key) so the selected set is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash
+
+#: 2^32 — portable_hash's range; divides a hash into a unit uniform.
+_HASH_RANGE = float(1 << 32)
+
+
+def hash_unit(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform draw in [0, 1) from a key column.
+
+    ``md5(salt || key)`` first-8-hex-digits / 2^32 — i.i.d. across distinct
+    keys, reproducible anywhere md5 exists. DuckDB twin::
+
+        ('0x' || substr(md5(salt || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0
+
+    Non-string keys are cast to string first (both engines render integers
+    identically). Distinct salts give independent draws for the same key —
+    use one salt per sampling decision (sample vs holdout vs shard).
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return portable_hash(c.cast("string"), salt=salt) / F.lit(_HASH_RANGE)
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, salt: str = "s:") -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample: keep rows whose
+    :func:`hash_unit` draw falls below ``fraction``.
+
+    Unlike ``df.sample(fraction, seed)`` the decision is a pure function of
+    the key — stable across partitioning, retries, and scale factors
+    (a doc kept at sf0.01 is kept at sf100). Narrow op: no shuffle."""
+    return df.filter(hash_unit(key, salt) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    rate: Column | dict[str, float],
+    stratum: str = "source",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus mixing / re-weighting).
+
+    ``rate`` is either a column expression computing the stratum's keep
+    probability, or a dict {stratum_value: rate} (compiled to a CASE chain;
+    unlisted strata drop to 0.0). Keeps the rate as a ``_rate`` column so
+    downstream stages (budgeting, reporting) can account for the applied
+    weights. Shuffle-free: rate lookup and hash draw are row-local."""
+    if isinstance(rate, dict):
+        expr: Column = F.lit(0.0)
+        # Build when-chain in sorted order for a deterministic plan.
+        chain = None
+        for k, v in sorted(rate.items()):
+            cond = F.col(stratum) == k
+            chain = F.when(cond, float(v)) if chain is None else chain.when(cond, float(v))
+        expr = chain.otherwise(0.0) if chain is not None else expr
+    else:
+        expr = rate
+    out = df.withColumn("_rate", expr)
+    return out.filter(hash_unit(key, salt) < F.col("_rate"))
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    stratum: str = "source",
+    order_by: list[Column] | None = None,
+    cum_col: str = "_cum_tokens",
+) -> DataFrame:
+    """Quality-ranked token-budget selection per stratum.
+
+    Orders each stratum by ``order_by`` (default: ``token_col`` desc with
+    key-free tie-break — callers should pass a full tie-breaking order) and
+    keeps every row that STARTS within the budget: rows where the running
+    token sum before the row is < ``budget``. The last selected row may
+    overflow the budget (document granularity — standard for corpus
+    composition; trim at the packing stage if exact budgets matter).
+
+    One shuffle (window partition on the stratum); the running sum is
+    integer-exact so the selection is engine-portable. DuckDB twin::
+
+        SUM(tok) OVER (PARTITION BY stratum ORDER BY ... ROWS UNBOUNDED
+        PRECEDING) - tok < budget
+    """
+    if order_by is None:
+        order_by = [F.desc(token_col)]
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(cum_col, F.sum(F.col(token_col)).over(w))
+    return out.filter(F.col(cum_col) - F.col(token_col) < F.lit(int(budget)))
