@@ -101,36 +101,6 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "conditional_buckets",
-    """
-    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
-                WHEN o_totalprice < 150000 THEN 'medium'
-                ELSE 'large' END AS bucket,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
-    FROM orders GROUP BY 1
-    """,
-    doc="C8 when/otherwise conditional buckets (reference Business_ETL.py:121-126, "
-    "Review_ETL.py:80-84 label thresholds).",
-)
-def conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = tbl(spark, sf_dir, "orders")
-    bucket = (
-        F.when(F.col("o_totalprice") < 50000, "small")
-        .when(F.col("o_totalprice") < 150000, "medium")
-        .otherwise("large")
-    )
-    return (
-        o.withColumn("bucket", bucket)
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
-        )
-    )
-
-
-@query(
     "horizontal_row_sum",
     """
     SELECT l_orderkey, l_linenumber,
@@ -698,23 +668,38 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
            CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS price_bucket,
            COUNT(*) AS n_orders,
-           COUNT(DISTINCT o_custkey) AS n_customers
-    FROM orders GROUP BY 1, 2
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY 1, 2, 3
     """,
     doc="C10 date/time functions (reference to_timestamp/to_date "
     "Review_ETL.py:92-93, months_between User_ETL.py:86-92): calendar "
-    "extraction + group. Extracted ints, not raw timestamps (ns-vs-us safe).",
+    "extraction + group. Extracted ints, not raw timestamps (ns-vs-us "
+    "safe). Carries the C8 when/otherwise price buckets (reference "
+    "Business_ETL.py:121-126, Review_ETL.py:80-84 label thresholds) as a "
+    "third group key — round 2's standalone conditional_buckets query, "
+    "merged here for the 50-slot gate; same scan, same shuffle.",
 )
 def date_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tbl(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
     return (
         o.withColumn("order_year", F.year("o_orderdate").cast("int"))
         .withColumn("order_month", F.month("o_orderdate").cast("int"))
-        .groupBy("order_year", "order_month")
+        .withColumn("price_bucket", bucket)
+        .groupBy("order_year", "order_month", "price_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
         )
     )
 

@@ -37,6 +37,15 @@ def _sql_shingles(n: int = 3) -> str:
     return f"list_transform(range(1, len(t) - {n - 2}), i -> {parts})"
 
 
+def _sql_shingle_hashes() -> str:
+    from ..operators.dedup import MINHASH_MOD, SHINGLE_C1, SHINGLE_C2
+
+    return (
+        f"list_transform(range(1, len(th) - 1), "
+        f"i -> (th[i] * {SHINGLE_C1} + th[i+1] * {SHINGLE_C2} + th[i+2]) % {MINHASH_MOD})"
+    )
+
+
 def _sql_minhash_bands(k: int = 8, rows_per_band: int = 2) -> str:
     from ..operators.dedup import MINHASH_MOD, SHINGLE_C1, SHINGLE_C2, minhash_params
 
@@ -93,28 +102,71 @@ def _sql_simhash(bits: int = 16) -> str:
 
 
 @query(
-    "doc_token_stats",
+    "doc_stats_panel",
     f"""
+    WITH q AS (
+      SELECT lang, n_chars,
+             len({TOKS}) AS n_tokens,
+             len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS n_bpe,
+             round(len(list_distinct({TOKS}))::DOUBLE / len({TOKS}), 6) AS distinct_ratio,
+             round(len(list_filter({TOKS}, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
+                   / len({TOKS}), 6) AS stopword_ratio,
+             CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+                  ELSE round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                             / length(text), 6) END AS punct_ratio,
+             round(list_max(list_transform(list_distinct({TOKS}),
+                   u -> len(list_filter({TOKS}, t -> t = u))))::DOUBLE
+                   / len({TOKS}), 6) AS top_token_ratio
+      FROM documents
+    )
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(len({TOKS})) AS BIGINT) AS total_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))) AS BIGINT)
-             AS total_bpe_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(len({TOKS})) AS BIGINT)::DOUBLE / COUNT(*) AS avg_tokens
-    FROM documents GROUP BY lang
+           CAST(SUM(n_tokens) AS BIGINT)::DOUBLE / COUNT(*) AS avg_tokens,
+           round(CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_distinct_ratio,
+           round(CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_stopword_ratio,
+           round(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_punct_ratio,
+           round(CAST(SUM(CAST(top_token_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_top_token_ratio,
+           CAST(COUNT(*) FILTER (distinct_ratio >= 0.3) AS BIGINT) AS n_quality_pass
+    FROM q GROUP BY lang
     """,
-    doc="Token counting per corpus slice — the basic training-data budget "
-    "metric, two tokenizers per the spec: whitespace words (JVM split) "
-    "AND a BPE-ish regex (letter runs / single digits / punctuation — "
-    "approximates subword token budgets; identical pattern semantics "
-    "under Java regex and RE2, so the oracle reproduces it).",
+    doc="Token counting AND quality scoring per corpus slice in ONE scan "
+    "(round-2 registered them as two queries; merged for the 50-slot gate "
+    "and because one pass is the right 100 TB shape). Two tokenizers "
+    "(whitespace words + BPE-ish regex, identical semantics under Java "
+    "regex and RE2), then the standard corpus-cleaning panel — lexical "
+    "diversity, stopword density, punctuation density (C4-style "
+    "boilerplate signal), top-token concentration (Gopher-style "
+    "repetition) — aggregated per lang with decimal-routed double sums "
+    "plus the quality-gate pass count. Per-doc ratios are rounded before "
+    "summing so both engines aggregate identical doubles.",
 )
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
+    raw_ratio = (
+        F.size(F.array_distinct(tx.tokens_col(F.col("text")))).cast("double")
+        / F.size(tx.tokens_col(F.col("text")))
+    )
+
+    def _avg6(col: str) -> F.Column:
+        return F.round(
+            F.sum(F.col(col).cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        )
+
     return (
         d.withColumn("n_tokens", tx.token_count(F.col("text")))
         .withColumn("n_bpe", tx.bpe_ish_token_count(F.col("text")))
+        .withColumn("distinct_ratio", tx.distinct_token_ratio(F.col("text")))
+        .withColumn("stopword_ratio", tx.stopword_ratio(F.col("text"), "en"))
+        .withColumn("punct_ratio", tx.punct_ratio(F.col("text")))
+        .withColumn("top_token_ratio", tx.top_token_ratio(F.col("text")))
+        .withColumn("quality_pass", (raw_ratio >= 0.3).cast("int"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -122,47 +174,11 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bpe").alias("total_bpe_tokens"),
             F.sum("n_chars").alias("total_chars"),
             (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
-        )
-    )
-
-
-@query(
-    "doc_quality_scores",
-    f"""
-    SELECT doc_id,
-           CAST(len({TOKS}) AS INTEGER) AS n_tokens,
-           round(len(list_distinct({TOKS}))::DOUBLE / len({TOKS}), 6) AS distinct_ratio,
-           round(len(list_filter({TOKS}, t -> list_contains(['the','a','of','and','to','in','is','it'], t)))::DOUBLE
-                 / len({TOKS}), 6) AS stopword_ratio,
-           CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-                ELSE round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
-                           / length(text), 6) END AS punct_ratio,
-           round(list_max(list_transform(list_distinct({TOKS}),
-                 u -> len(list_filter({TOKS}, t -> t = u))))::DOUBLE
-                 / len({TOKS}), 6) AS top_token_ratio
-    FROM documents
-    WHERE len(list_distinct({TOKS}))::DOUBLE / len({TOKS}) >= 0.3
-    """,
-    doc="Quality scoring: lexical diversity, stopword density, punctuation "
-    "density (C4-style markup/boilerplate signal) and top-token "
-    "concentration (Gopher-style repetition signal) — the standard "
-    "corpus-cleaning panel as pure column math, filter pushed into the "
-    "scan stage.",
-)
-def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
-    toks = tx.tokens_col(F.col("text"))
-    raw_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
-    return (
-        d.withColumn("n_tokens", tx.token_count(F.col("text")))
-        .withColumn("distinct_ratio", tx.distinct_token_ratio(F.col("text")))
-        .withColumn("stopword_ratio", tx.stopword_ratio(F.col("text"), "en"))
-        .withColumn("punct_ratio", tx.punct_ratio(F.col("text")))
-        .withColumn("top_token_ratio", tx.top_token_ratio(F.col("text")))
-        .filter(raw_ratio >= 0.3)
-        .select(
-            "doc_id", "n_tokens", "distinct_ratio", "stopword_ratio",
-            "punct_ratio", "top_token_ratio",
+            _avg6("distinct_ratio").alias("avg_distinct_ratio"),
+            _avg6("stopword_ratio").alias("avg_stopword_ratio"),
+            _avg6("punct_ratio").alias("avg_punct_ratio"),
+            _avg6("top_token_ratio").alias("avg_top_token_ratio"),
+            F.sum("quality_pass").alias("n_quality_pass"),
         )
     )
 
@@ -265,7 +281,7 @@ def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "jaccard_similar_pairs",
+    "jaccard_pairs_panel",
     f"""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
     toks AS (
@@ -276,22 +292,97 @@ def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
       FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ), tok_pairs AS (
+      SELECT id_a, id_b,
+             round(n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON inter.id_a = sa.doc_id
+      JOIN sizes sb ON inter.id_b = sb.doc_id
+      WHERE round(n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5
+    ),
+    ndocs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    tokh AS (
+      SELECT doc_id, list_transform({TOKS}, tok -> {_sql_hash('tok', 'mh:')}) AS th
+      FROM ndocs WHERE len({TOKS}) >= 3
+    ), nsh AS (
+      SELECT doc_id, unnest(list_distinct({_sql_shingle_hashes()})) AS shingle
+      FROM tokh
+    ), nsizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM nsh GROUP BY doc_id
+    ), ninter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM nsh a JOIN nsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), ngram_pairs AS (
+      SELECT id_a, id_b,
+             round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+      FROM ninter
+      JOIN nsizes sa ON ninter.id_a = sa.doc_id
+      JOIN nsizes sb ON ninter.id_b = sb.doc_id
+      WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.02
     )
-    SELECT id_a, id_b,
-           round(n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON inter.id_a = sa.doc_id
-    JOIN sizes sb ON inter.id_b = sb.doc_id
-    WHERE round(n_inter::DOUBLE / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5
+    SELECT 'token' AS family, * FROM tok_pairs
+    UNION ALL
+    SELECT 'ngram3' AS family, * FROM ngram_pairs
     """,
-    doc="Exact n-gram/token Jaccard similarity join via inverted-index "
-    "self-join — the verification stage of near-dup dedup. Bounded to a "
-    "fixed doc window here (constant cost across SFs); at scale it runs "
-    "only on LSH candidate pairs.",
+    doc="Exact Jaccard similarity joins, both granularities in one result "
+    "(round-2 registered them as two queries; merged for the 50-slot "
+    "gate): family='token' is distinct-token-set Jaccard >= 0.5 on a "
+    "bounded doc window — the verification stage of near-dup dedup; "
+    "family='ngram3' is word-3-gram Jaccard >= 0.02 over shingle hashes "
+    "shared with the MinHash pipeline (doc_id < 200, measured ~57 pairs "
+    "at sf0.001 / ~58 at sf0.01 with max J ~0.98 — non-vacuous at both "
+    "SFs). Both are inverted-index self-joins, bounded windows standing "
+    "in for LSH-candidate inputs at scale.",
 )
-def jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    return dd.token_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+def jaccard_pairs_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d80 = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    tok_pairs = dd.token_jaccard_pairs(d80, "doc_id", "text", threshold=0.5)
+
+    d200 = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.split(F.col("text"), " ")
+    hashed = d200.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.transform(toks, lambda t: dd.portable_hash(t, salt="mh:")).alias("_th"),
+    )
+    sh = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dd.shingle_hashes_from_tokens(F.col("_th"), 3))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    ngram_pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.02)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return tok_pairs.withColumn("family", F.lit("token")).select(
+        "family", "id_a", "id_b", "jaccard"
+    ).unionAll(
+        ngram_pairs.withColumn("family", F.lit("ngram3")).select(
+            "family", "id_a", "id_b", "jaccard"
+        )
+    )
 
 
 @query(
@@ -492,89 +583,6 @@ def winnowing_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _sql_shingle_hashes() -> str:
-    from ..operators.dedup import MINHASH_MOD, SHINGLE_C1, SHINGLE_C2
-
-    return (
-        f"list_transform(range(1, len(th) - 1), "
-        f"i -> (th[i] * {SHINGLE_C1} + th[i+1] * {SHINGLE_C2} + th[i+2]) % {MINHASH_MOD})"
-    )
-
-
-@query(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-    tokh AS (
-      SELECT doc_id, list_transform({TOKS}, tok -> {_sql_hash('tok', 'mh:')}) AS th
-      FROM docs WHERE len({TOKS}) >= 3
-    ), sh AS (
-      SELECT doc_id, unnest(list_distinct({_sql_shingle_hashes()})) AS shingle
-      FROM tokh
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON inter.id_a = sa.doc_id
-    JOIN sizes sb ON inter.id_b = sb.doc_id
-    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.02
-    """,
-    doc="Word-3-gram Jaccard similarity join (the n-gram variant of "
-    "jaccard_similar_pairs; shingle hashes shared with the MinHash "
-    "pipeline): inverted index on shingle hash, exact set Jaccard, "
-    "bounded doc window. The ground truth MinHash's band collisions "
-    "estimate — at scale it runs only on LSH candidates. Window/threshold "
-    "tuned to the corpus (doc_id < 200, J >= 0.02): measured ~57 pairs at "
-    "sf0.001 and ~58 at sf0.01 with max J ~0.98 (real template near-dups), "
-    "so the oracle comparison exercises the arithmetic — the round-1 "
-    "(window 60, 0.05) setting matched vacuously on 0 rows at sf0.01.",
-)
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    toks = F.split(F.col("text"), " ")
-    hashed = d.filter(F.size(toks) >= 3).select(
-        "doc_id",
-        F.transform(toks, lambda t: dd.portable_hash(t, salt="mh:")).alias("_th"),
-    )
-    sh = hashed.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(dd.shingle_hashes_from_tokens(F.col("_th"), 3))
-        ).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.02)
-        .select("id_a", "id_b", "jaccard")
-    )
-
-
 @query(
     "hypertable_rollup_events",
     """
@@ -661,6 +669,160 @@ def multimodal_feature_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"),
         *[F.col("features").getItem(i).cast("double").alias(f"f{i}") for i in range(8)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition (round 3): deterministic mixing/budgeting, sequence
+# packing, benchmark decontamination — operators/{sampling,packing,decontam}
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_mix_budget",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len({TOKS}) AS tok,
+             CAST(substr(source, 4) AS INTEGER) AS src_idx,
+             ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    ), s AS (
+      SELECT * FROM d WHERE u < 0.2 + 0.15 * (src_idx % 5)
+    ), r AS (
+      SELECT *, SUM(tok) OVER (PARTITION BY source ORDER BY tok DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(COUNT(*) FILTER (cum - tok < 300) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(tok) FILTER (cum - tok < 300), 0) AS BIGINT) AS tok_selected
+    FROM r GROUP BY source
+    """,
+    doc="Corpus mixing + token budgeting (operators/sampling.py), the "
+    "training-data composition step: per-source deterministic hash "
+    "sampling (portable md5 unit draws — the decision survives "
+    "repartitioning and engine swap; rates 0.2-0.8 derived per source), "
+    "then largest-doc-first selection up to a 300-token budget per source "
+    "via one windowed running sum. Sampling is shuffle-free; budgeting "
+    "shuffles once on the stratum key. Oracle reproduces the identical "
+    "hash doubles and integer running sums.",
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as smp
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .withColumn("tok", tx.token_count(F.col("text")))
+        .withColumn("src_idx", F.substring("source", 4, 10).cast("int"))
+    )
+    rate = F.lit(0.2) + F.lit(0.15) * (F.col("src_idx") % 5)
+    sampled = smp.stratified_sample(d, "doc_id", rate, salt="mix:")
+    # An unreachable budget keeps every sampled row while still attaching
+    # the operator's running sum; the 300-token cut becomes a flag so the
+    # report covers selected AND rejected rows in one aggregation.
+    ranked = smp.select_to_token_budget(
+        sampled, "tok", 1 << 62, order_by=[F.desc("tok"), F.col("doc_id")]
+    )
+    sel = F.col("_cum_tokens") - F.col("tok") < 300
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(sel.cast("int")).cast("bigint").alias("n_selected"),
+        F.coalesce(F.sum(F.when(sel, F.col("tok"))), F.lit(0)).cast("bigint").alias("tok_selected"),
+    )
+
+
+@query(
+    "sequence_packing_offsets",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len({TOKS}) AS tok FROM documents
+      WHERE len({TOKS}) > 0
+    ), r AS (
+      SELECT *, SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT source, doc_id, CAST(tok AS BIGINT) AS tok,
+           CAST(cum - tok AS BIGINT) AS start_offset,
+           CAST((cum - tok) // 256 AS BIGINT) AS bin_start,
+           CAST((cum - 1) // 256 AS BIGINT) AS bin_end,
+           CAST((cum - 1) // 256 - (cum - tok) // 256 + 1 AS INTEGER) AS n_bins_spanned
+    FROM r
+    """,
+    doc="Concat-split sequence packing (operators/packing.py): each "
+    "source's token stream laid end-to-end and cut every 256 tokens; "
+    "per-document placement (start offset, first/last context window, "
+    "straddle span). Pure window arithmetic — one shuffle on the stream "
+    "key, integer-exact, no UDF — the 100 TB packing shape. The no-split "
+    "next-fit variant (applyInPandas) is pytest-pinned against a "
+    "pure-python reference.",
+)
+def sequence_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_concat_split
+
+    d = tbl(spark, sf_dir, "documents").withColumn("tok", tx.token_count(F.col("text")))
+    placed = pack_concat_split(d, "tok", 256, order_by=[F.col("doc_id")])
+    return placed.select(
+        "source",
+        "doc_id",
+        F.col("tok").cast("bigint").alias("tok"),
+        F.col("start_offset").cast("bigint").alias("start_offset"),
+        "bin_start",
+        "bin_end",
+        "n_bins_spanned",
+    )
+
+
+def _sql_folded_shingles(n: int) -> str:
+    """DuckDB twin of ``dedup.folded_shingle_hashes`` — generated by the
+    same Horner fold so the nesting cannot drift from the operator."""
+    from ..operators.dedup import MINHASH_MOD, SHINGLE_C1
+
+    acc = "th[i]"
+    for j in range(1, n):
+        acc = f"(({acc}) * {SHINGLE_C1} + th[i+{j}]) % {MINHASH_MOD}"
+    return f"list_transform(range(1, len(th) - {n - 2}), i -> {acc})"
+
+
+@query(
+    "decontam_ngram_overlap",
+    f"""
+    WITH tokh AS (
+      SELECT doc_id,
+             list_transform({TOKS}, tok -> {_sql_hash('tok', 'mh:')}) AS th
+      FROM documents WHERE len({TOKS}) >= 5
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct({_sql_folded_shingles(5)})) AS shingle
+      FROM tokh
+    ), bench AS (
+      SELECT DISTINCT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 19 = 0
+    ), train AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id % 19 != 0
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.shingle) AS n_shared_shingles,
+           COUNT(DISTINCT b.bench_id) AS n_bench_docs
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+    """,
+    doc="Benchmark decontamination (operators/decontam.py, GPT-3-appendix-C "
+    "style): training docs sharing any word-5-gram with the held-out "
+    "benchmark slice (doc_id % 19 = 0 stands in for an eval set), with "
+    "shared-shingle and benchmark-doc evidence counts. The bench shingle "
+    "set broadcasts, so the training corpus is never shuffled for the "
+    "join — the 100 TB decontamination shape. Horner-fold shingle hashes "
+    "(exact int64) shared with the MinHash family; flags the corpus' "
+    "template near-dups (4-5 docs at sf0.01), not common phrases.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import ngram_contamination
+
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    train = d.filter(F.col("doc_id") % 19 != 0)
+    return ngram_contamination(train, bench, "doc_id", "text", n=5)
 
 
 # ---------------------------------------------------------------------------
