@@ -241,7 +241,7 @@ def bucket_pairs(buckets: DataFrame, ids_col: str = "_ids") -> DataFrame:
 
 
 def deletion_neighborhood_candidates(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str, hash_variants: bool = True
 ) -> DataFrame:
     """Candidate pairs for edit distance <= 1 via deletion-neighborhood
     blocking (the SymSpell construction): each string generates itself plus
@@ -260,8 +260,17 @@ def deletion_neighborhood_candidates(
     Plan shape: per-row variant array (length+1, deduped) -> posexplode ->
     groupBy variant (bucket = strings agreeing everywhere but the deleted
     position, so |bucket| <= alphabet size) -> in-bucket pair expansion ->
-    distinct. One shuffle on uniform variant strings, no self-join, no
+    distinct. One shuffle on uniform variant keys, no self-join, no
     crossJoin.
+
+    ``hash_variants`` (default) shuffles xxhash64(variant) longs instead of
+    the variant strings — fixed 8-byte shuffle keys vs name-length strings,
+    the right blocking-key shape at 100 TB. A hash collision can only MERGE
+    two buckets, i.e. ADD candidate pairs, and the edit-distance verify
+    stage removes them — recall stays 1.0 by the same argument as the
+    construction itself (any true distance<=1 pair already shares a real
+    variant). Set False only when the bucket keys themselves must be
+    human-readable strings.
     """
     name = F.col(text_col)
     variants = F.array_distinct(
@@ -276,6 +285,8 @@ def deletion_neighborhood_candidates(
             ),
         )
     )
+    if hash_variants:
+        variants = F.transform(variants, lambda v: F.xxhash64(v))
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(variants).alias("_v")
     )
