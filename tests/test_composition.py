@@ -197,3 +197,39 @@ def test_contamination_plan_broadcasts_bench(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 19 != 0)
     plan = ngram_contamination(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the corpus side must not shuffle for the join
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signal
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_ratio_semantics(spark):
+    from yelp_business_data_pipeline_spark.operators.text import repetition_ratio
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # one distinct 3-gram
+        (2, "the quick brown fox jumps over lazily"),  # all distinct
+        (3, "a b"),                                    # shorter than n -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.rep for r in df.select(
+        "doc_id", repetition_ratio(F.col("text"), 3).alias("rep")).collect()}
+    assert got[3] == 0.0
+    assert got[2] == 0.0            # no repeated 3-gram
+    assert got[1] == round(1 - 1 / 4, 6)  # 4 shingles, 1 distinct
+    # duckdb twin agreement on the corpus formula
+    import duckdb
+    con = duckdb.connect()
+    want = con.execute("""
+      WITH t AS (SELECT 'x y x y x y x y' AS text)
+      SELECT round(1 - len(list_distinct(g))::DOUBLE / len(g), 6) FROM (
+        SELECT list_transform(range(1, len(th) - 1),
+               i -> (((th[i]) * 1000003 + th[i+1]) % 4294967296 * 1000003 + th[i+2]) % 4294967296) AS g
+        FROM (SELECT list_transform(string_split(text, ' '),
+                     tok -> ('0x' || substr(md5('mh:' || tok), 1, 8))::BIGINT) AS th FROM t)
+      )
+    """).fetchone()[0]
+    got2 = spark.createDataFrame([("x y x y x y x y",)], "text string").select(
+        repetition_ratio(F.col("text"), 3).alias("rep")).first().rep
+    assert got2 == want

@@ -97,3 +97,20 @@ def test_schema_evolution_on_append(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert set(merged.columns) == {"id", "v", "score"}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
+    """ORC is the other columnar format Spark speaks natively; the engine's
+    readers are format-agnostic DataFrame reads, so a user with ORC inputs
+    (common on Hive-era lakes) needs no conversion step. Round-trips values
+    and keeps filter pushdown in the scan."""
+    out = str(tmp_path / "orc_t")
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 7 AS INT) AS k", "id * 1.5 AS v")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == 1000
+    got = back.filter("k = 3").agg({"v": "sum"}).first()[0]
+    want = df.filter("k = 3").agg({"v": "sum"}).first()[0]
+    assert got == want
+    plan = back.filter("k = 3")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan

@@ -233,6 +233,27 @@ def pii_counts(text: Column, kinds: tuple[str, ...] | None = None) -> Column:
     return F.map_from_arrays(F.array(*out_kinds), F.array(*counts))
 
 
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Duplicate word-n-gram fraction: 1 - distinct_ngrams/total_ngrams
+    (Gopher / RefinedWeb repetition filter — looped or templated text
+    repeats its own n-grams; prose doesn't). 0.0 for docs shorter than n
+    tokens. Per-row HOF over the shared shingle machinery, zero shuffle;
+    DuckDB twin: 1 - len(list_distinct(g))/len(g) over the same folded
+    shingle hashes."""
+    from .dedup import folded_shingle_hashes, portable_hash
+
+    toks = tokens_col(text)
+    th = F.transform(toks, lambda t: portable_hash(t, salt="mh:"))
+    grams = folded_shingle_hashes(th, n)
+    return F.when(
+        F.size(grams) < 1, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            1 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
+        )
+    )
+
+
 def fingerprint(text: Column, n_tokens: int = 2) -> Column:
     """Prefix-token document fingerprint: md5 of the first ``n_tokens``
     whitespace tokens. A cheap rolling-hash stand-in for near-dup blocking;
