@@ -112,3 +112,24 @@ def test_whole_stage_codegen(spark, sf_dir):
     df.collect()  # count() would build a different plan; collect finalizes THIS one
     p = plan_str(df, "simple")
     assert "isFinalPlan=true" in p and "*(" in p, p
+
+
+def test_composition_query_plan_shapes(spark, sf_dir):
+    """Round-3 composition queries keep their scale shapes: packing and
+    budgeting exchange only on the stream/stratum key (window shuffles),
+    sampling adds no exchange of its own, and decontamination broadcasts
+    the benchmark side instead of shuffling the corpus."""
+    pack = plan_str(QUERIES["sequence_packing_offsets"].spark(spark, sf_dir))
+    # one window shuffle (its sort partitions by source) and nothing else
+    assert pack.count("hashpartitioning(") == 1, pack
+    assert "BatchEvalPython" not in pack and "ArrowEvalPython" not in pack
+
+    mix = plan_str(QUERIES["corpus_mix_budget"].spark(spark, sf_dir))
+    # stratum window + final groupBy reuse the same source partitioning:
+    # the hash-sample filter itself must not exchange
+    assert mix.count("hashpartitioning(") <= 2, mix
+    assert "BatchEvalPython" not in mix and "ArrowEvalPython" not in mix
+
+    dec = plan_str(QUERIES["decontam_ngram_overlap"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in dec, dec
+    assert "SortMergeJoin" not in dec, dec
