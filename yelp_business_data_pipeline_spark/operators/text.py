@@ -336,7 +336,8 @@ def winnowing_fingerprints_long(
 
 
 def winnowing_fingerprints_arrow(
-    df, id_col: str, text_col: str, k: int = 8, window: int = 4
+    df, id_col: str, text_col: str, k: int = 8, window: int = 4,
+    min_partitions: int | None = None,
 ):
     """Winnowing fingerprints via an Arrow kernel — the zero-shuffle shape.
 
@@ -347,12 +348,21 @@ def winnowing_fingerprints_arrow(
     mapInPandas and does hash -> sliding-window min (numpy stride view)
     -> distinct entirely inside the partition. Values are EXACTLY the
     md5 construction the DuckDB oracle reproduces (hashlib md5 ==
-    Spark/DuckDB md5; int(hex8) == conv(substr(md5,1,8),16,10)) — pinned
+    Spark/DuckDB md5; int.from_bytes(digest[:4]) == conv(substr(md5,1,8),16,10),
+    cheaper than hexdigest+parse) — pinned
     equal to the relational form in pytest. Measured 3x end-to-end at
     sf0.1 (6.0s -> 2.0s).
 
     Spark's substring is character-based, so non-ASCII docs take the
     char-slice path; ASCII (the common case) slices bytes directly.
+
+    ``min_partitions``: the kernel's parallelism equals the INPUT
+    partitioning — a small corpus in one parquet file runs the whole
+    hash pass in a single Python worker. Passing the cluster's core
+    count round-robins the raw (id, text) rows first: a tiny exchange
+    (the un-exploded rows) that unlocks full-width hashing. At real
+    scale the input already has thousands of splits — leave it None and
+    the kernel stays literally zero-shuffle.
     """
     import hashlib
 
@@ -374,7 +384,7 @@ def winnowing_fingerprints_arrow(
             if n < window:
                 return np.empty(0, dtype=np.int64)
             h = np.fromiter(
-                (int(hashlib.md5(b"wn:" + b[i : i + k]).hexdigest()[:8], 16) for i in range(n)),
+                (int.from_bytes(hashlib.md5(b"wn:" + b[i : i + k]).digest()[:4], "big") for i in range(n)),
                 dtype=np.int64,
                 count=n,
             )
@@ -384,7 +394,9 @@ def winnowing_fingerprints_arrow(
                 return np.empty(0, dtype=np.int64)
             h = np.fromiter(
                 (
-                    int(hashlib.md5(("wn:" + text[i : i + k]).encode("utf-8")).hexdigest()[:8], 16)
+                    int.from_bytes(
+                        hashlib.md5(("wn:" + text[i : i + k]).encode("utf-8")).digest()[:4], "big"
+                    )
                     for i in range(n)
                 ),
                 dtype=np.int64,
@@ -403,4 +415,7 @@ def winnowing_fingerprints_arrow(
                 fps.extend(u.tolist())
             yield pd.DataFrame({id_col: ids, "fp": fps})
 
-    return df.select(id_col, text_col).mapInPandas(_winnow, schema=schema)
+    rows = df.select(id_col, text_col)
+    if min_partitions is not None and rows.rdd.getNumPartitions() < min_partitions:
+        rows = rows.repartition(min_partitions)
+    return rows.mapInPandas(_winnow, schema=schema)

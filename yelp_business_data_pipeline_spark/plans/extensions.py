@@ -575,7 +575,13 @@ def _sql_winnowing(k: int = 8, window: int = 4) -> str:
 )
 def winnowing_shared_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    fps = tx.winnowing_fingerprints_arrow(d, "doc_id", "text", k=8, window=4)
+    fps = tx.winnowing_fingerprints_arrow(
+        d, "doc_id", "text", k=8, window=4,
+        # One parquet file would mean ONE Python worker hashes the whole
+        # corpus; round-robin the raw rows to cluster width first (tiny
+        # exchange, 32x kernel parallelism — see operator docstring).
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
     return (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"))
