@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from yelp_business_data_pipeline_spark.operators import review_etl
+from yelp_business_data_pipeline_spark.plans.registry import normalize_event_ts
 from yelp_business_data_pipeline_spark.schemas import REVIEW_RAW_SCHEMA
 from yelp_business_data_pipeline_spark.streaming import (
     stream_domain_etl,
@@ -97,9 +98,7 @@ def test_session_window_matches_lag_sessionize(spark):
         r.user_id: r.n_sessions
         for r in QUERIES["sessionize_events"].spark(spark, sf).collect()
     }
-    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{sf}/events.parquet"))
     sw = (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .count()
@@ -167,9 +166,7 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     from yelp_business_data_pipeline_spark.streaming.pipeline import streaming_sessionize
 
     src = str(tmp_path / "events_src")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    if "ts" in [f.name for f in ev.schema.fields if str(f.dataType) == "LongType()"]:
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_event_ts(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     ev.write.parquet(src)
     schema = ev.schema
 
@@ -234,9 +231,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
 
     src = str(tmp_path / "events_ss")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    if any(f.name == "ts" and str(f.dataType) == "LongType()" for f in ev.schema.fields):
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_event_ts(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     ev.write.parquet(src)
 
     out = streaming_stream_stream_join(spark, src, ev.schema, max_gap="5 minutes")

@@ -45,15 +45,30 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): arrives as long ns under
-        # nanosAsLong; convert to a microsecond timestamp.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+        df = normalize_event_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # Integer division (`div`), not `/`: Spark's `/` on longs is
-            # double division, and ~1.7e18 ns exceeds double's 53-bit exact
-            # range — sub-microsecond components could truncate to the wrong
-            # microsecond vs DuckDB's exact integer conversion.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-tz (UTC) TIMESTAMP regardless of
+    how the generator wrote it. Containers have shipped two physical types:
+
+    - parquet TIMESTAMP(NANOS): arrives as long ns under ``nanosAsLong``.
+      Integer division (`div`), not `/`: Spark's `/` on longs is double
+      division, and ~1.7e18 ns exceeds double's 53-bit exact range —
+      sub-microsecond components could truncate to the wrong microsecond vs
+      DuckDB's exact integer conversion.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ. Cast to TIMESTAMP — the session tz is pinned to UTC, so
+      the wall-clock reinterpretation is the identity instant and date-part
+      extraction agrees with DuckDB's tz-naive read.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
