@@ -1,0 +1,91 @@
+"""Time-series gap filling — the TimescaleDB ``time_bucket_gapfill`` +
+``locf`` surface, composed from stock DataFrame ops.
+
+A rolled-up time series has holes wherever a (group, bucket) saw no rows;
+BI layers and forecasting pipelines need a DENSE series with the holes
+made explicit (count 0 / sum NULL) and optionally carried forward. The
+scalable construction:
+
+1. roll up to (group, bucket) — one shuffle, partial aggregation map-side;
+2. derive each group's [min_bucket, max_bucket] span from the ROLLUP
+   output (tiny: one row per group) and ``sequence()`` + ``explode`` it
+   into the dense spine — the spine is generated executor-side from the
+   aggregate row, never collected to the driver, and its size is
+   groups x span_buckets, independent of raw-data row count;
+3. left-join rollup onto the spine on (group, bucket). Both sides hash
+   to the same composite key;
+4. LOCF (last observation carried forward) via
+   ``last(value, ignorenulls=True)`` over (group) ordered by bucket.
+
+Cost: the rollup shuffle dominates; spine generation and the spine join
+shuffle only rollup-sized data. The LOCF window partitions per group —
+for multi-year spans at minute grain, window rows per group = span
+buckets; if that exceeds memory, pre-split the window into coarse time
+slabs and carry the seed across slabs (same trick as any prefix-scan at
+scale). Gap rows are flagged ``is_gap`` so downstream can distinguish
+"measured zero" from "filled zero".
+
+No reference-repo counterpart (the reference has no time-series surface);
+this extends the hypertable rollup family (`plans/extensions.py:
+hypertable_rollup_events`, its driver-gated query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(col: Column | str, grain: str) -> Column:
+    """Truncate a timestamp to its bucket start (``date_trunc`` grain)."""
+    return F.date_trunc(grain, col)
+
+
+def gapfill_locf(
+    rollup: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str,
+    value_cols: Sequence[str],
+    step: str = "interval 1 hour",
+    count_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Densify ``rollup`` (already aggregated to one row per (group,
+    bucket)) over each group's observed span.
+
+    Emits one row per (group, dense bucket) with:
+      - ``count_cols`` coalesced to 0 on gap rows (a missing bucket saw
+        zero rows — that IS the measurement);
+      - ``value_cols`` kept NULL on gap rows (a missing bucket has no sum
+        — zero would be a lie for e.g. averages) plus a ``<col>_locf``
+        carry column;
+      - ``is_gap`` boolean.
+
+    The spine uses each group's own [min, max] — gap-fill never
+    extrapolates outside a group's observed range, matching
+    ``time_bucket_gapfill``'s default.
+    """
+    gcols = list(group_cols)
+    spine = (
+        rollup.groupBy(*gcols)
+        .agg(F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx"))
+        .select(
+            *gcols,
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step))).alias(bucket_col),
+        )
+    )
+    dense = spine.join(rollup, on=[*gcols, bucket_col], how="left")
+
+    w = Window.partitionBy(*gcols).orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # is_gap: the rollup row was absent. Probe a rollup-side column that is
+    # non-null by construction (counts are never null in aggregated rows).
+    probe = count_cols[0] if count_cols else value_cols[0]
+    out = dense.withColumn("is_gap", F.col(probe).isNull())
+    for c in count_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    for c in value_cols:
+        out = out.withColumn(f"{c}_locf", F.last(F.col(c), ignorenulls=True).over(w))
+    return out
