@@ -1,0 +1,172 @@
+"""gapfill_locf semantics pins (operators/timeseries.py).
+
+The registered ``timeseries_gapfill_locf`` query covers the DuckDB
+generate_series parity; these tests pin the operator's edge semantics on
+hand-built frames where the expected dense series is known by eye:
+
+- gap rows get count 0 / value NULL / is_gap True;
+- a PRESENT row whose aggregated value is NULL (sum over all-NULL inputs)
+  is NOT a gap — the ``_present`` marker, not value-null-ness, decides;
+- LOCF carries the last non-null value across consecutive gaps and across
+  present-but-NULL rows, and stays NULL before the first observation;
+- each group densifies over its own [min, max] span only;
+- ``step`` is required (no default to silently mismatch the bucket grain).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators import GRAIN_STEPS, gapfill_locf, time_bucket
+
+
+def _ts(h: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def _rollup(spark, rows):
+    return spark.createDataFrame(
+        [Row(g=g, bucket=_ts(h), n=n, v=v) for (g, h, n, v) in rows],
+        "g string, bucket timestamp, n bigint, v double",
+    )
+
+
+def _collect(df):
+    return {
+        (r.g, r.bucket.hour): r
+        for r in df.withColumn("bucket", F.col("bucket").cast("timestamp")).collect()
+    }
+
+
+def test_gapfill_basic_gap_semantics(spark):
+    # g=a observed at hours 0, 3 -> spine 0..3, gaps at 1, 2.
+    dense = gapfill_locf(
+        _rollup(spark, [("a", 0, 2, 10.0), ("a", 3, 1, 7.0)]),
+        group_cols=["g"],
+        bucket_col="bucket",
+        value_cols=["v"],
+        step=GRAIN_STEPS["hour"],
+        count_cols=["n"],
+    )
+    rows = _collect(dense)
+    assert set(rows) == {("a", 0), ("a", 1), ("a", 2), ("a", 3)}
+    assert not rows[("a", 0)].is_gap and not rows[("a", 3)].is_gap
+    assert rows[("a", 1)].is_gap and rows[("a", 2)].is_gap
+    # counts coalesce to 0 on gaps; values stay NULL (zero would be a lie)
+    assert rows[("a", 1)].n == 0 and rows[("a", 2)].n == 0
+    assert rows[("a", 1)].v is None and rows[("a", 2)].v is None
+    # LOCF carries 10.0 across both gaps, then the new observation wins
+    assert [rows[("a", h)].v_locf for h in range(4)] == [10.0, 10.0, 10.0, 7.0]
+
+
+def test_present_row_with_null_value_is_not_gap(spark):
+    # Hour 1 is PRESENT (n=3) but its sum is NULL (all-NULL inputs).
+    dense = gapfill_locf(
+        _rollup(spark, [("a", 0, 2, 5.0), ("a", 1, 3, None), ("a", 2, 1, 9.0)]),
+        group_cols=["g"],
+        bucket_col="bucket",
+        value_cols=["v"],
+        step=GRAIN_STEPS["hour"],
+        count_cols=["n"],
+    )
+    rows = _collect(dense)
+    assert not rows[("a", 1)].is_gap, "present row misclassified as gap"
+    assert rows[("a", 1)].n == 3
+    assert rows[("a", 1)].v is None
+    # LOCF looks through the NULL to the last real observation
+    assert rows[("a", 1)].v_locf == 5.0
+
+
+def test_all_null_value_group(spark):
+    # Every value NULL: no crash, no spurious gaps, LOCF stays NULL.
+    dense = gapfill_locf(
+        _rollup(spark, [("a", 0, 1, None), ("a", 2, 2, None)]),
+        group_cols=["g"],
+        bucket_col="bucket",
+        value_cols=["v"],
+        step=GRAIN_STEPS["hour"],
+        count_cols=["n"],
+    )
+    rows = _collect(dense)
+    assert [rows[("a", h)].is_gap for h in range(3)] == [False, True, False]
+    assert all(rows[("a", h)].v_locf is None for h in range(3))
+
+
+def test_locf_null_before_first_observation(spark):
+    dense = gapfill_locf(
+        _rollup(spark, [("a", 0, 1, None), ("a", 1, 1, 4.0)]),
+        group_cols=["g"],
+        bucket_col="bucket",
+        value_cols=["v"],
+        step=GRAIN_STEPS["hour"],
+        count_cols=["n"],
+    )
+    rows = _collect(dense)
+    assert rows[("a", 0)].v_locf is None
+    assert rows[("a", 1)].v_locf == 4.0
+
+
+def test_groups_densify_over_own_span(spark):
+    # a spans 0..2, b spans 5..6 — no cross-group extrapolation.
+    dense = gapfill_locf(
+        _rollup(spark, [("a", 0, 1, 1.0), ("a", 2, 1, 2.0), ("b", 5, 1, 3.0), ("b", 6, 1, 4.0)]),
+        group_cols=["g"],
+        bucket_col="bucket",
+        value_cols=["v"],
+        step=GRAIN_STEPS["hour"],
+        count_cols=["n"],
+    )
+    rows = _collect(dense)
+    assert set(rows) == {("a", 0), ("a", 1), ("a", 2), ("b", 5), ("b", 6)}
+    assert rows[("b", 5)].v_locf == 3.0  # b's LOCF seeded from b only
+
+
+def test_no_count_cols(spark):
+    # value-only rollups work; gap detection still via the marker.
+    dense = gapfill_locf(
+        _rollup(spark, [("a", 0, 1, 1.0), ("a", 2, 1, None)]).drop("n"),
+        group_cols=["g"],
+        bucket_col="bucket",
+        value_cols=["v"],
+        step=GRAIN_STEPS["hour"],
+    )
+    rows = _collect(dense)
+    assert [rows[("a", h)].is_gap for h in range(3)] == [False, True, False]
+    assert rows[("a", 2)].v is None and not rows[("a", 2)].is_gap
+    assert rows[("a", 2)].v_locf == 1.0
+
+
+def test_step_is_required(spark):
+    with pytest.raises(TypeError):
+        gapfill_locf(
+            _rollup(spark, [("a", 0, 1, 1.0)]),
+            group_cols=["g"],
+            bucket_col="bucket",
+            value_cols=["v"],
+        )
+
+
+def test_day_grain_spine_matches_day_step(spark):
+    # A day-grain rollup with the matching day step yields one row per day —
+    # the 24x-inflated-spine failure mode GRAIN_STEPS exists to prevent.
+    df = spark.createDataFrame(
+        [Row(g="a", t=dt.datetime(2024, 1, d, 13, 30)) for d in (1, 3)],
+        "g string, t timestamp",
+    )
+    rollup = df.groupBy("g", time_bucket("t", "day").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dense = gapfill_locf(
+        rollup,
+        group_cols=["g"],
+        bucket_col="bucket",
+        value_cols=[],
+        step=GRAIN_STEPS["day"],
+        count_cols=["n"],
+    )
+    got = sorted((r.bucket.day, r.is_gap, r.n) for r in dense.collect())
+    assert got == [(1, False, 1), (2, True, 0), (3, False, 1)]

@@ -30,6 +30,7 @@ from .similarity import (
     lsh_ann_topk,
 )
 from .skew import salted_aggregate, salted_join
+from .timeseries import GRAIN_STEPS, gapfill_locf, time_bucket
 from .text import (
     distinct_token_ratio,
     fingerprint,
@@ -60,6 +61,8 @@ __all__ = [
     "fingerprint",
     "flatten_attribute_structs",
     "flatten_attributes",
+    "gapfill_locf",
+    "GRAIN_STEPS",
     "lang_id",
     "lsh_ann_topk",
     "media_meta_expr",
@@ -74,6 +77,7 @@ __all__ = [
     "sentiment_by_city",
     "simhash",
     "stopword_ratio",
+    "time_bucket",
     "time_bucket_range_join",
     "token_count",
     "token_jaccard_pairs",

@@ -38,6 +38,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: date_trunc grain -> the sequence() step that matches it. Callers bucketing
+#: with ``time_bucket(col, grain)`` should pass ``GRAIN_STEPS[grain]`` so the
+#: spine spacing always equals the bucket truncation — a day-grain rollup with
+#: an hour step would yield a 24x-inflated spine where 23/24 rows are spurious
+#: "gaps".
+GRAIN_STEPS: dict[str, str] = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+    "week": "interval 7 days",
+}
+
+
 def time_bucket(col: Column | str, grain: str) -> Column:
     """Truncate a timestamp to its bucket start (``date_trunc`` grain)."""
     return F.date_trunc(grain, col)
@@ -48,7 +61,7 @@ def gapfill_locf(
     group_cols: Sequence[str],
     bucket_col: str,
     value_cols: Sequence[str],
-    step: str = "interval 1 hour",
+    step: str,
     count_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Densify ``rollup`` (already aggregated to one row per (group,
@@ -65,6 +78,10 @@ def gapfill_locf(
     The spine uses each group's own [min, max] — gap-fill never
     extrapolates outside a group's observed range, matching
     ``time_bucket_gapfill``'s default.
+
+    ``step`` is required and must match the grain the rollup was bucketed
+    with (see ``GRAIN_STEPS``); a mismatched step would manufacture spine
+    rows between real buckets and report them as gaps.
     """
     gcols = list(group_cols)
     spine = (
@@ -75,15 +92,18 @@ def gapfill_locf(
             F.explode(F.sequence(F.col("_mn"), F.col("_mx"), F.expr(step))).alias(bucket_col),
         )
     )
-    dense = spine.join(rollup, on=[*gcols, bucket_col], how="left")
+    # is_gap must mean "the rollup had NO row for this bucket", not "some
+    # rollup column was NULL" — an aggregated value column can legitimately
+    # be NULL in a present row (SUM/AVG over all-NULL inputs). Attach an
+    # explicit marker that survives the left join.
+    dense = spine.join(
+        rollup.withColumn("_present", F.lit(True)), on=[*gcols, bucket_col], how="left"
+    )
 
     w = Window.partitionBy(*gcols).orderBy(bucket_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # is_gap: the rollup row was absent. Probe a rollup-side column that is
-    # non-null by construction (counts are never null in aggregated rows).
-    probe = count_cols[0] if count_cols else value_cols[0]
-    out = dense.withColumn("is_gap", F.col(probe).isNull())
+    out = dense.withColumn("is_gap", F.col("_present").isNull()).drop("_present")
     for c in count_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     for c in value_cols:

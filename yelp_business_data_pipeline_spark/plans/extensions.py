@@ -631,6 +631,71 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "timeseries_gapfill_locf",
+    """
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+      FROM events
+      WHERE event_id % 97 = 0
+      GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM r GROUP BY 1
+    ), spine AS (
+      SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    )
+    SELECT s.event_type,
+           strftime(s.bucket, '%Y-%m-%d %H:%M') AS bucket_hour,
+           COALESCE(r.n_events, 0) AS n_events,
+           r.value_sum AS value_sum,
+           (r.n_events IS NULL) AS is_gap,
+           LAST_VALUE(r.value_sum IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_sum_locf
+    FROM spine s LEFT JOIN r ON r.event_type = s.event_type AND r.bucket = s.bucket
+    """,
+    doc="TimescaleDB time_bucket_gapfill + locf semantics over the event "
+    "stream (operators/timeseries.py): hourly rollup of a deterministically "
+    "thinned series (event_id % 97 keeps the series gap-rich at every SF — "
+    "at sf0.1 the raw hourly series has zero gaps), densified per "
+    "event_type over its own [min, max] span via executor-side sequence()/"
+    "explode (the spine never touches the driver and its size is groups x "
+    "span buckets, independent of raw row count), left-joined with an "
+    "explicit _present marker so a present-but-NULL-sum row is NOT a gap, "
+    "counts coalesced to 0 on gaps, sums kept NULL, LOCF carry via "
+    "last(ignorenulls) over the per-group bucket order.",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries as ts
+
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    rollup = ev.groupBy(
+        "event_type", ts.time_bucket("ts", "hour").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+    dense = ts.gapfill_locf(
+        rollup,
+        group_cols=["event_type"],
+        bucket_col="bucket",
+        value_cols=["value_sum"],
+        step=ts.GRAIN_STEPS["hour"],
+        count_cols=["n_events"],
+    )
+    return dense.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket_hour"),
+        "n_events",
+        "value_sum",
+        "is_gap",
+        "value_sum_locf",
+    )
+
+
 def _sql_fake_features() -> str:
     # mirror multimodal._fake_features on utf-8 text payloads:
     # f_i = round(sum(byte[i::8]) / n, 6) — ascii() == the utf-8 byte for
