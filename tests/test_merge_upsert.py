@@ -1,0 +1,217 @@
+"""merge_upsert (sources/writers.py) — the keyed MERGE emulation.
+
+Pins the four claims the operator makes:
+
+1. MERGE semantics: matched keys updated, new keys inserted, unmatched
+   target rows untouched — and re-running the same merge is a no-op
+   (idempotent upsert).
+2. Partition-scoped rewrite: partitions with no matched key and no source
+   row keep their EXACT parquet files (names + mtimes) — the 100 TB claim
+   that merge cost scales with the touched slice, not the table.
+3. Partition migration: a key whose partition value changes leaves no
+   stale copy behind, including when that empties its old partition.
+4. Source discipline: duplicate source keys error (Delta MERGE parity)
+   unless dedup_order_by requests latest-wins; null partition values error.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from yelp_business_data_pipeline_spark.sources.writers import merge_upsert
+
+
+def _files(path: str) -> dict[str, float]:
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+    return out
+
+
+def _rows(spark, path):
+    return sorted(
+        (r.id, r.v, r.p) for r in spark.read.parquet(path).select("id", "v", "p").collect()
+    )
+
+
+def _seed(spark, path):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 3)], ["id", "v", "p"]
+    )
+    merge_upsert(df, path, keys=["id"], partition_by=["p"])
+    return df
+
+
+def test_merge_updates_inserts_and_leaves_rest(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _seed(spark, out)
+    stats = merge_upsert(
+        spark.createDataFrame([(2, "B", 1), (9, "i", 2)], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    assert _rows(spark, out) == [
+        (1, "a", 1),
+        (2, "B", 1),
+        (3, "c", 2),
+        (4, "d", 3),
+        (9, "i", 2),
+    ]
+    assert stats == {"created": False, "affected_partitions": 2, "emptied_partitions": 0}
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _seed(spark, out)
+    batch = spark.createDataFrame([(2, "B", 1), (9, "i", 2)], ["id", "v", "p"])
+    merge_upsert(batch, out, keys=["id"], partition_by=["p"])
+    first = _rows(spark, out)
+    merge_upsert(batch, out, keys=["id"], partition_by=["p"])
+    assert _rows(spark, out) == first
+
+
+def test_untouched_partitions_keep_their_files(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _seed(spark, out)
+    before = _files(out)
+    p3_before = {p: m for p, m in before.items() if f"{os.sep}p=3{os.sep}" in p}
+    assert p3_before, "seed should have written partition p=3"
+    merge_upsert(
+        spark.createDataFrame([(2, "B", 1)], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    after = _files(out)
+    # p=3 (and p=2): same file paths, same mtimes — never rewritten
+    for part in ("p=3", "p=2"):
+        sel_b = {p: m for p, m in before.items() if f"{os.sep}{part}{os.sep}" in p}
+        sel_a = {p: m for p, m in after.items() if f"{os.sep}{part}{os.sep}" in p}
+        assert sel_b == sel_a, f"{part} was rewritten by a merge that never touched it"
+    # p=1 WAS rewritten
+    p1_b = {p for p in before if f"{os.sep}p=1{os.sep}" in p}
+    p1_a = {p for p in after if f"{os.sep}p=1{os.sep}" in p}
+    assert p1_b != p1_a or any(before[p] != after[p] for p in p1_b & p1_a)
+
+
+def test_partition_migration_leaves_no_stale_copy(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _seed(spark, out)
+    # key 3 moves p=2 -> p=1; p=2 still holds nothing else? (seed p=2 = {3})
+    stats = merge_upsert(
+        spark.createDataFrame([(3, "C", 1)], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    got = _rows(spark, out)
+    assert got == [(1, "a", 1), (2, "b", 1), (3, "C", 1), (4, "d", 3)]
+    # p=2 was emptied: its directory must be gone, not left with stale files
+    assert stats["emptied_partitions"] == 1
+    assert not os.path.exists(os.path.join(out, "p=2"))
+
+
+def test_partition_migration_partial_partition_survives(spark, tmp_path):
+    out = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 2)], ["id", "v", "p"]
+    ).write.partitionBy("p").parquet(out)
+    merge_upsert(
+        spark.createDataFrame([(2, "B", 1)], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    assert _rows(spark, out) == [(1, "a", 1), (2, "B", 1), (3, "c", 2)]
+
+
+def test_duplicate_source_keys_error_and_latest_wins(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _seed(spark, out)
+    dup = spark.createDataFrame(
+        [(2, "old", 1, 10), (2, "new", 1, 20)], ["id", "v", "p", "seq"]
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(dup.drop("seq"), out, keys=["id"], partition_by=["p"])
+    merge_upsert(
+        dup,
+        str(tmp_path / "t2"),
+        keys=["id"],
+        partition_by=["p"],
+        dedup_order_by=["seq"],
+    )
+    got = spark.read.parquet(str(tmp_path / "t2")).collect()
+    assert [(r.id, r.v) for r in got] == [(2, "new")]
+
+
+def test_null_partition_value_errors(spark, tmp_path):
+    out = str(tmp_path / "t")
+    _seed(spark, out)
+    bad = spark.createDataFrame([(5, "e", None)], "id int, v string, p int")
+    with pytest.raises(ValueError, match="null partition"):
+        merge_upsert(bad, out, keys=["id"], partition_by=["p"])
+
+
+def test_creates_table_when_absent(spark, tmp_path):
+    out = str(tmp_path / "t")
+    stats = merge_upsert(
+        spark.createDataFrame([(1, "a", 1)], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    assert stats["created"] is True
+    assert _rows(spark, out) == [(1, "a", 1)]
+
+
+def test_unpartitioned_merge_full_semantics(spark, tmp_path):
+    out = str(tmp_path / "t")
+    merge_upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), out, keys=["id"])
+    merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), out, keys=["id"])
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+    # idempotent + no leftover staging/backup dirs
+    merge_upsert(spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]), out, keys=["id"])
+    assert sorted((r.id, r.v) for r in spark.read.parquet(out).collect()) == got
+    assert not os.path.exists(out + "__merging")
+    assert not os.path.exists(out + "__premerge")
+
+
+def test_affected_partition_predicate_prunes_scan(spark, tmp_path):
+    """The rewrite-set scan must prune at the FILE INDEX (PartitionFilters),
+    not post-scan — the read-side half of the touched-slice-only claim (the
+    mtime test above is the write-side half)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "t")
+    _seed(spark, out)
+    tgt = spark.read.parquet(out)
+    pred = reduce(
+        lambda a, b: a | b, [tgt["p"].eqNullSafe(F.lit(v)) for v in (1, 2)]
+    )
+    plan = tgt.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    assert "PartitionFilters: [((p" in scan, scan
+
+
+def test_null_key_component_merges_once(spark, tmp_path):
+    # null-safe key equality: a NULL-keyed row updates, not duplicates
+    out = str(tmp_path / "t")
+    merge_upsert(
+        spark.createDataFrame([(1, None, "a"), (2, 20, "b")], "id int, k int, v string"),
+        out,
+        keys=["id", "k"],
+    )
+    merge_upsert(
+        spark.createDataFrame([(1, None, "A")], "id int, k int, v string"), out, keys=["id", "k"]
+    )
+    got = sorted((r.id, r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, None, "A"), (2, 20, "b")]

@@ -1,5 +1,11 @@
 from .readers import load_testdata, read_json_lines, read_parquet_table
-from .writers import compact_parquet, export_csv, write_append_idempotent, write_overwrite
+from .writers import (
+    compact_parquet,
+    export_csv,
+    merge_upsert,
+    write_append_idempotent,
+    write_overwrite,
+)
 
 __all__ = [
     "load_testdata",
@@ -7,6 +13,7 @@ __all__ = [
     "read_parquet_table",
     "compact_parquet",
     "export_csv",
+    "merge_upsert",
     "write_append_idempotent",
     "write_overwrite",
 ]

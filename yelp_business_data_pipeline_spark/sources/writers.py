@@ -89,6 +89,161 @@ def write_append_idempotent(
     writer.parquet(path)
 
 
+def merge_upsert(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    dedup_order_by: list[str] | None = None,
+) -> dict:
+    """Keyed MERGE emulation on plain parquet: UPDATE matched keys, INSERT
+    new ones — the full upsert the reference's Lambda-triggered rebuild
+    implies (reference ``README.md:217-223`` re-runs the unified overwrite
+    because parquet appends can't update; ``join/unified_data_analytics.py:
+    46-56``) but scoped to touched partitions instead of the whole table.
+
+    Plan (partitioned target):
+
+    1. affected partitions = partitions holding a matched key (semi-join,
+       key-column-pruned scan) ∪ partitions the source writes into. Collected
+       to the driver — small-by-contract (a merge batch touches few
+       partitions; the list is partition VALUES, never rows).
+    2. rewrite set = (target rows in affected partitions, minus matched keys
+       via null-safe anti-join) ∪ source. Unaffected partitions are never
+       read past their partition values nor rewritten — at 100 TB the cost
+       scales with the touched slice, not the table.
+    3. dynamic partition overwrite writes exactly the partitions present in
+       the rewrite set. Safe to read-and-overwrite in one job: dynamic mode
+       deletes replaced partition files at COMMIT, after every scan task has
+       finished (static mode clears the directory up front, hence the
+       staging swap in the unpartitioned branch).
+    4. partitions whose every row was matched and re-homed elsewhere (key
+       changed partition value) end up absent from the rewrite set, so
+       dynamic overwrite would leave their stale files behind — they are
+       deleted explicitly from the collected affected-list.
+
+    Source batches must be key-unique (multiple updates for one key is the
+    ambiguity Delta's MERGE rejects); pass ``dedup_order_by`` for
+    latest-wins resolution instead of the error. Partition values must be
+    non-null (validated on the source; don't write null-partitioned targets).
+
+    Unpartitioned target: full rewrite through a staged directory swap
+    (crash leaves either the old table, or the new table, or the old table
+    under ``<path>__premerge`` — never a half table). On real deployments
+    prefer a table format with atomic MERGE (Delta/Iceberg); this is the
+    portable plain-parquet equivalent, and the jars are absent here.
+
+    Returns ``{"created": bool, "affected_partitions": int,
+    "emptied_partitions": int}``.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark: SparkSession = df.sparkSession
+    pcols = list(partition_by or [])
+
+    fresh = df
+    if dedup_order_by:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in dedup_order_by])
+        fresh = (
+            fresh.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        )
+    checks = fresh.select(*keys, *pcols).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.max(F.col(c).isNull().cast("int")).alias(f"_null_{c}") for c in pcols],
+    )
+    bad_cond = F.col("_n") > 1
+    for c in pcols:
+        bad_cond = bad_cond | (F.col(f"_null_{c}") == 1)
+    bad = checks.filter(bad_cond).limit(1).collect()
+    if bad:
+        if bad[0]["_n"] > 1:
+            raise ValueError(
+                f"merge_upsert: source has multiple rows for key "
+                f"{tuple(bad[0][k] for k in keys)}; pass dedup_order_by for latest-wins"
+            )
+        raise ValueError("merge_upsert: null partition values are not mergeable")
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        write_overwrite(fresh, path, partition_by=partition_by, sort_by=sort_by)
+        return {"created": True, "affected_partitions": 0, "emptied_partitions": 0}
+
+    tgt = spark.read.parquet(path)
+    src_keys = fresh.select(*keys).dropDuplicates(keys).alias("_src")
+
+    def _key_cond(left):
+        return reduce(lambda a, b: a & b, [left[k].eqNullSafe(src_keys[k]) for k in keys])
+
+    if not pcols:
+        tgt_a = tgt.alias("_tgt")
+        out = tgt_a.join(src_keys, on=_key_cond(tgt_a), how="left_anti").unionByName(fresh)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        staging, backup = f"{path}__merging", f"{path}__premerge"
+        out.write.mode("overwrite").parquet(staging)
+        s_path = jvm.org.apache.hadoop.fs.Path(staging)
+        b_path = jvm.org.apache.hadoop.fs.Path(backup)
+        if not fs.rename(hpath, b_path):
+            raise IOError(f"merge swap failed: could not move {path} aside")
+        if not fs.rename(s_path, hpath):
+            if not fs.rename(b_path, hpath):
+                raise IOError(
+                    f"merge swap failed AND rollback failed: original data is "
+                    f"intact under {backup}; restore it manually"
+                )
+            raise IOError(f"merge swap failed: could not move {staging} into place")
+        fs.delete(b_path, True)
+        return {"created": False, "affected_partitions": 0, "emptied_partitions": 0}
+
+    tgt_a = tgt.alias("_tgt")
+    affected_rows = (
+        tgt_a.join(src_keys, on=_key_cond(tgt_a), how="left_semi")
+        .select(*pcols)
+        .unionByName(fresh.select(*pcols))
+        .dropDuplicates(pcols)
+        .collect()
+    )
+    affected = {tuple(r[c] for c in pcols) for r in affected_rows}
+
+    def _part_pred(frame):
+        return reduce(
+            lambda a, b: a | b,
+            [
+                reduce(lambda a, b: a & b, [frame[c].eqNullSafe(F.lit(v)) for c, v in zip(pcols, t)])
+                for t in affected
+            ],
+        )
+
+    tgt_slice = tgt.filter(_part_pred(tgt)).alias("_tgt")
+    kept = tgt_slice.join(src_keys, on=_key_cond(tgt_slice), how="left_anti")
+    out = kept.unionByName(fresh)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out = out.persist()
+    try:
+        written = {
+            tuple(r[c] for c in pcols) for r in out.select(*pcols).dropDuplicates(pcols).collect()
+        }
+        out.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+    finally:
+        out.unpersist()
+    emptied = affected - written
+    for t in emptied:
+        sub = "/".join(f"{c}={v}" for c, v in zip(pcols, t))
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"), True)
+    return {
+        "created": False,
+        "affected_partitions": len(affected),
+        "emptied_partitions": len(emptied),
+    }
+
+
 def export_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """CSV export for external-system interop — the reference's
     parquet -> CSV -> Neo4j bridge (reference README.md:351-353,
