@@ -177,6 +177,54 @@ def test_ivf_ann_recall(spark):
     assert approx == again
 
 
+def test_ivf_train_sample_byte_cap():
+    """The quantizer training collect must be bounded in BYTES: a row cap
+    alone is ~800 MB on the driver at 100k x 1024-dim (the round-2 audit
+    finding). FAISS-rule default, byte-budget clamp, loud failure when the
+    budget can't even seed k centroids."""
+    from yelp_business_data_pipeline_spark.operators.ivf import _train_sample_cap
+
+    # default: FAISS 256 vectors per centroid
+    assert _train_sample_cap(16, 8, sample_n=None, sample_bytes=128 << 20) == 16 * 256
+    # byte budget clamps the row ask at high dim: 1 MB / (4096 dim * 8 B) = 32 rows
+    assert _train_sample_cap(16, 4096, sample_n=100_000, sample_bytes=1 << 20) == 32
+    # explicit smaller ask wins when it fits
+    assert _train_sample_cap(16, 8, sample_n=100, sample_bytes=128 << 20) == 100
+    # budget too small to seed k centroids -> loud error, not a silent k cut
+    with pytest.raises(ValueError, match="sample_bytes"):
+        _train_sample_cap(64, 4096, sample_n=None, sample_bytes=1 << 20)
+
+
+def test_ivf_train_respects_byte_budget_end_to_end(spark):
+    """With a budget admitting exactly 8 x 16-dim vectors, training still
+    produces a usable materialized centroid table of n_lists<=8 rows (the
+    sample IS the 8 lowest-id vectors) — the collect never exceeded it."""
+    import numpy as np
+
+    from yelp_business_data_pipeline_spark.operators.ivf import train_ivf_centroids
+
+    dim = 16
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 31 + j * 7) % 13) for j in range(dim)]) for i in range(100)],
+        "c_id bigint, v array<double>",
+    )
+    budget = 8 * dim * 8  # exactly 8 vectors
+    cent = train_ivf_centroids(
+        corpus, "c_id", "v", n_lists=4, iters=3, sample_n=50, sample_bytes=budget
+    )
+    rows = cent.collect()
+    assert len(rows) == 4
+    # centroids derive from the 8 lowest-id vectors only: every centroid
+    # must lie in the convex hull coordinate-range of that sample
+    sample = np.array(
+        [[float((i * 31 + j * 7) % 13) for j in range(dim)] for i in range(8)]
+    )
+    lo, hi = sample.min(0) - 1e-9, sample.max(0) + 1e-9
+    for r in rows:
+        c = np.array(r.cv)
+        assert ((c >= lo) & (c <= hi)).all()
+
+
 def test_winnowing_arrow_equals_relational(spark):
     """The Arrow winnowing kernel must produce EXACTLY the relational
     window-form fingerprints (same md5 construction the oracle checks),

@@ -47,13 +47,34 @@ def _sq_dist(a, b):
     )
 
 
+def _train_sample_cap(
+    n_lists: int, dim: int, sample_n: int | None, sample_bytes: int
+) -> int:
+    """Rows to collect for quantizer training: FAISS's 256-vectors-per-
+    centroid rule unless the caller asks for more, and in every case bounded
+    so ``rows x dim x 8`` bytes fits ``sample_bytes`` — a row cap alone is
+    unbounded in BYTES at high dim (100k x 1024-dim doubles = ~800 MB on
+    the driver). Never below n_lists (k-means needs k seeds; a byte budget
+    too small for that is a misconfiguration worth failing loudly)."""
+    want = sample_n if sample_n is not None else n_lists * 256
+    by_bytes = max(1, sample_bytes // (dim * 8))
+    cap = min(want, by_bytes)
+    if cap < n_lists:
+        raise ValueError(
+            f"sample_bytes={sample_bytes} admits only {cap} x {dim}-dim vectors "
+            f"but n_lists={n_lists} centroids need at least that many seeds"
+        )
+    return cap
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     n_lists: int = 16,
     iters: int = 5,
-    sample_n: int = 100_000,
+    sample_n: int | None = None,
+    sample_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means on a driver-side SAMPLE, returning a
     MATERIALIZED centroid table (explicit sequential list_id, values fixed
@@ -61,18 +82,23 @@ def train_ivf_centroids(
     list assignments).
 
     Sample-training is the standard coarse-quantizer recipe (FAISS trains
-    IVF on <=256 vectors/centroid): the quantizer needs only the coarse
-    density shape, so a bounded sample (here: the ``sample_n`` lowest-id
-    vectors via TakeOrderedAndProject — swap for a hash-sample
-    ``WHERE xxhash64(id) % m = 0`` when low ids are not representative)
-    collects to the driver, numpy runs the assign/update rounds in
-    milliseconds, and only ASSIGNMENT (ivf_index) touches the full corpus
-    distributed. Deterministic: lowest-id init, fixed iteration count,
-    no RNG.
+    IVF on <=256 vectors/centroid — the ``sample_n=None`` default): the
+    quantizer needs only the coarse density shape, so a bounded sample
+    (here: the lowest-id vectors via TakeOrderedAndProject — swap for a
+    hash-sample ``WHERE xxhash64(id) % m = 0`` when low ids are not
+    representative) collects to the driver, numpy runs the assign/update
+    rounds in milliseconds, and only ASSIGNMENT (ivf_index) touches the
+    full corpus distributed. The collect is bounded in BYTES, not only
+    rows: ``sample_bytes`` (default 128 MB) caps rows x dim x 8, probed
+    from one corpus row, so a high-dim corpus can never balloon the
+    driver. Deterministic: lowest-id init, fixed iteration count, no RNG.
     """
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    first_dim = corpus.select(F.size(vec_col).alias("d")).filter("d IS NOT NULL").first()
+    dim = int(first_dim["d"]) if first_dim is not None else 1
+    cap = _train_sample_cap(n_lists, dim, sample_n, sample_bytes)
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(cap).collect()
     x = np.array([r[1] for r in rows], dtype=np.float64)
     n_lists = min(n_lists, len(x))
     cent = x[:n_lists].copy()
