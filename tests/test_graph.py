@@ -113,3 +113,110 @@ def test_business_and_city_edge_completeness(graph):
     v, e = graph
     assert businesses_missing_edges(v, e).count() == 0
     assert cities_missing_state(v, e).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# match_motif — the reusable n-hop matcher behind top_reviewers_of_business
+# and the friends_of_friends_recommendations oracle query
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def motif_edges(spark):
+    #  u1 -F-> u2 -F-> u3 -F-> u4 ; u1 -F-> u3 ; plus a WROTE edge r-hop
+    rows = [
+        ("u1", "u2", "F"),
+        ("u2", "u3", "F"),
+        ("u3", "u4", "F"),
+        ("u1", "u3", "F"),
+        ("u1", "r1", "WROTE"),
+        ("r1", "b1", "REVIEWS"),
+        ("x", "x", "SELF"),
+    ]
+    return spark.createDataFrame(rows, "src string, dst string, rel_type string")
+
+
+def test_motif_two_hop(motif_edges):
+    from yelp_business_data_pipeline_spark.operators import match_motif
+
+    got = {
+        (r.a, r.b, r.c)
+        for r in match_motif(motif_edges, [("a", "F", "b"), ("b", "F", "c")]).collect()
+    }
+    assert got == {("u1", "u2", "u3"), ("u2", "u3", "u4"), ("u1", "u3", "u4")}
+
+
+def test_motif_negation_and_distinct(motif_edges):
+    from yelp_business_data_pipeline_spark.operators import match_motif
+
+    # u1 reaches u3 in two hops but ALSO directly -> negation removes it
+    got = {
+        (r.a, r.c)
+        for r in match_motif(
+            motif_edges,
+            [("a", "F", "b"), ("b", "F", "c")],
+            negations=[("a", "F", "c")],
+            distinct=[("a", "c")],
+        ).collect()
+    }
+    assert got == {("u2", "u4"), ("u1", "u4")}
+
+
+def test_motif_bindings_and_mixed_rels(motif_edges):
+    from yelp_business_data_pipeline_spark.operators import match_motif
+
+    got = match_motif(
+        motif_edges,
+        [("u", "WROTE", "r"), ("r", "REVIEWS", "b")],
+        bindings={"b": "b1"},
+    ).collect()
+    assert [(r.u, r.r, r.b) for r in got] == [("u1", "r1", "b1")]
+
+
+def test_motif_self_loop_and_errors(motif_edges):
+    from yelp_business_data_pipeline_spark.operators import match_motif
+
+    assert [r.s for r in match_motif(motif_edges, [("s", "SELF", "s")]).collect()] == ["x"]
+    with pytest.raises(ValueError, match="chain"):
+        match_motif(motif_edges, [("a", "F", "b"), ("x", "WROTE", "y")]).collect()
+    with pytest.raises(ValueError, match="empty pattern"):
+        match_motif(motif_edges, [])
+    with pytest.raises(ValueError, match="unbound"):
+        match_motif(motif_edges, [("a", "F", "b")], negations=[("a", "F", "zz")])
+
+
+def test_fof_matches_bruteforce_adjacency(spark):
+    """friends_of_friends_recommendations vs a pure-python recomputation
+    from the raw customer table at sf0.001."""
+    import itertools
+
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    ).collect()
+    by_nation = {}
+    for r in cust:
+        by_nation.setdefault(r.c_nationkey, []).append(r)
+    adj = {}
+    for rows in by_nation.values():
+        rows.sort(key=lambda r: (r.c_acctbal, r.c_custkey))
+        for i, r in enumerate(rows):
+            for j in (i + 1, i + 2):
+                if j < len(rows):
+                    a, b = r.c_custkey, rows[j].c_custkey
+                    adj.setdefault(a, set()).add(b)
+                    adj.setdefault(b, set()).add(a)
+    expect = {}
+    for a, c in itertools.permutations(adj, 2):
+        if c in adj[a]:
+            continue
+        mutual = len(adj[a] & adj[c])
+        if mutual:
+            expect[(a, c)] = mutual
+    got = {
+        (r.custkey_a, r.custkey_c): r.n_mutual
+        for r in QUERIES["friends_of_friends_recommendations"].spark(spark, sf).collect()
+    }
+    assert got == expect and expect

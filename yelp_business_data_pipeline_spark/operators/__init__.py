@@ -20,7 +20,7 @@ from .dedup import (
     token_jaccard_pairs,
     with_simhash,
 )
-from .graph import build_edges, build_vertices
+from .graph import build_edges, build_vertices, match_motif
 from .multimodal import extract_media_features, media_meta_expr
 from .review import review_etl
 from .similarity import (
@@ -65,6 +65,7 @@ __all__ = [
     "GRAIN_STEPS",
     "lang_id",
     "lsh_ann_topk",
+    "match_motif",
     "media_meta_expr",
     "minhash_lsh_candidates",
     "null_profile",

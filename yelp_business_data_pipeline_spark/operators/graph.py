@@ -197,6 +197,68 @@ def build_edges(
     return out
 
 
+def match_motif(
+    edges: DataFrame,
+    pattern: list[tuple[str, str, str]],
+    negations: list[tuple[str, str, str]] | None = None,
+    distinct: list[tuple[str, str]] | None = None,
+    bindings: dict[str, str] | None = None,
+) -> DataFrame:
+    """Reusable n-hop motif matcher: the relational form of Cypher's
+    ``MATCH (a)-[:R1]->(b)-[:R2]->(c) WHERE NOT (a)-[:R3]->(c) AND a <> c
+    AND b.id = $x`` family (the shape of every query in the reference's
+    ``test_cases/neo4j_test.cypher``), so the next Cypher-shaped question
+    is a call, not a bespoke join chain.
+
+    ``pattern`` is a chain/tree of hops ``(src_var, rel_type, dst_var)``;
+    each hop equi-joins the growing match table on whichever variables are
+    already bound (hops must connect — a disconnected hop would be a
+    cartesian product and raises instead). ``negations`` are Cypher
+    ``WHERE NOT (x)-[:R]->(y)`` anti-joins; ``distinct`` pairs enforce
+    ``x <> y``; ``bindings`` pin a variable to a literal id (Catalyst
+    pushes the resulting filter down through every join into the edge
+    scans).
+
+    Returns one column per variable (the matched node ids). Join props
+    back per-variable afterwards — keeping the matcher id-only keeps every
+    hop a skinny shuffle (two string columns), the 100 TB shape.
+
+    Self-loops ``(a, R, a)`` match edges whose endpoints coincide.
+    """
+    res: DataFrame | None = None
+    for s, rel, d in pattern:
+        hop = edges.filter(F.col("rel_type") == rel)
+        if s == d:
+            hop = hop.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(s))
+        else:
+            hop = hop.select(F.col("src").alias(s), F.col("dst").alias(d))
+        if res is None:
+            res = hop
+        else:
+            shared = [v for v in dict.fromkeys((s, d)) if v in res.columns and v in hop.columns]
+            if not shared:
+                raise ValueError(
+                    f"match_motif: hop ({s})-[:{rel}]->({d}) shares no variable with "
+                    f"the pattern so far {res.columns} — reorder the pattern so hops chain"
+                )
+            res = res.join(hop, on=shared)
+    if res is None:
+        raise ValueError("match_motif: empty pattern")
+    for s, rel, d in negations or []:
+        neg = edges.filter(F.col("rel_type") == rel).select(
+            F.col("src").alias(s), F.col("dst").alias(d)
+        )
+        missing = [v for v in (s, d) if v not in res.columns]
+        if missing:
+            raise ValueError(f"match_motif: negation uses unbound variables {missing}")
+        res = res.join(neg, on=[s, d], how="left_anti")
+    for x, y in distinct or []:
+        res = res.filter(F.col(x) != F.col(y))
+    for var, val in (bindings or {}).items():
+        res = res.filter(F.col(var) == F.lit(val))
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Integrity query pack (replicates test_cases/neo4j_test.cypher)
 # ---------------------------------------------------------------------------
@@ -292,20 +354,18 @@ def top_reviewers_of_business(
     """neo4j_test.cypher:49-53 — MATCH (u)-[:WROTE]->(r)-[:REVIEWS]->(b{id})
     RETURN u.name, r.stars ORDER BY r.stars DESC, u.name LIMIT k.
 
-    Two-hop pattern as chained equi-joins over the edge table (J3)."""
-    wrote = edges.filter(F.col("rel_type") == "WROTE").select(
-        F.col("src").alias("user_id"), F.col("dst").alias("review_id")
+    Two-hop pattern via the reusable motif matcher (J3)."""
+    matches = match_motif(
+        edges,
+        pattern=[("user_id", "WROTE", "review_id"), ("review_id", "REVIEWS", "b")],
+        bindings={"b": business_id},
     )
-    rev_e = edges.filter(
-        (F.col("rel_type") == "REVIEWS") & (F.col("dst") == business_id)
-    ).select(F.col("src").alias("review_id"))
     stars = reviews.select(F.col("review_id").cast("string").alias("review_id"), "stars")
     names = users.dropDuplicates(["user_id"]).select(
         F.col("user_id").cast("string").alias("user_id"), "name"
     )
     return (
-        wrote.join(rev_e, "review_id", "left_semi")
-        .join(stars, "review_id")
+        matches.join(stars, "review_id")
         .join(names, "user_id", "left")
         .select("name", "stars")
         .orderBy(F.desc("stars"), F.asc("name"))

@@ -767,6 +767,73 @@ def graph_degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "friends_of_friends_recommendations",
+    """
+    WITH l AS (
+      SELECT c_custkey AS src,
+             LEAD(c_custkey, 1) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS d1,
+             LEAD(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS d2
+      FROM customer
+    ), fwd AS (
+      SELECT src, d1 AS dst FROM l WHERE d1 IS NOT NULL
+      UNION ALL
+      SELECT src, d2 AS dst FROM l WHERE d2 IS NOT NULL
+    ), sym AS (
+      SELECT src, dst FROM fwd UNION SELECT dst AS src, src AS dst FROM fwd
+    ), fof AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+      WHERE e1.src <> e2.dst
+    )
+    SELECT a AS custkey_a, c AS custkey_c, COUNT(DISTINCT b) AS n_mutual
+    FROM fof
+    WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.src = fof.a AND sym.dst = fof.c)
+    GROUP BY a, c
+    """,
+    doc="Friends-of-friends recommendation — the natural extension of the "
+    "reference's Cypher 2-hop (neo4j_test.cypher:40-53), expressed through "
+    "the reusable motif matcher (operators/graph.py:match_motif): MATCH "
+    "(a)-[:FRIENDS]->(b)-[:FRIENDS]->(c) WHERE a <> c AND NOT "
+    "(a)-[:FRIENDS]->(c), grouped to mutual-friend counts. The friendship "
+    "graph is deterministic and SPARSE by construction — each customer "
+    "links to the next two in its nation's (acctbal, custkey) order via "
+    "LEAD windows (degree <= 4 after symmetric closure; no self-join range "
+    "explosion), so the 2-hop fan-out is bounded at any corpus scale. "
+    "Distance-3 pairs share 2 mutuals, distance-4 pairs 1 — real signal "
+    "variety for the recommendation ranking.",
+)
+def friends_of_friends_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import match_motif
+
+    c = tbl(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    leads = c.select(
+        F.col("c_custkey").alias("src"),
+        F.lead("c_custkey", 1).over(w).alias("d1"),
+        F.lead("c_custkey", 2).over(w).alias("d2"),
+    )
+    fwd = leads.filter(F.col("d1").isNotNull()).select("src", F.col("d1").alias("dst")).unionAll(
+        leads.filter(F.col("d2").isNotNull()).select("src", F.col("d2").alias("dst"))
+    )
+    sym = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .withColumn("rel_type", F.lit("FRIENDS"))
+    )
+    fof = match_motif(
+        sym,
+        pattern=[("a", "FRIENDS", "b"), ("b", "FRIENDS", "c")],
+        negations=[("a", "FRIENDS", "c")],
+        distinct=[("a", "c")],
+    )
+    return fof.groupBy(
+        F.col("a").alias("custkey_a"), F.col("c").alias("custkey_c")
+    ).agg(F.countDistinct("b").alias("n_mutual"))
+
+
 # ---------------------------------------------------------------------------
 # Extended relational surface (SURVEY §2.3/§2.4/§2.6 "absent in reference,
 # engine exposes via builtins" + the as-of custom operator)
