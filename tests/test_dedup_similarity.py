@@ -437,3 +437,94 @@ def test_chunk_tokens_invariants_property(spark):
         assert covered == set(words)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Skewed-key stress: head-heavy variant buckets (round-3 VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+
+def _insertion_neighborhood(base: str, alphabet: str) -> list[str]:
+    return sorted({base[:p] + ch + base[p:] for p in range(len(base) + 1) for ch in alphabet})
+
+
+def _lev_le1(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:  # one substitution
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # one insertion: a must equal b with one char dropped
+    for i in range(lb):
+        if a == b[:i] + b[i + 1 :]:
+            return True
+    return False
+
+
+def test_deletion_blocking_head_heavy_bucket(spark):
+    """A corpus saturating ONE variant's full insertion neighborhood — the
+    worst-case head bucket. The blocker must (a) stay within the documented
+    (len+1)*|alphabet|+1 bound, (b) keep recall 1.0 for edit-distance<=1
+    pairs even under maximal skew, and (c) produce exactly the head
+    clique's pairs plus the smaller same-insertion-position buckets."""
+    from yelp_business_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_candidates,
+    )
+
+    base, alphabet = "qqqqqq", "abcdefghijklmnopqrstuvwxyz"
+    strings = _insertion_neighborhood(base, alphabet)
+    n = len(strings)
+    assert n <= (len(base) + 1) * len(alphabet) + 1  # the documented bound
+
+    df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in deletion_neighborhood_candidates(df, "id", "s").collect()
+    }
+    # every corpus string shares the deletion variant 'qqqqqq' -> full clique
+    clique = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    assert got >= clique
+    # recall 1.0: every true distance<=1 pair is a candidate
+    true_pairs = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if _lev_le1(strings[a], strings[b])
+    }
+    assert got >= true_pairs
+
+
+def test_bucket_cap_degrades_loudly_not_oom(spark):
+    """With max_bucket set below the head bucket's size the job must FAIL
+    with the named guard message — never silently expand the mega-bucket."""
+    from yelp_business_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_candidates,
+    )
+
+    strings = _insertion_neighborhood("qqqqqq", "abcdefghijklmnopqrstuvwxyz")
+    df = spark.createDataFrame(list(enumerate(strings)), "id long, s string")
+    capped = deletion_neighborhood_candidates(df, "id", "s", max_bucket=50)
+    with pytest.raises(Exception, match="max_bucket=50"):
+        capped.collect()
+    # ...and a cap ABOVE the bound passes untouched
+    ok = deletion_neighborhood_candidates(
+        df, "id", "s", max_bucket=(len("qqqqqq") + 1) * 26 + 1
+    )
+    assert ok.count() > 0
+
+
+def test_lsh_bucket_cap_threads_through(spark):
+    """minhash_lsh_candidates exposes the same guard (band buckets can also
+    go head-heavy on repetitive corpora)."""
+    from yelp_business_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+
+    # 40 near-identical documents -> every band bucket holds all 40
+    docs = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(40)]
+    df = spark.createDataFrame(docs, "id long, s string")
+    with pytest.raises(Exception, match="max_bucket=10"):
+        minhash_lsh_candidates(df, "id", "s", max_bucket=10).collect()
+    assert minhash_lsh_candidates(df, "id", "s", max_bucket=40).count() == 40 * 39 // 2

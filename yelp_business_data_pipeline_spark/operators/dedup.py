@@ -187,6 +187,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     hash_impl: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash+LSH banding.
 
@@ -216,14 +217,40 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
-    return bucket_pairs(buckets)
+    return bucket_pairs(buckets, max_bucket=max_bucket)
 
 
-def bucket_pairs(buckets: DataFrame, ids_col: str = "_ids") -> DataFrame:
+def bucket_pairs(
+    buckets: DataFrame, ids_col: str = "_ids", max_bucket: int | None = None
+) -> DataFrame:
     """All ordered (doc_a < doc_b) pairs within each bucket row's sorted id
     array — the shared pair-expansion tail of every blocking operator.
     ids is sorted, so pairing each element with its suffix yields
-    doc_a < doc_b without a filter."""
+    doc_a < doc_b without a filter.
+
+    ``max_bucket`` is the loud-degradation guard for skewed key
+    distributions: pair expansion is quadratic in bucket size, so a head
+    bucket that outgrows the blocker's design bound should FAIL with a
+    diagnosable message (executor-side raise_error naming the size), never
+    silently attempt an |bucket|^2 array build toward OOM. Unset by default
+    because each blocker's bound differs (deletion-neighborhood buckets are
+    bounded by construction; LSH band buckets by band width)."""
+    if max_bucket is not None:
+        ids = F.col(ids_col)
+        buckets = buckets.withColumn(
+            ids_col,
+            F.when(
+                F.size(ids) > max_bucket,
+                F.raise_error(
+                    F.concat(
+                        F.lit("bucket_pairs: bucket of "),
+                        F.size(ids).cast("string"),
+                        F.lit(f" ids exceeds max_bucket={max_bucket}; "),
+                        F.lit("quadratic pair expansion refused — re-block or raise the cap"),
+                    )
+                ).cast(buckets.schema[ids_col].dataType.simpleString()),
+            ).otherwise(ids),
+        )
     pairs = F.flatten(
         F.transform(
             F.col(ids_col),
@@ -241,7 +268,11 @@ def bucket_pairs(buckets: DataFrame, ids_col: str = "_ids") -> DataFrame:
 
 
 def deletion_neighborhood_candidates(
-    df: DataFrame, id_col: str, text_col: str, hash_variants: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_variants: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs for edit distance <= 1 via deletion-neighborhood
     blocking (the SymSpell construction): each string generates itself plus
@@ -258,10 +289,20 @@ def deletion_neighborhood_candidates(
     0.17-0.32 (r=3..4); deletion blocking gives ~1.7% at recall 1.0.
 
     Plan shape: per-row variant array (length+1, deduped) -> posexplode ->
-    groupBy variant (bucket = strings agreeing everywhere but the deleted
-    position, so |bucket| <= alphabet size) -> in-bucket pair expansion ->
-    distinct. One shuffle on uniform variant keys, no self-join, no
-    crossJoin.
+    groupBy variant -> in-bucket pair expansion -> distinct. One shuffle on
+    uniform variant keys, no self-join, no crossJoin.
+
+    Bucket bound: the bucket keyed by variant ``v`` holds ``v`` itself plus
+    strings formed by inserting ONE character into ``v`` — at most
+    ``(len(v)+1) * |alphabet| + 1`` members, INDEPENDENT of corpus row
+    count. (On fixed-format key spaces like ``Customer#000000042`` the
+    effective alphabet is the digit set, so real buckets run far below the
+    bound.) A corpus engineered to saturate one variant's whole insertion
+    neighborhood reaches the bound exactly — pinned in
+    ``test_dedup_similarity.py`` — and pair expansion there is quadratic in
+    the bound, not in corpus size. Pass ``max_bucket`` (e.g. the formula
+    above for your alphabet) to fail loudly if an input ever violates the
+    model instead of silently expanding a mega-bucket.
 
     ``hash_variants`` (default) shuffles xxhash64(variant) longs instead of
     the variant strings — fixed 8-byte shuffle keys vs name-length strings,
@@ -295,7 +336,7 @@ def deletion_neighborhood_candidates(
         .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
         .filter(F.size("_ids") > 1)
     )
-    return bucket_pairs(buckets)
+    return bucket_pairs(buckets, max_bucket=max_bucket)
 
 
 def token_jaccard_pairs(
