@@ -48,10 +48,19 @@ def stream_domain_etl(
     checkpoint_dir: str,
     keys: list[str],
     max_files_per_trigger: int | None = None,
+    on_batch_complete: Callable[[int], None] | None = None,
 ):
     """Stream JSON files from ``source_dir`` through ``etl_fn`` into an
     idempotent-append parquet sink. Returns the started query (AvailableNow:
-    drains everything currently present, then stops)."""
+    drains everything currently present, then stops).
+
+    ``on_batch_complete(epoch_id)`` runs after each batch's sink write,
+    before Spark commits the batch to the checkpoint — the audit/metrics
+    hook. A crash in that window is the at-least-once hazard foreachBatch
+    documents: the write happened but the offset commit didn't, so the
+    restarted query REPLAYS the batch. Exactly-once table state survives
+    because the sink is the keyed idempotent writer (replayed rows
+    anti-join away) — pinned by the checkpoint-recovery test."""
     # Only *.json files trigger processing — the reference Lambda skips
     # non-JSON keys (trigeer_ETL_Pipeline.py:70-72).
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
@@ -61,6 +70,8 @@ def stream_domain_etl(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         write_append_idempotent(etl_fn(batch_df), out_path, keys=keys)
+        if on_batch_complete is not None:
+            on_batch_complete(epoch_id)
 
     return (
         raw.writeStream.foreachBatch(_sink)
