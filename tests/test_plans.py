@@ -133,3 +133,25 @@ def test_composition_query_plan_shapes(spark, sf_dir):
     dec = plan_str(QUERIES["decontam_ngram_overlap"].spark(spark, sf_dir))
     assert "BroadcastHashJoin" in dec, dec
     assert "SortMergeJoin" not in dec, dec
+
+
+def test_timeseries_gapfill_plan_shape(spark, sf_dir):
+    """Gapfill must stay spine-join + window: no cartesian (sequence/
+    explode generates the spine executor-side, never a range crossJoin),
+    no Python UDF, and the LOCF carry is a single Window."""
+    p = plan_str(QUERIES["timeseries_gapfill_locf"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # formatted mode prints each node twice (tree + details): 1 Window node
+    assert p.count("Window") <= 2, p
+    assert "Generate" in p  # the sequence()+explode spine
+
+
+def test_fof_motif_plan_shape(spark, sf_dir):
+    """friends_of_friends: equi-joins only (hop + anti), and the explode-
+    based edge lineage keeps total parquet scans bounded (3 motif uses x
+    at most 2 scan nodes; the round-3 union form exploded to 24)."""
+    p = plan_str(QUERIES["friends_of_friends_recommendations"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Scan parquet") <= 6, f"edge lineage re-expanded: {p.count('Scan parquet')} scans"

@@ -776,11 +776,9 @@ def graph_degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              LEAD(c_custkey, 2) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS d2
       FROM customer
     ), fwd AS (
-      SELECT src, d1 AS dst FROM l WHERE d1 IS NOT NULL
-      UNION ALL
-      SELECT src, d2 AS dst FROM l WHERE d2 IS NOT NULL
+      SELECT src, dst FROM (SELECT src, UNNEST([d1, d2]) AS dst FROM l) WHERE dst IS NOT NULL
     ), sym AS (
-      SELECT src, dst FROM fwd UNION SELECT dst AS src, src AS dst FROM fwd
+      SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
     ), fof AS (
       SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
       FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
@@ -801,7 +799,12 @@ def graph_degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LEAD windows (degree <= 4 after symmetric closure; no self-join range "
     "explosion), so the 2-hop fan-out is bounded at any corpus scale. "
     "Distance-3 pairs share 2 mutuals, distance-4 pairs 1 — real signal "
-    "variety for the recommendation ranking.",
+    "variety for the recommendation ranking. Edge lineage is ONE "
+    "explode-based pipeline (forward edges all run low->high rank, so the "
+    "reversed closure is provably disjoint: UNION ALL, no distinct "
+    "exchange) and the whole build costs one scan per motif use; a "
+    "production pipeline would materialize the edge table once and hand "
+    "match_motif the stored DataFrame, making it one scan total.",
 )
 def friends_of_friends_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -815,12 +818,20 @@ def friends_of_friends_recommendations(spark: SparkSession, sf_dir: str) -> Data
         F.lead("c_custkey", 1).over(w).alias("d1"),
         F.lead("c_custkey", 2).over(w).alias("d2"),
     )
-    fwd = leads.filter(F.col("d1").isNotNull()).select("src", F.col("d1").alias("dst")).unionAll(
-        leads.filter(F.col("d2").isNotNull()).select("src", F.col("d2").alias("dst"))
+    fwd = (
+        leads.select("src", F.explode(F.array("d1", "d2")).alias("dst"))
+        .filter(F.col("dst").isNotNull())
     )
     sym = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        fwd.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                    F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
         .withColumn("rel_type", F.lit("FRIENDS"))
     )
     fof = match_motif(
