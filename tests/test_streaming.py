@@ -315,3 +315,82 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_cdc_upsert_exactly_once_state(spark, tmp_path):
+    """CDC stream -> merge_upsert sink: latest-wins within a batch,
+    update-or-insert across batches, exactly-once TABLE STATE across a
+    crash-replay (merge idempotency + checkpoint compose)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import types as T
+
+    from yelp_business_data_pipeline_spark.streaming import stream_cdc_upsert
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("p", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(on_batch_complete=None):
+        q = stream_cdc_upsert(
+            spark, str(src), schema, out, ckpt,
+            keys=["id"], order_by=["seq"], partition_by=["p"],
+            on_batch_complete=on_batch_complete,
+        )
+        return q
+
+    def state():
+        return sorted((r.id, r.v, r.p) for r in spark.read.parquet(out).collect())
+
+    # batch 1: inserts, including two changes for id=2 in ONE batch
+    (src / "c1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"id": 1, "v": "a", "p": 1, "seq": 1},
+                {"id": 2, "v": "old", "p": 1, "seq": 2},
+                {"id": 2, "v": "new", "p": 1, "seq": 3},
+                {"id": 3, "v": "c", "p": 2, "seq": 4},
+            ]
+        )
+    )
+    q = run(); q.awaitTermination()
+    assert state() == [(1, "a", 1), (2, "new", 1), (3, "c", 2)]
+
+    # batch 2: update id=1, move id=3 to partition 1, insert id=4 —
+    # crash AFTER the merge, BEFORE the checkpoint commit
+    (src / "c2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"id": 1, "v": "A", "p": 1, "seq": 5},
+                {"id": 3, "v": "C", "p": 1, "seq": 6},
+                {"id": 4, "v": "d", "p": 3, "seq": 7},
+            ]
+        )
+    )
+
+    def _crash(epoch_id):
+        raise RuntimeError("injected crash post-merge")
+
+    q = run(on_batch_complete=_crash)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    after_crash = state()
+    assert after_crash == [(1, "A", 1), (2, "new", 1), (3, "C", 1), (4, "d", 3)]
+
+    # restart replays the uncommitted batch; re-merge must be a no-op
+    q = run(); q.awaitTermination()
+    assert state() == after_crash
+    # the emptied partition (p=2 lost its only key) is gone
+    import os
+    assert not os.path.exists(os.path.join(out, "p=2"))

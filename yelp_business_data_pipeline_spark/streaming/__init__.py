@@ -1,3 +1,13 @@
-from .pipeline import run_available_now, stream_domain_etl, streaming_event_counts
+from .pipeline import (
+    run_available_now,
+    stream_cdc_upsert,
+    stream_domain_etl,
+    streaming_event_counts,
+)
 
-__all__ = ["run_available_now", "stream_domain_etl", "streaming_event_counts"]
+__all__ = [
+    "run_available_now",
+    "stream_cdc_upsert",
+    "stream_domain_etl",
+    "streaming_event_counts",
+]

@@ -81,6 +81,56 @@ def stream_domain_etl(
     )
 
 
+def stream_cdc_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_by: list[str],
+    partition_by: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    on_batch_complete: Callable[[int], None] | None = None,
+):
+    """CDC-style streaming upsert: a file stream of change records (each
+    row = the new full state of its key, with ``order_by`` giving the
+    change order, e.g. a sequence number) merged into a keyed table via
+    ``merge_upsert`` — latest-wins within a batch, update-or-insert across
+    batches. The streaming twin of the MERGE emulation: together with the
+    checkpoint this gives exactly-once TABLE STATE under replay, because
+    re-merging the same change set is a no-op (the recovery test pins it).
+
+    At scale each micro-batch rewrites only the partitions its keys touch
+    (``partition_by`` + merge_upsert's affected-partition scoping), so a
+    trickle of changes against a 100 TB table stays a trickle of I/O.
+    """
+    from ..sources.writers import merge_upsert
+
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(source_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_upsert(
+            batch_df,
+            out_path,
+            keys=keys,
+            partition_by=partition_by,
+            dedup_order_by=order_by,
+        )
+        if on_batch_complete is not None:
+            on_batch_complete(epoch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(queries) -> None:
     """Drain a set of AvailableNow streams to completion (the reference's
     'job DAG finished' barrier before the unified rebuild)."""
