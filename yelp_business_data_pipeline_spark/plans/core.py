@@ -316,44 +316,54 @@ def unified_star_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "anti_join_customers_no_orders",
+    "existence_join_panel",
     """
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT 'no_1995_orders' AS op, c_custkey, c_name, c_mktsegment,
+           CAST(NULL AS DOUBLE) AS c_acctbal
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey
         AND EXTRACT(year FROM o.o_orderdate) = 1995
     )
+    UNION ALL
+    SELECT 'active' AS op, c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS VARCHAR) AS c_mktsegment, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    doc="J4 anti-join orphan detection (reference neo4j_test.cypher:8-37 "
-    "missing-edge checks): customers with no 1995 order — left_anti "
-    "against a filtered build side (non-degenerate at every SF).",
+    doc="J4 anti-join orphan detection + J5 existence/semi join in one "
+    "op-tagged panel (reference neo4j_test.cypher:8-37 missing-edge "
+    "checks; graph.cypher:50-51 FK-validated MERGE): customers with no "
+    "1995 order via left_anti against a filtered build side, and "
+    "customers with any order via left_semi (no fan-out). Merged from two "
+    "round-2 registrations to keep every oracle-backed query inside the "
+    "driver's 50-slot gate — both join plans survive verbatim as the "
+    "panel's two branches.",
 )
-def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def existence_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tbl(spark, sf_dir, "customer")
-    o = (
+    o95 = (
         tbl(spark, sf_dir, "orders")
         .filter(F.year("o_orderdate") == 1995)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name", "c_mktsegment")
-
-
-@query(
-    "semi_join_active_customers",
-    """
-    SELECT c_custkey, c_acctbal
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    doc="J5 existence/semi join (reference graph.cypher:50-51 FK-validated "
-    "MERGE): left_semi join, no fan-out.",
-)
-def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = tbl(spark, sf_dir, "customer")
     o = tbl(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_acctbal")
+    anti = c.join(o95, "c_custkey", "left_anti").select(
+        F.lit("no_1995_orders").alias("op"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    semi = c.join(o, "c_custkey", "left_semi").select(
+        F.lit("active").alias("op"),
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    return anti.unionAll(semi)
 
 
 @query(
@@ -558,7 +568,7 @@ def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "symmetric_closure_degree",
+    "degree_panel",
     """
     WITH edges AS (
       SELECT DISTINCT s_suppkey AS src, s_nationkey AS dst FROM supplier
@@ -567,21 +577,53 @@ def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT dst AS src, src AS dst FROM edges
     )
-    SELECT src AS node_id, COUNT(*) AS degree
+    SELECT 'closure_degree' AS op, src AS node_id,
+           CAST(NULL AS VARCHAR) AS node_name, COUNT(*) AS degree
     FROM sym GROUP BY src
+    UNION ALL
+    SELECT 'orders_degree_top10' AS op, node_id, node_name, degree FROM (
+      SELECT d.o_custkey AS node_id, c.c_name AS node_name, d.degree
+      FROM (SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey) d
+      JOIN customer c ON d.o_custkey = c.c_custkey
+      ORDER BY d.degree DESC, d.o_custkey
+      LIMIT 10
+    )
     """,
-    doc="D3 symmetric closure + A5 degree count (reference FRIENDS_WITH "
-    "bidirectional merge graph.cypher:91-97; degree check "
-    "neo4j_test.cypher:40-44): union of reversed edges, distinct, degree.",
+    doc="D3 symmetric closure + A5 degree count + W1 top-k in one op-tagged "
+    "panel (reference FRIENDS_WITH bidirectional merge graph.cypher:91-97; "
+    "degree reconciliation neo4j_test.cypher:40-44): union-of-reversed-"
+    "edges closure degrees, and order-count degrees top-10 joined back to "
+    "the customer dim (agg shrinks the fact FIRST, broadcast dim join "
+    "AFTER — never join before agg). Merged from two round-2 registrations "
+    "to keep every oracle-backed query inside the driver's 50-slot gate; "
+    "both plans survive verbatim as the panel's branches.",
 )
-def symmetric_closure_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def degree_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         tbl(spark, sf_dir, "supplier")
         .select(F.col("s_suppkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
     )
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    return sym.groupBy(F.col("src").alias("node_id")).agg(F.count(F.lit(1)).alias("degree"))
+    closure = sym.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(
+        F.lit("closure_degree").alias("op"),
+        "node_id",
+        F.lit(None).cast("string").alias("node_name"),
+        "degree",
+    )
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    deg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("degree"))
+    top = (
+        deg.join(F.broadcast(c), deg.o_custkey == c.c_custkey)
+        .select(F.col("o_custkey").alias("node_id"), F.col("c_name").alias("node_name"), "degree")
+        .orderBy(F.desc("degree"), F.asc("node_id"))
+        .limit(10)
+        .select(F.lit("orders_degree_top10").alias("op"), "node_id", "node_name", "degree")
+    )
+    return closure.unionAll(top)
 
 
 # ---------------------------------------------------------------------------
@@ -735,35 +777,6 @@ def graph_two_hop_region_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
         )
-    )
-
-
-@query(
-    "graph_degree_top_customers",
-    """
-    SELECT d.o_custkey AS custkey, c.c_name AS customer_name, d.degree
-    FROM (SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey) d
-    JOIN customer c ON d.o_custkey = c.c_custkey
-    ORDER BY d.degree DESC, d.o_custkey
-    LIMIT 10
-    """,
-    doc="A5 degree count joined back to vertices + W1 top-k (reference "
-    "neo4j_test.cypher:40-44 degree reconciliation): agg shrinks fact first, "
-    "then broadcast-joins the dim — join after agg, never before.",
-)
-def graph_degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = tbl(spark, sf_dir, "orders")
-    c = tbl(spark, sf_dir, "customer")
-    deg = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("degree"))
-    return (
-        deg.join(F.broadcast(c), deg.o_custkey == c.c_custkey)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("c_name").alias("customer_name"),
-            "degree",
-        )
-        .orderBy(F.desc("degree"), F.asc("custkey"))
-        .limit(10)
     )
 
 
