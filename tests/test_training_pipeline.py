@@ -54,3 +54,54 @@ def test_documents_to_training_corpus(spark):
         F.sum(tx.bpe_ish_token_count(F.col("chunk_text"))).alias("bpe_tokens"),
     ).collect()[0]
     assert budget.ws_tokens > 0 and budget.bpe_tokens >= budget.ws_tokens
+
+
+def test_leakage_safe_splits(spark):
+    """Split is a function of the dup-cluster, not the row: every cluster
+    lands whole in one split; proportions track the requested fractions;
+    assignment is deterministic and repartition-invariant."""
+    import pytest
+
+    from yelp_business_data_pipeline_spark.operators.sampling import leakage_safe_splits
+    from yelp_business_data_pipeline_spark.operators.text import fingerprint
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("cluster", fingerprint(F.col("text"), 2))
+    )
+    out = leakage_safe_splits(d, "cluster").cache()
+
+    # (a) no cluster straddles splits
+    straddlers = (
+        out.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+    # (b) proportions within tolerance OF THE CLUSTER COUNT (the draw is
+    # per cluster, so expectation is over clusters, not rows)
+    by_split = {
+        r.split: r.n
+        for r in out.select("cluster", "split").distinct().groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_clusters = sum(by_split.values())
+    assert by_split.get("train", 0) / n_clusters == pytest.approx(0.90, abs=0.05)
+    assert (by_split.get("val", 0) + by_split.get("test", 0)) / n_clusters == pytest.approx(
+        0.10, abs=0.05
+    )
+
+    # (c) deterministic + repartition-invariant
+    again = leakage_safe_splits(d.repartition(13), "cluster")
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in again.collect()}
+    assert a == b
+    out.unpersist()
+
+    # (d) bad fractions fail loudly
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_splits(d, "cluster", splits={"train": 0.8, "val": 0.1})

@@ -125,3 +125,45 @@ def select_to_token_budget(
     )
     out = df.withColumn(cum_col, F.sum(F.col(token_col)).over(w))
     return out.filter(F.col(cum_col) - F.col(token_col) < F.lit(int(budget)))
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    group_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment: the split is a function of
+    the GROUP key (a dup-cluster id, fingerprint, or connected-component
+    label from the dedup family), never the row, so every member of a
+    near-duplicate cluster lands in the SAME split — the leakage-control
+    rule for eval sets (a test document with a train near-dup is a leaked
+    answer; splitting by doc id cannot prevent it, splitting by cluster id
+    prevents it by construction).
+
+    Assignment is the same portable ``hash_unit`` draw the samplers use:
+    deterministic across reruns, repartitioning, and engines, and
+    independent of the draw used by ``hash_sample`` (different salt) so
+    sampling and splitting don't correlate. Shuffle-free: a per-row
+    expression over cumulative split boundaries.
+
+    ``splits`` maps name -> fraction (must sum to 1 within 1e-9; default
+    90/5/5 train/val/test). Iteration order fixes boundary order, so pass
+    an ordered dict — the default is train, val, test.
+    """
+    if splits is None:
+        splits = {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = hash_unit(group_col, salt)
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = u < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
