@@ -394,3 +394,45 @@ def test_stream_cdc_upsert_exactly_once_state(spark, tmp_path):
     # the emptied partition (p=2 lost its only key) is gone
     import os
     assert not os.path.exists(os.path.join(out, "p=2"))
+
+
+def test_streaming_dedup_within_watermark_operator(spark, tmp_path):
+    """streaming_dedup_events (dropDuplicatesWithinWatermark — the Spark-4
+    native form with watermark-scoped dedup state, vs the older
+    withWatermark+dropDuplicates shape tested above) collapses re-delivered
+    events inside the watermark horizon with bounded state."""
+    from pyspark.sql import types as T
+
+    from yelp_business_data_pipeline_spark.streaming import streaming_dedup_events
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "events_src")
+    rows = [
+        (1, "2024-01-01 00:00:10", 1),
+        (1, "2024-01-01 00:00:10", 1),  # exact re-delivery
+        (2, "2024-01-01 00:05:00", 1),
+        (1, "2024-01-01 00:20:00", 2),  # same id again within watermark
+        (3, "2024-01-01 00:30:00", 3),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    df.write.parquet(src)
+
+    q = (
+        streaming_dedup_events(spark, src, schema, keys=["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_events")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_events").collect())
+    assert got == [1, 2, 3], got

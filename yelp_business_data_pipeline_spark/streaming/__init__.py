@@ -1,6 +1,7 @@
 from .pipeline import (
     run_available_now,
     stream_cdc_upsert,
+    streaming_dedup_events,
     stream_domain_etl,
     streaming_event_counts,
 )
@@ -8,6 +9,7 @@ from .pipeline import (
 __all__ = [
     "run_available_now",
     "stream_cdc_upsert",
+    "streaming_dedup_events",
     "stream_domain_etl",
     "streaming_event_counts",
 ]

@@ -159,6 +159,27 @@ def streaming_event_counts(
     )
 
 
+def streaming_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    keys: list[str] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup state only until
+    the watermark passes its event time, so duplicate events (at-least-once
+    sources, retried producers) collapse without the unbounded key store a
+    plain streaming ``dropDuplicates`` would grow forever. The streaming
+    twin of the batch exact-dedup family (operators/dedup.py): batch
+    re-dedups on every run; the stream carries watermark-scoped state
+    instead. Duplicates arriving later than the watermark are the
+    documented residual — route them through the idempotent batch writer
+    (S4) if the sink must be exact beyond the horizon."""
+    ev = spark.readStream.schema(schema).parquet(source_dir)
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def streaming_sessionize(
     spark: SparkSession,
     source_dir: str,
