@@ -4,6 +4,7 @@ known graphs, then the end-to-end pipeline (blocking -> verify -> cluster
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from yelp_business_data_pipeline_spark.operators.components import (
@@ -85,3 +86,61 @@ def test_entity_resolution_end_to_end_on_customers(spark):
     assert all(
         r.entity_id == r.c_custkey for r in resolved.filter("is_canonical").collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/pagerank.py)
+# ---------------------------------------------------------------------------
+
+
+def _python_pagerank(edge_list, damping=0.85, iters=50):
+    verts = sorted({v for e in edge_list for v in e})
+    n = len(verts)
+    out = {}
+    for a, b in set(edge_list):
+        out.setdefault(a, set()).add(b)
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in verts if v not in out)
+        new = {}
+        for v in verts:
+            inflow = sum(
+                rank[a] / len(out[a]) for a in verts if a in out and v in out[a]
+            )
+            new[v] = (1 - damping) / n + damping * (inflow + dangling / n)
+        rank = new
+    return rank
+
+
+def test_pagerank_matches_python_recompute(spark):
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+
+    # small digraph with a dangling node (4), a hub (1), and a cycle
+    edge_list = [(1, 2), (1, 3), (2, 1), (3, 1), (3, 4), (5, 1), (2, 4)]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(e, max_iter=60, tol=1e-12).collect()}
+    want = _python_pagerank(edge_list)
+    assert set(got) == set(want)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)  # probability mass
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), v
+    # the hub outranks the leaf pointed to by nobody
+    assert got[1] > got[5]
+
+
+def test_pagerank_duplicate_edges_do_not_double_contributions(spark):
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+
+    e1 = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    e2 = spark.createDataFrame([(1, 2), (1, 2), (2, 1)], "src long, dst long")
+    a = {r.id: r.rank for r in pagerank(e1).collect()}
+    b = {r.id: r.rank for r in pagerank(e2).collect()}
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_pagerank_empty_edges(spark):
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(e).count() == 0
