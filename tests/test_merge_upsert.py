@@ -215,3 +215,46 @@ def test_null_key_component_merges_once(spark, tmp_path):
     )
     got = sorted((r.id, r.k, r.v) for r in spark.read.parquet(out).collect())
     assert got == [(1, None, "A"), (2, 20, "b")]
+
+
+def test_merge_model_based_random_batches(spark, tmp_path):
+    """Model-based check: 8 deterministic pseudo-random upsert batches
+    applied to the parquet table AND to a python dict model; table state
+    must equal the model after every merge — keys update/insert/migrate
+    partitions in arbitrary interleavings the unit tests don't enumerate."""
+    import hashlib
+
+    out = str(tmp_path / "t")
+
+    def h(*parts) -> int:
+        return int.from_bytes(
+            hashlib.md5("|".join(map(str, parts)).encode()).digest()[:4], "big"
+        )
+
+    model: dict[int, tuple[str, int]] = {}
+    for step in range(8):
+        batch, seen = [], set()
+        for j in range(h("n", step) % 6 + 2):  # 2-7 rows
+            key = h("k", step, j) % 12  # small key space -> collisions
+            if key in seen:
+                continue
+            seen.add(key)
+            v = f"s{step}j{j}"
+            p = h("p", step, j) % 3  # 3 partitions -> migrations
+            batch.append((key, v, p))
+            model[key] = (v, p)
+        merge_upsert(
+            spark.createDataFrame(batch, "id long, v string, p long"),
+            out,
+            keys=["id"],
+            partition_by=["p"],
+        )
+        got = {
+            r.id: (r.v, r.p)
+            for r in spark.read.parquet(out).select("id", "v", "p").collect()
+        }
+        assert got == model, f"divergence at step {step}"
+    # every partition directory on disk is one the model still uses
+    live_parts = {f"p={p}" for (_v, p) in model.values()}
+    disk_parts = {d for d in os.listdir(out) if d.startswith("p=")}
+    assert disk_parts == live_parts
