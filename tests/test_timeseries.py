@@ -170,3 +170,52 @@ def test_day_grain_spine_matches_day_step(spark):
     )
     got = sorted((r.bucket.day, r.is_gap, r.n) for r in dense.collect())
     assert got == [(1, False, 1), (2, True, 0), (3, False, 1)]
+
+
+def test_continuous_aggregate_update_equals_full_recompute(spark, tmp_path):
+    """Applying event batches incrementally must equal rolling up the
+    concatenated events in one pass — including NULL-sum algebra and
+    bucket creation across batches — and each refresh only rewrites the
+    partitions its buckets live in."""
+    import os
+
+    from yelp_business_data_pipeline_spark.operators.timeseries import (
+        continuous_aggregate_update,
+    )
+
+    path = str(tmp_path / "rollup")
+    schema = "g string, t timestamp, v double"
+    batches = [
+        [("a", _ts(0), 1.0), ("a", _ts(0), 2.0), ("b", _ts(1), None)],
+        [("a", _ts(0), 4.0), ("b", _ts(1), None), ("b", _ts(2), 5.0)],
+        [("c", _ts(3), None)],
+    ]
+    all_rows = []
+    for rows in batches:
+        all_rows.extend(rows)
+        stats = continuous_aggregate_update(
+            spark.createDataFrame(rows, schema),
+            path,
+            group_cols=["g"],
+            ts_col="t",
+            grain="hour",
+            value_col="v",
+        )
+    assert stats["created"] is False  # later refreshes merge, not rebuild
+
+    got = {
+        (r.g, r.bucket.hour): (r.n_events, r.value_sum)
+        for r in spark.read.parquet(path).collect()
+    }
+    full = spark.createDataFrame(all_rows, schema).groupBy(
+        "g", F.date_trunc("hour", "t").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    want = {(r.g, r.bucket.hour): (r.n, r.s) for r in full.collect()}
+    assert got == want
+    # NULL algebra: b@hour1 saw only NULL values -> sum stays NULL, count 2
+    assert got[("b", 1)] == (2, None)
+    # partition scoping: batch 3 touched only g=c
+    assert stats["affected_partitions"] == 1
+    assert sorted(d for d in os.listdir(path) if d.startswith("g=")) == [
+        "g=a", "g=b", "g=c",
+    ]

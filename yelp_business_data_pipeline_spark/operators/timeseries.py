@@ -109,3 +109,77 @@ def gapfill_locf(
     for c in value_cols:
         out = out.withColumn(f"{c}_locf", F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def continuous_aggregate_update(
+    batch: DataFrame,
+    rollup_path: str,
+    group_cols: Sequence[str],
+    ts_col: str,
+    grain: str,
+    value_col: str,
+    bucket_col: str = "bucket",
+) -> dict:
+    """Incrementally maintain a stored (group, bucket) rollup from a new
+    event batch — TimescaleDB's continuous-aggregate refresh, composed from
+    this engine's own pieces instead of a second system:
+
+    1. roll the batch up to (group, bucket, n_events, value_sum) — one
+       shuffle over BATCH rows only;
+    2. read the stored rollup's matching rows (key semi-join, column-pruned)
+       and combine additively (count + count, sum + sum with NULL algebra:
+       COALESCE to keep a NULL+NULL sum NULL but NULL+x = x);
+    3. ``merge_upsert`` writes the combined rows back — only partitions
+       holding touched buckets rewrite (S5+ machinery), so a late trickle
+       against years of stored rollup stays a trickle of I/O.
+
+    COUNT and SUM are the refresh-safe aggregates (associative and
+    commutative over disjoint batches); AVG derives as sum/count
+    downstream. MIN/MAX combine the same way; percentiles/distinct need
+    sketches (operators/sketches.py) — the standard continuous-aggregate
+    constraint. Re-applying the SAME batch double-counts (the operator is
+    additive by design); feed it from exactly-once ingest (St1) or the CDC
+    stream so each event arrives once.
+
+    Returns merge_upsert's stats dict.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.writers import merge_upsert
+
+    spark = batch.sparkSession
+    gcols = list(group_cols)
+    keys = [*gcols, bucket_col]
+    delta = batch.groupBy(
+        *gcols, time_bucket(ts_col, grain).alias(bucket_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("value_sum"),
+    )
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(rollup_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        existing = spark.read.parquet(rollup_path)
+        matched = existing.join(delta.select(*keys), on=keys, how="left_semi").select(
+            *keys,
+            F.col("n_events").alias("_old_n"),
+            F.col("value_sum").alias("_old_s"),
+        )
+        delta = (
+            delta.join(matched, on=keys, how="left")
+            .select(
+                *keys,
+                (F.col("n_events") + F.coalesce(F.col("_old_n"), F.lit(0))).alias("n_events"),
+                F.when(
+                    F.col("value_sum").isNull() & F.col("_old_s").isNull(), F.lit(None)
+                )
+                .otherwise(
+                    F.coalesce(F.col("value_sum"), F.lit(0.0))
+                    + F.coalesce(F.col("_old_s"), F.lit(0.0))
+                )
+                .alias("value_sum"),
+            )
+        )
+    return merge_upsert(delta, rollup_path, keys=keys, partition_by=gcols)
