@@ -1,0 +1,84 @@
+"""Z-order layout (sources/layout.py): interleave correctness vs a python
+reference, and the pruning property — consecutive chunks of the z-order
+have small per-dimension spans, so chunk min/max stats skip data on the
+SECOND dimension too, which lexicographic sort cannot do."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.sources.layout import zorder_key
+
+
+def _py_morton(vals: list[int], bits: int) -> int:
+    out = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * n + j)
+    return out
+
+
+def test_zorder_matches_python_reference(spark):
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=4)).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _py_morton([x, y], 4), (x, y)
+    # bijective on the grid
+    assert len(set(got.values())) == len(rows)
+
+
+def test_zorder_chunk_spans_prune_second_dimension(spark):
+    """Simulated row groups (chunks of 64 over a 64x64 grid): under
+    z-order, most chunks' [min,max] y-range excludes a thin y-band filter;
+    under lexicographic (x, y) sort, chunks span narrow x but the
+    y-pruning rate must be far lower for a filter crossing x values.
+    This is the min/max-stat skipping parquet does per row group."""
+    n, chunk = 64, 64
+    pts = [(x, y) for x in range(n) for y in range(n)]
+
+    def chunks_sorted_by(keyfn):
+        s = sorted(pts, key=keyfn)
+        return [s[i : i + chunk] for i in range(0, len(s), chunk)]
+
+    def pruned_fraction(chks, y_lo, y_hi):
+        pruned = sum(
+            1
+            for c in chks
+            if max(y for _x, y in c) < y_lo or min(y for _x, y in c) > y_hi
+        )
+        return pruned / len(chks)
+
+    z = chunks_sorted_by(lambda p: _py_morton([p[0], p[1]], 6))
+    lex = chunks_sorted_by(lambda p: p)
+    band = (24, 27)  # thin y-band, crosses every x
+    z_rate = pruned_fraction(z, *band)
+    lex_rate = pruned_fraction(lex, *band)
+    assert z_rate >= 0.7, f"z-order chunks should mostly prune: {z_rate}"
+    assert lex_rate == 0.0, "lexicographic chunks span full y — no pruning"
+
+    # and the engine expression produces exactly this ordering
+    df = spark.createDataFrame(pts, "x long, y long")
+    ordered = (
+        df.withColumn("z", zorder_key(["x", "y"], bits=6))
+        .orderBy("z")
+        .collect()
+    )
+    assert [(r.x, r.y) for r in ordered] == sorted(
+        pts, key=lambda p: _py_morton([p[0], p[1]], 6)
+    )
+
+
+def test_zorder_input_validation(spark):
+    df = spark.createDataFrame([(1, -1)], "x long, y long")
+    with pytest.raises(Exception, match="out of"):
+        df.withColumn("z", zorder_key(["x", "y"], bits=4)).collect()
+    with pytest.raises(ValueError, match="exceeds"):
+        zorder_key(["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key([])

@@ -1,3 +1,4 @@
+from .layout import zorder_key
 from .readers import load_testdata, read_json_lines, read_parquet_table
 from .writers import (
     compact_parquet,
@@ -8,6 +9,7 @@ from .writers import (
 )
 
 __all__ = [
+    "zorder_key",
     "load_testdata",
     "read_json_lines",
     "read_parquet_table",
