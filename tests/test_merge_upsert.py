@@ -258,3 +258,24 @@ def test_merge_model_based_random_batches(spark, tmp_path):
     live_parts = {f"p={p}" for (_v, p) in model.values()}
     disk_parts = {d for d in os.listdir(out) if d.startswith("p=")}
     assert disk_parts == live_parts
+
+
+def test_empty_source_batch_is_a_noop(spark, tmp_path):
+    """Empty micro-batches (routine on streaming restarts) must not touch
+    the table, create one, or trip the affected-partition machinery."""
+    out = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "id long, v string, p long")
+    # against a missing table: nothing created
+    stats = merge_upsert(empty, out, keys=["id"], partition_by=["p"])
+    assert stats == {"created": False, "affected_partitions": 0, "emptied_partitions": 0}
+    assert not os.path.exists(out)
+    # against an existing table: files untouched (partitioned and not)
+    _seed(spark, out)
+    before = _files(out)
+    merge_upsert(empty, out, keys=["id"], partition_by=["p"])
+    assert _files(out) == before
+    flat = str(tmp_path / "flat")
+    merge_upsert(spark.createDataFrame([(1, "a")], ["id", "v"]), flat, keys=["id"])
+    before_flat = _files(flat)
+    merge_upsert(spark.createDataFrame([], "id long, v string"), flat, keys=["id"])
+    assert _files(flat) == before_flat

@@ -166,6 +166,11 @@ def merge_upsert(
                 f"{tuple(bad[0][k] for k in keys)}; pass dedup_order_by for latest-wins"
             )
         raise ValueError("merge_upsert: null partition values are not mergeable")
+    # An empty batch merges nothing: no table creation, no partition scan,
+    # no full rewrite of an unpartitioned target (streaming sinks routinely
+    # deliver empty micro-batches on restart).
+    if fresh.isEmpty():
+        return {"created": False, "affected_partitions": 0, "emptied_partitions": 0}
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
