@@ -14,6 +14,8 @@ from .cleaning import (
     prefix_overlapping_columns,
 )
 from .dedup import (
+    bucket_pairs,
+    deletion_neighborhood_candidates,
     exact_dedup,
     minhash_lsh_candidates,
     simhash,
@@ -23,6 +25,14 @@ from .dedup import (
 from .graph import build_edges, build_vertices, match_motif
 from .multimodal import extract_media_features, media_meta_expr
 from .review import review_etl
+from .pq import pq_adc_topk, pq_ann_topk, pq_encode, train_pq_codebooks
+from .sampling import (
+    hash_sample,
+    hash_unit,
+    leakage_safe_splits,
+    select_to_token_budget,
+    stratified_sample,
+)
 from .similarity import (
     arrow_cosine_topk,
     cosine_topk,
@@ -30,7 +40,13 @@ from .similarity import (
     lsh_ann_topk,
 )
 from .skew import salted_aggregate, salted_join
-from .timeseries import GRAIN_STEPS, gapfill_locf, time_bucket
+from .pagerank import pagerank
+from .timeseries import (
+    GRAIN_STEPS,
+    continuous_aggregate_update,
+    gapfill_locf,
+    time_bucket,
+)
 from .text import (
     distinct_token_ratio,
     fingerprint,
@@ -44,6 +60,19 @@ from .unified import unified_analytics
 from .user import user_etl, user_friend_edges
 
 __all__ = [
+    "train_pq_codebooks",
+    "stratified_sample",
+    "select_to_token_budget",
+    "pq_encode",
+    "pq_ann_topk",
+    "pq_adc_topk",
+    "pagerank",
+    "leakage_safe_splits",
+    "hash_unit",
+    "hash_sample",
+    "deletion_neighborhood_candidates",
+    "continuous_aggregate_update",
+    "bucket_pairs",
     "arrow_cosine_topk",
     "asof_join_backward",
     "assert_unique_keys",
