@@ -102,3 +102,27 @@ def test_pq_training_respects_byte_budget(qc):
     assert books.count() == 8 * 64
     with pytest.raises(ValueError, match="sample_bytes"):
         train_pq_codebooks(c, "c_id", "v", m=8, n_codes=64, iters=2, sample_bytes=budget // 2)
+
+
+def test_pq_index_survives_parquet_roundtrip(spark, qc, tmp_path):
+    """The operational shape at 100 TB is TRAIN ONCE, STORE, SEARCH MANY:
+    codebooks and codes written to parquet and read back must produce
+    byte-identical search results to the in-memory pipeline."""
+    q, c = qc
+    books = train_pq_codebooks(c, "c_id", "v", m=16, n_codes=64, iters=5)
+    codes = pq_encode(c, books, "c_id", "v")
+    live = {
+        (r.q_id, r.c_id, r.rnk)
+        for r in pq_ann_topk(q, codes, c, books, k=10, rerank=100).collect()
+    }
+
+    bpath, cpath = str(tmp_path / "books"), str(tmp_path / "codes")
+    books.write.parquet(bpath)
+    codes.write.parquet(cpath)
+    books2 = spark.read.parquet(bpath)
+    codes2 = spark.read.parquet(cpath)
+    stored = {
+        (r.q_id, r.c_id, r.rnk)
+        for r in pq_ann_topk(q, codes2, c, books2, k=10, rerank=100).collect()
+    }
+    assert stored == live and live
