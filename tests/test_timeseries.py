@@ -219,3 +219,49 @@ def test_continuous_aggregate_update_equals_full_recompute(spark, tmp_path):
     assert sorted(d for d in os.listdir(path) if d.startswith("g=")) == [
         "g=a", "g=b", "g=c",
     ]
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_gapfill_matches_python_model_random_series(spark, seed):
+    """Randomized cross-check: sparse per-group hourly rollups with NULL
+    sums, compared row-for-row against an independent python model of the
+    spine/gap/LOCF semantics."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for gi in range(4):
+        hours = sorted(rng.choice(24, size=rng.integers(1, 9), replace=False).tolist())
+        for h in hours:
+            v = None if rng.random() < 0.3 else round(float(rng.random()) * 10, 3)
+            rows.append((f"g{gi}", int(h), int(rng.integers(1, 5)), v))
+
+    dense = gapfill_locf(
+        _rollup(spark, rows),
+        group_cols=["g"],
+        bucket_col="bucket",
+        value_cols=["v"],
+        step=GRAIN_STEPS["hour"],
+        count_cols=["n"],
+    )
+    got = {
+        (r.g, r.bucket.hour): (r.n, r.v, r.is_gap, r.v_locf) for r in dense.collect()
+    }
+
+    # python model
+    by_g: dict[str, dict[int, tuple[int, float | None]]] = {}
+    for g, h, n, v in rows:
+        by_g.setdefault(g, {})[h] = (n, v)
+    want = {}
+    for g, obs in by_g.items():
+        lo, hi = min(obs), max(obs)
+        carry = None
+        for h in range(lo, hi + 1):
+            if h in obs:
+                n, v = obs[h]
+                if v is not None:
+                    carry = v
+                want[(g, h)] = (n, v, False, carry)
+            else:
+                want[(g, h)] = (0, None, True, carry)
+    assert got == want
