@@ -265,3 +265,35 @@ def test_gapfill_matches_python_model_random_series(spark, seed):
             else:
                 want[(g, h)] = (0, None, True, carry)
     assert got == want
+
+
+def test_incremental_distinct_rollup_absorbs_reseen_ids(spark, tmp_path):
+    """COUNT DISTINCT maintenance: ids re-seen across batches must not
+    double-count (the case additive refresh cannot handle); estimates
+    stay within HLL error of the exact distinct count."""
+    from yelp_business_data_pipeline_spark.operators.timeseries import (
+        incremental_distinct_rollup,
+    )
+
+    path = str(tmp_path / "rollup")
+    schema = "g string, t timestamp, uid long"
+    # batch 2 re-sees uids 0-49 of batch 1 and adds 50 new ones
+    b1 = [("a", _ts(0), i) for i in range(100)]
+    b2 = [("a", _ts(0), i) for i in range(50)] + [("a", _ts(0), 100 + i) for i in range(50)]
+    for rows in (b1, b2):
+        incremental_distinct_rollup(
+            spark.createDataFrame(rows, schema),
+            path,
+            group_cols=["g"],
+            ts_col="t",
+            grain="hour",
+            id_col="uid",
+        )
+    est = (
+        spark.read.parquet(path)
+        .select(F.hll_sketch_estimate("n_distinct_hll").alias("n"))
+        .collect()
+    )
+    assert len(est) == 1
+    exact = 150  # 0-99 union 0-49,100-149
+    assert abs(est[0].n - exact) / exact < 0.05, est[0].n
