@@ -436,3 +436,55 @@ def test_streaming_dedup_within_watermark_operator(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_events").collect())
     assert got == [1, 2, 3], got
+
+
+def test_stream_cdc_upsert_out_of_order_change_does_not_regress(spark, tmp_path):
+    """A later batch carrying an OLDER change (lower sequence) for a key
+    must not overwrite the newer stored state — arbitration is by
+    order_by, not arrival order."""
+    from pyspark.sql import types as T
+
+    from yelp_business_data_pipeline_spark.streaming import stream_cdc_upsert
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("p", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_cdc_upsert(
+            spark, str(src), schema, out, ckpt,
+            keys=["id"], order_by=["seq"], partition_by=["p"],
+        )
+        q.awaitTermination()
+
+    (src / "c1.json").write_text(json.dumps({"id": 1, "v": "newer", "p": 1, "seq": 7}))
+    run()
+    # stale change arrives late (and a fresh key alongside it)
+    (src / "c2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"id": 1, "v": "stale", "p": 1, "seq": 4},
+                {"id": 2, "v": "b", "p": 2, "seq": 5},
+            ]
+        )
+    )
+    run()
+    got = sorted((r.id, r.v, r.seq) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "newer", 7), (2, "b", 5)], got
+    # stale change in a DIFFERENT partition must not migrate the key either
+    (src / "c3.json").write_text(json.dumps({"id": 1, "v": "older-move", "p": 3, "seq": 2}))
+    run()
+    got = sorted((r.id, r.v, r.p) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "newer", 1), (2, "b", 2)], got
+    import os
+    assert not os.path.exists(os.path.join(out, "p=3"))

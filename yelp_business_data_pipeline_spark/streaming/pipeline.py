@@ -96,10 +96,19 @@ def stream_cdc_upsert(
     """CDC-style streaming upsert: a file stream of change records (each
     row = the new full state of its key, with ``order_by`` giving the
     change order, e.g. a sequence number) merged into a keyed table via
-    ``merge_upsert`` — latest-wins within a batch, update-or-insert across
-    batches. The streaming twin of the MERGE emulation: together with the
-    checkpoint this gives exactly-once TABLE STATE under replay, because
-    re-merging the same change set is a no-op (the recovery test pins it).
+    ``merge_upsert`` — latest-wins within a batch AND against the stored
+    row, update-or-insert across batches. The streaming twin of the MERGE
+    emulation: together with the checkpoint this gives exactly-once TABLE
+    STATE under replay, because re-merging the same change set is a no-op
+    (the recovery test pins it).
+
+    Out-of-order delivery is arbitrated by ``order_by``, not arrival: the
+    stored rows for the batch's keys (a key semi-join — touched-slice
+    cost) join the batch before latest-wins dedup, so a batch carrying an
+    OLDER change than the table state re-asserts the stored row instead
+    of regressing it. ``order_by`` must be unique per key (a sequence /
+    LSN) for the arbitration to be deterministic; the table keeps the
+    column so future batches can be arbitrated too.
 
     At scale each micro-batch rewrites only the partitions its keys touch
     (``partition_by`` + merge_upsert's affected-partition scoping), so a
@@ -113,8 +122,18 @@ def stream_cdc_upsert(
     raw = reader.json(source_dir)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        src = batch_df
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            existing = spark.read.parquet(out_path)
+            stored = existing.join(
+                src.select(*keys).dropDuplicates(list(keys)), on=list(keys), how="left_semi"
+            )
+            src = src.unionByName(stored)
         merge_upsert(
-            batch_df,
+            src,
             out_path,
             keys=keys,
             partition_by=partition_by,
