@@ -297,3 +297,42 @@ def test_incremental_distinct_rollup_absorbs_reseen_ids(spark, tmp_path):
     assert len(est) == 1
     exact = 150  # 0-99 union 0-49,100-149
     assert abs(est[0].n - exact) / exact < 0.05, est[0].n
+
+
+def test_exactly_once_refresh_survives_replay(spark, tmp_path):
+    """Re-applying a batch with the same refresh_id (the foreachBatch
+    crash-replay) must leave the folded rollup unchanged; distinct
+    refresh_ids accumulate."""
+    from yelp_business_data_pipeline_spark.operators.timeseries import (
+        continuous_aggregate_update_exactly_once,
+        read_continuous_aggregate,
+    )
+
+    path = str(tmp_path / "contrib")
+    schema = "g string, t timestamp, v double"
+    b1 = [("a", _ts(0), 1.0), ("a", _ts(0), 2.0)]
+    b2 = [("a", _ts(0), 4.0), ("b", _ts(1), None)]
+
+    def apply(rows, rid):
+        continuous_aggregate_update_exactly_once(
+            spark.createDataFrame(rows, schema), path,
+            group_cols=["g"], ts_col="t", grain="hour", value_col="v",
+            refresh_id=rid,
+        )
+
+    def folded():
+        return {
+            (r.g, r.bucket.hour): (r.n_events, r.value_sum)
+            for r in read_continuous_aggregate(spark, path, ["g"]).collect()
+        }
+
+    apply(b1, 0)
+    apply(b2, 1)
+    want = {("a", 0): (3, 7.0), ("b", 1): (1, None)}
+    assert folded() == want
+    # crash-replay: same batch, same refresh_id -> no double count
+    apply(b2, 1)
+    assert folded() == want
+    # genuinely new refresh accumulates
+    apply([("b", _ts(1), 9.0)], 2)
+    assert folded() == {("a", 0): (3, 7.0), ("b", 1): (2, 9.0)}

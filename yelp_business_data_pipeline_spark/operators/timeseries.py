@@ -239,3 +239,66 @@ def incremental_distinct_rollup(
             )
         )
     return merge_upsert(delta, rollup_path, keys=keys, partition_by=gcols)
+
+
+def continuous_aggregate_update_exactly_once(
+    batch: DataFrame,
+    rollup_path: str,
+    group_cols: Sequence[str],
+    ts_col: str,
+    grain: str,
+    value_col: str,
+    refresh_id: int,
+    bucket_col: str = "bucket",
+) -> dict:
+    """Replay-safe continuous-aggregate refresh. The additive
+    :func:`continuous_aggregate_update` double-counts if the SAME batch is
+    re-applied — exactly what happens when a foreachBatch sink crashes
+    after its write but before the checkpoint commit (the at-least-once
+    window ``stream_domain_etl`` documents). Plain parquet has no atomic
+    multi-table commit to close that window, so this variant removes the
+    need for one: each refresh writes CONTRIBUTION rows keyed
+    (group, bucket, refresh_id) through ``merge_upsert`` — replaying a
+    batch rewrites its own contribution rows to identical values
+    (merge idempotency) instead of adding them twice. Pass the
+    foreachBatch ``epoch_id`` as ``refresh_id``.
+
+    Read the current rollup with :func:`read_continuous_aggregate`, which
+    sums contributions per (group, bucket) — read-time cost grows with
+    refreshes per bucket; fold history periodically by re-aggregating the
+    contribution table into a single refresh_id (same merge machinery).
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.writers import merge_upsert
+
+    gcols = list(group_cols)
+    delta = batch.groupBy(
+        *gcols, time_bucket(ts_col, grain).alias(bucket_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("value_sum"),
+    ).withColumn("refresh_id", F.lit(int(refresh_id)))
+    return merge_upsert(
+        delta,
+        rollup_path,
+        keys=[*gcols, bucket_col, "refresh_id"],
+        partition_by=gcols,
+    )
+
+
+def read_continuous_aggregate(
+    spark, rollup_path: str, group_cols: Sequence[str], bucket_col: str = "bucket"
+) -> DataFrame:
+    """Fold a contribution table (see
+    :func:`continuous_aggregate_update_exactly_once`) to one row per
+    (group, bucket): counts sum; sums sum with NULL algebra (all-NULL
+    contributions stay NULL)."""
+    from pyspark.sql import functions as F
+
+    gcols = list(group_cols)
+    contrib = spark.read.parquet(rollup_path)
+    return contrib.groupBy(*gcols, bucket_col).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("value_sum").alias("value_sum"),
+    )
