@@ -220,3 +220,25 @@ def test_fof_matches_bruteforce_adjacency(spark):
         for r in QUERIES["friends_of_friends_recommendations"].spark(spark, sf).collect()
     }
     assert got == expect and expect
+
+
+def test_motif_self_loop_negation(motif_edges):
+    """WHERE NOT (x)-[:SELF]->(x): matched rows whose variable has a
+    self-loop edge are excluded (x has one; u1 doesn't)."""
+    from yelp_business_data_pipeline_spark.operators import match_motif
+
+    import pyspark.sql.functions as F
+
+    # extend: give 'x' an F-edge so it appears in a pattern match
+    edges = motif_edges.union(
+        motif_edges.sparkSession.createDataFrame(
+            [("x", "u1", "F")], "src string, dst string, rel_type string"
+        )
+    )
+    got = {
+        r.a
+        for r in match_motif(
+            edges, [("a", "F", "b")], negations=[("a", "SELF", "a")]
+        ).select("a").collect()
+    }
+    assert "x" not in got and "u1" in got

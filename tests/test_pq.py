@@ -126,3 +126,23 @@ def test_pq_index_survives_parquet_roundtrip(spark, qc, tmp_path):
         for r in pq_ann_topk(q, codes2, c, books2, k=10, rerank=100).collect()
     }
     assert stored == live and live
+
+
+def test_pq_string_ids_work_end_to_end(spark):
+    """Id columns keep their source dtype through the Arrow kernels —
+    string business keys, not only long vec_ids."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    rows = [(f"doc-{i:03d}", [float(v) for v in rng.random(dim)]) for i in range(60)]
+    e = spark.createDataFrame(rows, "id string, v array<double>")
+    q = e.limit(3).select(F.col("id").alias("q_id"), "v")
+    c = e.select(F.col("id").alias("c_id"), "v")
+    books = train_pq_codebooks(c, "c_id", "v", m=4, n_codes=16, iters=3)
+    codes = pq_encode(c, books, "c_id", "v")
+    got = pq_ann_topk(q, codes, c, books, k=5, rerank=20).collect()
+    assert len(got) == 15
+    assert all(isinstance(r.q_id, str) and isinstance(r.c_id, str) for r in got)
+    # a query identical to a corpus vector finds itself first
+    assert all(r.c_id == r.q_id for r in got if r.rnk == 1)

@@ -105,3 +105,13 @@ def test_leakage_safe_splits(spark):
     # (d) bad fractions fail loudly
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_splits(d, "cluster", splits={"train": 0.8, "val": 0.1})
+
+
+def test_leakage_safe_splits_null_cluster_raises(spark):
+    import pytest
+
+    from yelp_business_data_pipeline_spark.operators.sampling import leakage_safe_splits
+
+    d = spark.createDataFrame([(1, "c1"), (2, None)], "doc_id long, cluster string")
+    with pytest.raises(Exception, match="NULL cluster"):
+        leakage_safe_splits(d, "cluster").collect()

@@ -44,7 +44,10 @@ from .pagerank import pagerank
 from .timeseries import (
     GRAIN_STEPS,
     continuous_aggregate_update,
+    continuous_aggregate_update_exactly_once,
     gapfill_locf,
+    incremental_distinct_rollup,
+    read_continuous_aggregate,
     time_bucket,
 )
 from .text import (
@@ -60,6 +63,9 @@ from .unified import unified_analytics
 from .user import user_etl, user_friend_edges
 
 __all__ = [
+    "read_continuous_aggregate",
+    "incremental_distinct_rollup",
+    "continuous_aggregate_update_exactly_once",
     "train_pq_codebooks",
     "stratified_sample",
     "select_to_token_budget",

@@ -245,13 +245,19 @@ def match_motif(
     if res is None:
         raise ValueError("match_motif: empty pattern")
     for s, rel, d in negations or []:
-        neg = edges.filter(F.col("rel_type") == rel).select(
-            F.col("src").alias(s), F.col("dst").alias(d)
-        )
-        missing = [v for v in (s, d) if v not in res.columns]
+        neg = edges.filter(F.col("rel_type") == rel)
+        if s == d:
+            # WHERE NOT (x)-[:R]->(x): anti-join on the single variable
+            # against self-loop edges (mirrors the pattern branch).
+            neg = neg.filter(F.col("src") == F.col("dst")).select(F.col("src").alias(s))
+            join_vars = [s]
+        else:
+            neg = neg.select(F.col("src").alias(s), F.col("dst").alias(d))
+            join_vars = [s, d]
+        missing = [v for v in join_vars if v not in res.columns]
         if missing:
             raise ValueError(f"match_motif: negation uses unbound variables {missing}")
-        res = res.join(neg, on=[s, d], how="left_anti")
+        res = res.join(neg, on=join_vars, how="left_anti")
     for x, y in distinct or []:
         res = res.filter(F.col(x) != F.col(y))
     for var, val in (bindings or {}).items():

@@ -60,9 +60,16 @@ def _train_sample_cap(
     by_bytes = max(1, sample_bytes // (dim * 8))
     cap = min(want, by_bytes)
     if cap < n_lists:
+        # name the knob that actually bound the sample — misdiagnosing the
+        # byte budget when sample_n was the limiter sends the operator
+        # debugging the wrong setting
+        limiter = (
+            f"sample_bytes={sample_bytes}" if by_bytes < want else f"sample_n={sample_n}"
+        )
         raise ValueError(
-            f"sample_bytes={sample_bytes} admits only {cap} x {dim}-dim vectors "
-            f"but n_lists={n_lists} centroids need at least that many seeds"
+            f"{limiter} admits only {cap} x {dim}-dim vectors "
+            f"but n_lists={n_lists} centroids need at least that many seeds "
+            f"(sample_bytes admits {by_bytes} rows, sample_n asks for {want})"
         )
     return cap
 

@@ -98,6 +98,8 @@ def _codebook_tensor(codebooks: DataFrame):
     import numpy as np
 
     rows = codebooks.orderBy("subspace", "code").collect()
+    if not rows:
+        raise ValueError("empty codebook table — train_pq_codebooks first")
     m = rows[-1].subspace + 1
     per = [[r.cv for r in rows if r.subspace == j] for j in range(m)]
     n_codes = max(len(p) for p in per)
@@ -163,6 +165,8 @@ def pq_adc_topk(
     tens = _codebook_tensor(codebooks)
     m, n_codes, sub = tens.shape
     q_rows = queries.select(query_id, vec_col).collect()  # small by contract
+    if not q_rows:
+        raise ValueError("pq_adc_topk: empty query set — nothing to search for")
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     # per-query LUT: (nq, m, n_codes) squared subspace distances
@@ -175,10 +179,13 @@ def pq_adc_topk(
             - 2.0 * (qs @ tens[j].T)
         )
 
+    # id columns keep their source dtypes (string business keys work, not
+    # only long vec_ids) — hardcoding LongType made Arrow reject any other
+    # id type deep inside the kernel.
     out_schema = T.StructType(
         [
-            T.StructField("q_id_", T.LongType()),
-            T.StructField("c_id_", T.LongType()),
+            T.StructField("q_id_", queries.schema[query_id].dataType),
+            T.StructField("c_id_", codes.schema[corpus_id].dataType),
             T.StructField("adc_dist", T.DoubleType()),
         ]
     )
@@ -193,13 +200,20 @@ def pq_adc_topk(
             dists = np.zeros((len(q_ids), len(cmat)))
             for j in range(m):
                 dists += lut[:, j, cmat[:, j]]
+            # Round BEFORE the partial selection: the global window ranks by
+            # (rounded dist, c_id), so the per-batch top-k must use the same
+            # order or batch/partition layout could drop the row the window
+            # would have kept at a rounded-tie boundary. lexsort gives the
+            # full deterministic (dist, c_id) order per query.
+            dists = np.round(dists, 6)
             take = min(k, dists.shape[1])
-            idx = np.argpartition(dists, take - 1, axis=1)[:, :take]  # (nq, take)
+            order = np.lexsort((np.broadcast_to(c_ids, dists.shape), dists), axis=1)
+            idx = order[:, :take]  # (nq, take)
             yield pd.DataFrame(
                 {
                     "q_id_": np.repeat(q_ids, take),
                     "c_id_": c_ids[idx].ravel(),
-                    "adc_dist": np.round(np.take_along_axis(dists, idx, 1).ravel(), 6),
+                    "adc_dist": np.take_along_axis(dists, idx, 1).ravel(),
                 }
             )
 

@@ -151,6 +151,11 @@ def leakage_safe_splits(
     ``splits`` maps name -> fraction (must sum to 1 within 1e-9; default
     90/5/5 train/val/test). Iteration order fixes boundary order, so pass
     an ordered dict — the default is train, val, test.
+
+    NULL group keys raise at execution time: ``hash_unit`` of NULL is
+    NULL, which would silently fall through every boundary into the LAST
+    split — polluting exactly the eval set with exactly the malformed
+    documents. Clean or fill cluster keys first.
     """
     if splits is None:
         splits = {"train": 0.90, "val": 0.05, "test": 0.05}
@@ -166,4 +171,13 @@ def leakage_safe_splits(
         cond = u < F.lit(cum)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
-    return df.withColumn(out_col, expr)
+    guard = F.when(
+        F.col(group_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"leakage_safe_splits: NULL {group_col} cannot be split "
+                "deterministically — fill or drop null cluster keys first"
+            )
+        ).cast("string"),
+    ).otherwise(expr)
+    return df.withColumn(out_col, guard)

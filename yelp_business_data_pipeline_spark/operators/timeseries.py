@@ -129,9 +129,12 @@ def continuous_aggregate_update(
     2. read the stored rollup's matching rows (key semi-join, column-pruned)
        and combine additively (count + count, sum + sum with NULL algebra:
        COALESCE to keep a NULL+NULL sum NULL but NULL+x = x);
-    3. ``merge_upsert`` writes the combined rows back — only partitions
-       holding touched buckets rewrite (S5+ machinery), so a late trickle
-       against years of stored rollup stays a trickle of I/O.
+    3. ``merge_upsert`` writes the combined rows back. The stored table
+       partitions by (group, bucket DATE) — group alone would make one
+       late event rewrite the group's entire bucket history; the date
+       subpartition scopes each refresh to the days it touches, so a late
+       trickle against years of stored rollup stays a trickle of I/O.
+       Rows with NULL timestamps are dropped (they have no bucket).
 
     COUNT and SUM are the refresh-safe aggregates (associative and
     commutative over disjoint batches); AVG derives as sum/count
@@ -150,11 +153,15 @@ def continuous_aggregate_update(
     spark = batch.sparkSession
     gcols = list(group_cols)
     keys = [*gcols, bucket_col]
-    delta = batch.groupBy(
-        *gcols, time_bucket(ts_col, grain).alias(bucket_col)
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(value_col).alias("value_sum"),
+    pcols = [*gcols, "bucket_date"]
+    delta = (
+        batch.filter(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, time_bucket(ts_col, grain).alias(bucket_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .withColumn("bucket_date", F.to_date(F.col(bucket_col)))
     )
 
     jvm = spark._jvm
@@ -171,6 +178,7 @@ def continuous_aggregate_update(
             delta.join(matched, on=keys, how="left")
             .select(
                 *keys,
+                "bucket_date",
                 (F.col("n_events") + F.coalesce(F.col("_old_n"), F.lit(0))).alias("n_events"),
                 F.when(
                     F.col("value_sum").isNull() & F.col("_old_s").isNull(), F.lit(None)
@@ -182,7 +190,7 @@ def continuous_aggregate_update(
                 .alias("value_sum"),
             )
         )
-    return merge_upsert(delta, rollup_path, keys=keys, partition_by=gcols)
+    return merge_upsert(delta, rollup_path, keys=keys, partition_by=pcols)
 
 
 def incremental_distinct_rollup(
@@ -215,9 +223,13 @@ def incremental_distinct_rollup(
     spark = batch.sparkSession
     gcols = list(group_cols)
     keys = [*gcols, bucket_col]
-    delta = batch.groupBy(
-        *gcols, time_bucket(ts_col, grain).alias(bucket_col)
-    ).agg(F.hll_sketch_agg(id_col).alias("n_distinct_hll"))
+    pcols = [*gcols, "bucket_date"]
+    delta = (
+        batch.filter(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, time_bucket(ts_col, grain).alias(bucket_col))
+        .agg(F.hll_sketch_agg(id_col).alias("n_distinct_hll"))
+        .withColumn("bucket_date", F.to_date(F.col(bucket_col)))
+    )
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(rollup_path)
@@ -231,6 +243,7 @@ def incremental_distinct_rollup(
             delta.join(matched, on=keys, how="left")
             .select(
                 *keys,
+                "bucket_date",
                 F.when(
                     F.col("_old_hll").isNull(), F.col("n_distinct_hll")
                 )
@@ -238,7 +251,7 @@ def incremental_distinct_rollup(
                 .alias("n_distinct_hll"),
             )
         )
-    return merge_upsert(delta, rollup_path, keys=keys, partition_by=gcols)
+    return merge_upsert(delta, rollup_path, keys=keys, partition_by=pcols)
 
 
 def continuous_aggregate_update_exactly_once(
@@ -273,17 +286,21 @@ def continuous_aggregate_update_exactly_once(
     from ..sources.writers import merge_upsert
 
     gcols = list(group_cols)
-    delta = batch.groupBy(
-        *gcols, time_bucket(ts_col, grain).alias(bucket_col)
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(value_col).alias("value_sum"),
-    ).withColumn("refresh_id", F.lit(int(refresh_id)))
+    delta = (
+        batch.filter(F.col(ts_col).isNotNull())
+        .groupBy(*gcols, time_bucket(ts_col, grain).alias(bucket_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .withColumn("refresh_id", F.lit(int(refresh_id)))
+        .withColumn("bucket_date", F.to_date(F.col(bucket_col)))
+    )
     return merge_upsert(
         delta,
         rollup_path,
         keys=[*gcols, bucket_col, "refresh_id"],
-        partition_by=gcols,
+        partition_by=[*gcols, "bucket_date"],
     )
 
 
