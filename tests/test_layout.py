@@ -82,3 +82,25 @@ def test_zorder_input_validation(spark):
         zorder_key(["x", "y"], bits=32)
     with pytest.raises(ValueError, match="at least one"):
         zorder_key([])
+
+
+def test_grid_surrogate_quantizes_clamps_and_feeds_zorder(spark):
+    from yelp_business_data_pipeline_spark.sources.layout import grid_surrogate
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.5,), (0.9999,), (1.0,), (-3.0,), (9.0,), (None,)], "x double"
+    )
+    got = [r.g for r in df.select(grid_surrogate("x", 0.0, 1.0, bits=4).alias("g")).collect()]
+    # 16 cells over [0,1): 0.0->0, 0.5->8, 0.9999->15; hi and beyond clamp
+    # to 15; below-lo clamps to 0; NULL stays NULL
+    assert got == [0, 8, 15, 15, 0, 15, None]
+    # composes with zorder_key after a null filter
+    pts = spark.createDataFrame([(0.1, 0.9), (0.8, 0.2)], "x double, y double")
+    z = pts.select(
+        zorder_key(
+            [grid_surrogate("x", 0.0, 1.0, 4), grid_surrogate("y", 0.0, 1.0, 4)], bits=4
+        ).alias("z")
+    ).collect()
+    assert len({r.z for r in z}) == 2
+    with pytest.raises(ValueError, match="hi > lo"):
+        grid_surrogate("x", 1.0, 1.0)

@@ -68,3 +68,30 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
                 F.shiftleft(F.shiftright(guard, i).bitwiseAND(F.lit(1)), i * ncols + j)
             )
     return out
+
+
+def grid_surrogate(col: Column | str, lo: float, hi: float, bits: int = 16) -> Column:
+    """Map a bounded numeric/timestamp-epoch column onto the [0, 2^bits)
+    integer grid ``zorder_key`` consumes: linear quantization against the
+    STATIC domain bounds [lo, hi] — shuffle-free (every executor decides
+    locally from constants), unlike rank/quantile normalization which
+    needs the global sort Z-ordering exists to avoid. Values are clamped
+    to the bounds (out-of-domain stragglers land in the edge cells rather
+    than failing the write); NULLs stay NULL (route them to a dedicated
+    partition or filter before z-ordering — zorder_key raises on NULL by
+    way of its range guard).
+
+    Bounds come from domain knowledge (timestamps: the table's retention
+    window; lat/lon: the service region) or a one-off sampled min/max —
+    precision beyond "cells distribute the data" is not required, the
+    curve only needs a consistent grid.
+    """
+    if not hi > lo:
+        raise ValueError(f"grid_surrogate needs hi > lo, got [{lo}, {hi}]")
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    cells = (1 << bits) - 1
+    scaled = F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(cells + 1)))
+    # greatest/least IGNORE nulls (they return the extreme non-null), which
+    # would silently clamp NULL inputs into cell 0 — keep them NULL instead
+    clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(cells)).cast("long")
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(clamped)
