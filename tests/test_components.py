@@ -144,3 +144,44 @@ def test_pagerank_empty_edges(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     assert pagerank(e).count() == 0
+
+
+def _python_ppr(edge_list, seeds, damping=0.85, iters=60):
+    verts = sorted({v for e in edge_list for v in e})
+    n = len(verts)
+    t = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts}
+    out = {}
+    for a, b in set(edge_list):
+        out.setdefault(a, set()).add(b)
+    rank = dict(t)
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in verts if v not in out)
+        new = {}
+        for v in verts:
+            inflow = sum(rank[a] / len(out[a]) for a in verts if a in out and v in out[a])
+            new[v] = (1 - damping) * t[v] + damping * (inflow + dangling * t[v])
+        rank = new
+    return rank
+
+
+def test_personalized_pagerank_matches_python_and_localizes(spark):
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+
+    # two loosely-connected triangles; seed inside the first
+    edge_list = [
+        (1, 2), (2, 3), (3, 1),
+        (4, 5), (5, 6), (6, 4),
+        (3, 4),  # bridge
+    ]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.rank for r in pagerank(e, max_iter=60, tol=1e-12, personalize=seeds).collect()}
+    want = _python_ppr(edge_list, {1})
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), v
+    # proximity: every first-triangle node outranks its far-triangle peer
+    assert got[1] > got[4] and got[2] > got[5] and got[3] > got[6]
+
+    with pytest.raises(ValueError, match="no personalization seed"):
+        pagerank(e, personalize=spark.createDataFrame([(99,)], "id long"))

@@ -30,6 +30,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """(id, rank) for every vertex in ``edges``; ranks sum to 1.
 
@@ -37,6 +38,15 @@ def pagerank(
     as a 1-row distributed aggregate) or after ``max_iter`` rounds.
     Parallel edges are collapsed (a duplicated edge must not double a
     contribution); self-loops count like any other edge.
+
+    ``personalize`` (a one-column DataFrame of vertex ids) switches to
+    PERSONALIZED PageRank: teleport mass — the (1-d) restart AND dangling
+    mass — lands uniformly on the SEED SET instead of all vertices, so
+    ranks measure proximity to the seeds (the recommendation variant: seed
+    a user's friends, rank the graph around them). Seeds not present in
+    the edge set are ignored; an empty intersection raises. The teleport
+    vector is a broadcast-joined indicator column, never a driver-side
+    rank collect — the seed set can itself be large.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -53,13 +63,26 @@ def pagerank(
     if n == 0:
         return vertices.withColumn("rank", F.lit(0.0))
 
+    if personalize is not None:
+        seed_col = personalize.columns[0]
+        seeds = personalize.select(F.col(seed_col).alias("id")).distinct()
+        in_graph = vertices.join(seeds, "id", "left_semi")
+        n_seeds = in_graph.count()
+        if n_seeds == 0:
+            raise ValueError("pagerank: no personalization seed exists in the graph")
+        teleport = vertices.join(
+            in_graph.withColumn("_t", F.lit(1.0 / n_seeds)), "id", "left"
+        ).select("id", F.coalesce(F.col("_t"), F.lit(0.0)).alias("t")).localCheckpoint()
+    else:
+        teleport = vertices.withColumn("t", F.lit(1.0 / n)).localCheckpoint()
+
     out_deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    ranks = vertices.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = teleport.select("id", F.col("t").alias("rank")).localCheckpoint()
 
     for _ in range(max_iter):
         with_deg = ranks.join(out_deg, "id", "left")
         # mass from vertices WITH out-edges flows along them; dangling mass
-        # spreads uniformly (1-row agg -> crossJoin of a single row, i.e. a
+        # teleports (1-row agg -> crossJoin of a single row, i.e. a
         # broadcast scalar, never a driver-side rank collect)
         dangling = (
             with_deg.filter(F.col("deg").isNull())
@@ -72,14 +95,14 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         new_ranks = (
-            vertices.join(contribs, "id", "left")
+            teleport.join(contribs, "id", "left")
             .crossJoin(dangling)
             .select(
                 "id",
                 (
-                    F.lit((1.0 - damping) / n)
+                    F.lit(1.0 - damping) * F.col("t")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("_dm") / n)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("_dm") * F.col("t"))
                 ).alias("rank"),
             )
             .localCheckpoint()
