@@ -167,11 +167,14 @@ def _python_ppr(edge_list, seeds, damping=0.85, iters=60):
 def test_personalized_pagerank_matches_python_and_localizes(spark):
     from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
 
-    # two loosely-connected triangles; seed inside the first
+    # two loosely-connected triangles; seed inside the first; vertex 7 is
+    # DANGLING (no out-edges) so the dangling-mass-to-seeds path (_dm * t)
+    # is actually exercised against the oracle
     edge_list = [
         (1, 2), (2, 3), (3, 1),
         (4, 5), (5, 6), (6, 4),
         (3, 4),  # bridge
+        (6, 7),  # dangling sink
     ]
     e = spark.createDataFrame(edge_list, "src long, dst long")
     seeds = spark.createDataFrame([(1,)], "id long")
@@ -185,3 +188,7 @@ def test_personalized_pagerank_matches_python_and_localizes(spark):
 
     with pytest.raises(ValueError, match="no personalization seed"):
         pagerank(e, personalize=spark.createDataFrame([(99,)], "id long"))
+    # empty graph + personalize raises too (not a silent empty result)
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="no personalization seed"):
+        pagerank(empty, personalize=seeds)

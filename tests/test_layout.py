@@ -76,7 +76,7 @@ def test_zorder_chunk_spans_prune_second_dimension(spark):
 
 def test_zorder_input_validation(spark):
     df = spark.createDataFrame([(1, -1)], "x long, y long")
-    with pytest.raises(Exception, match="out of"):
+    with pytest.raises(Exception, match="out-of"):
         df.withColumn("z", zorder_key(["x", "y"], bits=4)).collect()
     with pytest.raises(ValueError, match="exceeds"):
         zorder_key(["x", "y"], bits=32)
@@ -104,3 +104,14 @@ def test_grid_surrogate_quantizes_clamps_and_feeds_zorder(spark):
     assert len({r.z for r in z}) == 2
     with pytest.raises(ValueError, match="hi > lo"):
         grid_surrogate("x", 1.0, 1.0)
+
+
+def test_zorder_null_raises_and_grid_nan_stays_null(spark):
+    from yelp_business_data_pipeline_spark.sources.layout import grid_surrogate
+
+    nulls = spark.createDataFrame([(None, 1)], "x long, y long")
+    with pytest.raises(Exception, match="NULL"):
+        nulls.withColumn("z", zorder_key(["x", "y"], bits=4)).collect()
+    nan = spark.createDataFrame([(float("nan"),), (0.0,)], "x double")
+    got = [r.g for r in nan.select(grid_surrogate("x", 0.0, 1.0, 4).alias("g")).collect()]
+    assert got == [None, 0]  # NaN must not alias onto the lo-edge cell

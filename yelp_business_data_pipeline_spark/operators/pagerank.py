@@ -61,12 +61,18 @@ def pagerank(
     )
     n = vertices.count()
     if n == 0:
+        if personalize is not None:
+            # the documented loud failure must fire on an empty graph too —
+            # the seed/vertex intersection is necessarily empty
+            raise ValueError("pagerank: no personalization seed exists in the graph")
         return vertices.withColumn("rank", F.lit(0.0))
 
     if personalize is not None:
         seed_col = personalize.columns[0]
         seeds = personalize.select(F.col(seed_col).alias("id")).distinct()
-        in_graph = vertices.join(seeds, "id", "left_semi")
+        # checkpoint so the caller's (possibly expensive) personalize
+        # lineage runs once, not once for the count and again in the join
+        in_graph = vertices.join(seeds, "id", "left_semi").localCheckpoint()
         n_seeds = in_graph.count()
         if n_seeds == 0:
             raise ValueError("pagerank: no personalization seed exists in the graph")
@@ -77,7 +83,8 @@ def pagerank(
         teleport = vertices.withColumn("t", F.lit(1.0 / n)).localCheckpoint()
 
     out_deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    ranks = teleport.select("id", F.col("t").alias("rank")).localCheckpoint()
+    # teleport is already checkpointed; the rename needs no second copy
+    ranks = teleport.select("id", F.col("t").alias("rank"))
 
     for _ in range(max_iter):
         with_deg = ranks.join(out_deg, "id", "left")

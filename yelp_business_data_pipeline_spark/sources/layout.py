@@ -54,12 +54,15 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
     for j, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
         col = col.cast("long")
+        # NULL must raise too: a NULL comparison is falsy in when(), so
+        # without the explicit isNull the guard would silently emit NULL
+        # keys and cluster every NULL row together unnoticed.
         guard = F.when(
-            (col < 0) | (col >= limit),
+            col.isNull() | (col < 0) | (col >= limit),
             F.raise_error(
                 F.concat(
-                    F.lit(f"zorder_key: value out of [0, {limit}) for {bits}-bit dim {j}: "),
-                    col.cast("string"),
+                    F.lit(f"zorder_key: NULL or out-of-[0, {limit}) value for {bits}-bit dim {j}: "),
+                    F.coalesce(col.cast("string"), F.lit("NULL")),
                 )
             ).cast("long"),
         ).otherwise(col)
@@ -77,9 +80,9 @@ def grid_surrogate(col: Column | str, lo: float, hi: float, bits: int = 16) -> C
     locally from constants), unlike rank/quantile normalization which
     needs the global sort Z-ordering exists to avoid. Values are clamped
     to the bounds (out-of-domain stragglers land in the edge cells rather
-    than failing the write); NULLs stay NULL (route them to a dedicated
-    partition or filter before z-ordering — zorder_key raises on NULL by
-    way of its range guard).
+    than failing the write); NULLs and NaNs stay NULL (route them to a
+    dedicated partition or filter them out before z-ordering —
+    zorder_key raises loudly on NULL input).
 
     Bounds come from domain knowledge (timestamps: the table's retention
     window; lat/lon: the service region) or a one-off sampled min/max —
@@ -92,6 +95,8 @@ def grid_surrogate(col: Column | str, lo: float, hi: float, bits: int = 16) -> C
     cells = (1 << bits) - 1
     scaled = F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(cells + 1)))
     # greatest/least IGNORE nulls (they return the extreme non-null), which
-    # would silently clamp NULL inputs into cell 0 — keep them NULL instead
+    # would silently clamp NULL inputs into cell 0; and floor(NaN) casts to
+    # long 0 in Spark, aliasing NaN onto real lo-edge values — keep both
+    # NULL so downstream routing (and zorder_key's guard) sees them.
     clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(cells)).cast("long")
-    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(clamped)
+    return F.when(c.isNull() | F.isnan(c), F.lit(None).cast("long")).otherwise(clamped)
