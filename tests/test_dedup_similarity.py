@@ -247,6 +247,66 @@ def test_winnowing_arrow_equals_relational(spark):
     assert rel2 == arr2 and rel2
 
 
+def test_xxh64_matches_spark(spark):
+    """functions/xxhash.py must be bit-identical to F.xxhash64 — scalar on
+    arbitrary lengths (incl. the >=32B stripe loop and non-ASCII), and the
+    vectorized row kernel on the salt+k-gram shape."""
+    import numpy as np
+
+    from yelp_business_data_pipeline_spark.functions.xxhash import xxh64, xxh64_rows
+
+    strings = [
+        "", "a", "abc", "wn:abcdefg", "wn:abcdefgh", "0123456789abcdef0123456789abc",
+        "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+        "héllo wörld — ünïcode ≠ ascii", "mh:tökén",
+    ]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    expected = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in strings:
+        assert xxh64(s.encode("utf-8")) == expected[s], s
+
+    # vectorized kernel: fixed-length rows (L < 32) against the scalar
+    rng = np.random.default_rng(7)
+    for L in (1, 4, 7, 8, 11, 12, 15, 16, 20, 31):
+        mat = rng.integers(0, 256, size=(64, L), dtype=np.uint8)
+        vec = xxh64_rows(mat).view(np.int64)
+        for i in range(64):
+            assert int(vec[i]) == xxh64(mat[i].tobytes()), (L, i)
+
+
+def test_winnowing_arrow_equals_relational_xxhash64(spark):
+    """The production-hash (xxhash64) Arrow kernel must produce EXACTLY the
+    relational form's fingerprints — mirrors the md5 equivalence test so
+    the bench query's plan swap (round-4) is value-pinned."""
+    from yelp_business_data_pipeline_spark.operators import text as tx
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").filter(F.length("text") >= 8)
+    rel = {
+        (r.doc_id, r.fp)
+        for r in tx.winnowing_fingerprints_long(d, "doc_id", "text", 8, 4, hash_impl="xxhash64").collect()
+    }
+    arr = {
+        (r.doc_id, r.fp)
+        for r in tx.winnowing_fingerprints_arrow(d, "doc_id", "text", 8, 4, hash_impl="xxhash64").collect()
+    }
+    assert rel == arr and rel
+
+    docs = spark.createDataFrame(
+        [(1, "café däjà vu — übermäßig gründlich geprüft"), (2, "plain ascii text goes here")],
+        "doc_id long, text string",
+    )
+    rel2 = {
+        (r.doc_id, r.fp)
+        for r in tx.winnowing_fingerprints_long(docs, "doc_id", "text", 8, 4, hash_impl="xxhash64").collect()
+    }
+    arr2 = {
+        (r.doc_id, r.fp)
+        for r in tx.winnowing_fingerprints_arrow(docs, "doc_id", "text", 8, 4, hash_impl="xxhash64").collect()
+    }
+    assert rel2 == arr2 and rel2
+
+
 def test_pii_redaction(spark):
     from yelp_business_data_pipeline_spark.operators import text as tx
 

@@ -337,7 +337,7 @@ def winnowing_fingerprints_long(
 
 def winnowing_fingerprints_arrow(
     df, id_col: str, text_col: str, k: int = 8, window: int = 4,
-    min_partitions: int | None = None,
+    min_partitions: int | None = None, hash_impl: str = "md5",
 ):
     """Winnowing fingerprints via an Arrow kernel — the zero-shuffle shape.
 
@@ -363,6 +363,13 @@ def winnowing_fingerprints_arrow(
     (the un-exploded rows) that unlocks full-width hashing. At real
     scale the input already has thousands of splits — leave it None and
     the kernel stays literally zero-shuffle.
+
+    ``hash_impl``: the ``portable_hash`` family. ``"md5"`` (default) is
+    the oracle-reproducible construction above; ``"xxhash64"`` is the
+    production family — reproduced in-kernel by the numpy-vectorized
+    XXH64 (``functions/xxhash.py``, bit-identical to ``F.xxhash64``;
+    the pmod-2^32 fold is a mask because 2^64 ≡ 0 mod 2^32). Both pinned
+    equal to the relational ``winnowing_fingerprints_long`` in pytest.
     """
     import hashlib
 
@@ -370,10 +377,48 @@ def winnowing_fingerprints_arrow(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from ..functions.xxhash import xxh64, xxh64_rows
+
+    if hash_impl not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_impl {hash_impl!r}")
+    use_xx = hash_impl == "xxhash64"
+    salt = b"wn:"
+
     id_field = df.schema[id_col]
     schema = T.StructType(
         [T.StructField(id_col, id_field.dataType), T.StructField("fp", T.LongType())]
     )
+
+    def _hash_ascii(b: bytes, n: int) -> np.ndarray:
+        if use_xx:
+            # (n, len(salt)+k) byte matrix: salt prefix + sliding k-gram view
+            arr = np.frombuffer(b, dtype=np.uint8)
+            grams = np.lib.stride_tricks.sliding_window_view(arr, k)[:n]
+            mat = np.empty((n, len(salt) + k), dtype=np.uint8)
+            mat[:, : len(salt)] = np.frombuffer(salt, dtype=np.uint8)
+            mat[:, len(salt) :] = grams
+            return (xxh64_rows(mat) & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(salt + b[i : i + k]).digest()[:4], "big") for i in range(n)),
+            dtype=np.int64,
+            count=n,
+        )
+
+    def _hash_chars(text: str, n: int) -> np.ndarray:
+        if use_xx:
+            return np.fromiter(
+                (xxh64(salt + text[i : i + k].encode("utf-8")) & 0xFFFFFFFF for i in range(n)),
+                dtype=np.int64,
+                count=n,
+            )
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(salt + text[i : i + k].encode("utf-8")).digest()[:4], "big")
+                for i in range(n)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
 
     def _doc_fps(text: str) -> np.ndarray:
         if text is None:  # match the relational form: null text -> no rows
@@ -383,25 +428,12 @@ def winnowing_fingerprints_arrow(
             n = len(b) - k + 1
             if n < window:
                 return np.empty(0, dtype=np.int64)
-            h = np.fromiter(
-                (int.from_bytes(hashlib.md5(b"wn:" + b[i : i + k]).digest()[:4], "big") for i in range(n)),
-                dtype=np.int64,
-                count=n,
-            )
+            h = _hash_ascii(b, n)
         else:
             n = len(text) - k + 1
             if n < window:
                 return np.empty(0, dtype=np.int64)
-            h = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(("wn:" + text[i : i + k]).encode("utf-8")).digest()[:4], "big"
-                    )
-                    for i in range(n)
-                ),
-                dtype=np.int64,
-                count=n,
-            )
+            h = _hash_chars(text, n)
         wins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
         return np.unique(wins)
 

@@ -1013,15 +1013,21 @@ def simhash_fingerprints_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "winnowing_fingerprints_xxhash64",
     None,
-    doc="Relational winnowing (winnowing_fingerprints_long) with "
-    "hash_impl=xxhash64, same cross-doc groupBy tail as "
-    "winnowing_shared_fingerprints: tracks the JVM fast-hash path "
-    "(~-17% vs md5; the Arrow kernel remains the bench champion — "
-    "BASELINE.md fast-hash table).",
+    doc="Arrow winnowing kernel with hash_impl=xxhash64 — the production "
+    "fast-hash path on the production (shuffle-free) plan shape, same "
+    "cross-doc groupBy tail as winnowing_shared_fingerprints. The kernel "
+    "reproduces F.xxhash64 bit-exactly via numpy-vectorized XXH64 "
+    "(functions/xxhash.py) so the fast-hash family no longer pays the "
+    "relational substring+explode form (was 5.8s at sf0.1; the relational "
+    "winnowing_fingerprints_long(hash_impl='xxhash64') remains the tested "
+    "pure-JVM fallback and the equivalence test's second witness).",
 )
 def winnowing_fingerprints_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents").filter(F.length("text") >= 8)
-    fps = tx.winnowing_fingerprints_long(d, "doc_id", "text", k=8, window=4, hash_impl="xxhash64")
+    fps = tx.winnowing_fingerprints_arrow(
+        d, "doc_id", "text", k=8, window=4, hash_impl="xxhash64",
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
     return (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"))
