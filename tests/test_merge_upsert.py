@@ -202,6 +202,124 @@ def test_affected_partition_predicate_prunes_scan(spark, tmp_path):
     assert "PartitionFilters: [((p" in scan, scan
 
 
+def test_wide_merge_thousand_partitions(spark, tmp_path):
+    """A CDC batch touching ~1,000 partitions must not blow up Catalyst
+    analysis (the literal OR-of-ANDs predicate is thousands deep there);
+    above AFFECTED_LITERAL_MAX the rewrite-set slice switches to a
+    broadcast semi-join on the partition columns. Semantics must be
+    identical: updates land, untouched partitions keep their exact files."""
+    out = str(tmp_path / "t")
+    n = 1200
+    seed = spark.range(n).selectExpr("id", "concat('v', id) AS v", "id AS p")
+    merge_upsert(seed, out, keys=["id"], partition_by=["p"])
+    before = _files(out)
+
+    # update 1,000 keys in place + insert 10 new partitions
+    batch = (
+        spark.range(1000)
+        .selectExpr("id", "concat('V', id) AS v", "id AS p")
+        .unionByName(
+            spark.range(n, n + 10).selectExpr("id", "concat('new', id) AS v", "id AS p")
+        )
+    )
+    stats = merge_upsert(batch, out, keys=["id"], partition_by=["p"])
+    assert stats["affected_partitions"] == 1010
+    got = {r.id: (r.v, r.p) for r in spark.read.parquet(out).select("id", "v", "p").collect()}
+    assert len(got) == n + 10
+    assert got[0] == ("V0", 0) and got[999] == ("V999", 999)
+    assert got[1000] == ("v1000", 1000) and got[n] == (f"new{n}", n)
+    # the 200 untouched partitions (1000..1199) kept their exact files
+    def part_of(path: str) -> int:
+        return int(path.split("/p=")[1].split("/")[0])
+
+    untouched = {p: m for p, m in before.items() if 1000 <= part_of(p) < n}
+    after = _files(out)
+    assert len(untouched) >= 200
+    for p, m in untouched.items():
+        assert after.get(p) == m, p
+
+
+def test_partition_value_needing_path_escape(spark, tmp_path):
+    """Partition values with characters Hive percent-escapes in directory
+    names (':', '/', '=') — the emptied-partition cleanup must delete the
+    ESCAPED path, or re-homed keys resurface as duplicates on re-read."""
+    out = str(tmp_path / "t")
+    merge_upsert(
+        spark.createDataFrame([(1, "a", "x:1"), (2, "b", "plain")], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    assert "p=x%3A1" in set(os.listdir(out))
+    # re-home key 1 out of the escaped partition -> it empties
+    stats = merge_upsert(
+        spark.createDataFrame([(1, "A", "moved")], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    assert stats["emptied_partitions"] == 1
+    assert "p=x%3A1" not in set(os.listdir(out))
+    got = sorted((r.id, r.v, r.p) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "A", "moved"), (2, "b", "plain")]
+
+
+def test_numeric_looking_string_partition_value(spark, tmp_path):
+    """A string partition value '01' must NOT be re-read as int 1 by
+    partition-type inference: that would break key equality against the
+    source and re-write the partition as p=1 (ADVICE r3). The merge reads
+    the target with inference disabled and casts to the source schema."""
+    out = str(tmp_path / "t")
+    merge_upsert(
+        spark.createDataFrame([("k1", "a", "01"), ("k2", "b", "02")], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    merge_upsert(
+        spark.createDataFrame([("k1", "A", "01")], ["id", "v", "p"]),
+        out,
+        keys=["id"],
+        partition_by=["p"],
+    )
+    assert set(os.listdir(out)) >= {"p=01", "p=02"}
+    assert "p=1" not in set(os.listdir(out))
+    t = spark.read.parquet(out)
+    got = sorted((r.id, r.v, str(r.p)) for r in t.collect())
+    assert got == [("k1", "A", "01"), ("k2", "b", "02")] or got == [
+        ("k1", "A", "1"),
+        ("k2", "b", "2"),
+    ]
+    # the canonical check: exactly 2 rows, k1 updated once (no dup)
+    assert t.count() == 2
+
+
+def test_merge_safe_under_static_overwrite_session(spark, tmp_path):
+    """merge_upsert must survive a session left at Spark's DEFAULT
+    partitionOverwriteMode=static (ADVICE r3): the writer sets dynamic
+    per-write, so unaffected partitions are never deleted."""
+    out = str(tmp_path / "t")
+    _seed(spark, out)
+    before = _files(out)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        merge_upsert(
+            spark.createDataFrame([(2, "B", 1)], ["id", "v", "p"]),
+            out,
+            keys=["id"],
+            partition_by=["p"],
+        )
+    finally:
+        spark.conf.set(key, old)
+    # partitions 2 and 3 (no matched key, no source row) kept their files
+    untouched = {p: m for p, m in before.items() if "/p=2/" in p or "/p=3/" in p}
+    after = _files(out)
+    assert untouched and all(after.get(p) == m for p, m in untouched.items())
+    assert _rows(spark, out) == [(1, "a", 1), (2, "B", 1), (3, "c", 2), (4, "d", 3)]
+
+
 def test_null_key_component_merges_once(spark, tmp_path):
     # null-safe key equality: a NULL-keyed row updates, not duplicates
     out = str(tmp_path / "t")

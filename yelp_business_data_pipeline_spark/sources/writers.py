@@ -18,6 +18,57 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Above this many affected partitions, merge_upsert switches its rewrite-set
+# predicate from a literal OR-of-ANDs (statically prunable, provable in
+# EXPLAIN) to a broadcast semi-join on the partition columns (dynamic
+# partition pruning): a thousands-deep boolean expression tree makes Catalyst
+# analysis itself the bottleneck long before execution.
+AFFECTED_LITERAL_MAX = 32
+
+
+def _escape_partition_value(spark: SparkSession, v) -> str:
+    """Directory-name form of one partition value, exactly as Spark wrote it.
+
+    Spark/Hive percent-escape special characters in partition directory
+    names (':' -> %3A etc. — ExternalCatalogUtils.escapePathName). Building
+    the path with raw f"{c}={v}" targets a nonexistent directory for such
+    values, silently leaving stale files behind. Delegate to the SAME JVM
+    routine the writer used, so the round-trip is exact by construction.
+    """
+    return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+        str(v)
+    )
+
+
+def _read_target(spark: SparkSession, path: str, like: DataFrame, pcols: list[str]) -> DataFrame:
+    """Read a parquet target for merging, with partition-column types taken
+    from the SOURCE schema instead of directory-name inference.
+
+    Default partition-type inference parses directory names, so a string
+    partition value that looks numeric ('01') reads back as int 1 —
+    changing key equality under eqNullSafe and re-writing the partition as
+    p=1. Disable inference for this read (partition values arrive as
+    written strings) and cast to the source column's type: exact for the
+    string case, and the identical parse Spark would have done otherwise
+    for genuinely-typed columns.
+
+    The inference conf is session-level; partition discovery happens
+    eagerly inside ``spark.read.parquet``, so a set/restore around the
+    call scopes it correctly.
+    """
+    from pyspark.sql import functions as F
+
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        tgt = spark.read.parquet(path)
+    finally:
+        spark.conf.set(conf_key, old)
+    for c in pcols:
+        tgt = tgt.withColumn(c, F.col(c).cast(like.schema[c].dataType))
+    return tgt
+
 
 def write_overwrite(
     df: DataFrame,
@@ -66,7 +117,11 @@ def write_append_idempotent(
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     existing_keys = (
-        spark.read.parquet(path).select(*keys).alias("_existing") if fs.exists(hpath) else None
+        _read_target(spark, path, df, [c for c in (partition_by or []) if c in keys])
+        .select(*keys)
+        .alias("_existing")
+        if fs.exists(hpath)
+        else None
     )
     if existing_keys is not None:
         fresh_a = fresh.alias("_fresh")
@@ -179,7 +234,7 @@ def merge_upsert(
         write_overwrite(fresh, path, partition_by=partition_by, sort_by=sort_by)
         return {"created": True, "affected_partitions": 0, "emptied_partitions": 0}
 
-    tgt = spark.read.parquet(path)
+    tgt = _read_target(spark, path, fresh, pcols)
     src_keys = fresh.select(*keys).dropDuplicates(keys).alias("_src")
 
     def _key_cond(left):
@@ -216,16 +271,37 @@ def merge_upsert(
     )
     affected = {tuple(r[c] for c in pcols) for r in affected_rows}
 
-    def _part_pred(frame):
-        return reduce(
-            lambda a, b: a | b,
-            [
-                reduce(lambda a, b: a & b, [frame[c].eqNullSafe(F.lit(v)) for c, v in zip(pcols, t)])
-                for t in affected
-            ],
-        )
+    def _part_slice(frame):
+        """Rows of ``frame`` in the affected partitions.
 
-    tgt_slice = tgt.filter(_part_pred(tgt)).alias("_tgt")
+        Small affected sets: a literal OR-of-ANDs predicate — statically
+        pushed to PartitionFilters (pinned in test_merge_upsert.py). Wide
+        sets (a CDC batch touching thousands of partitions): the literal
+        form is a thousands-deep expression tree that blows up Catalyst
+        analysis, so switch to a broadcast LEFT SEMI join on the partition
+        columns — Spark's dynamic partition pruning covers the file skip,
+        and the join predicate stays O(1) deep. Partition values are
+        validated non-null, so plain equi-join semantics are exact.
+        """
+        if len(affected) <= AFFECTED_LITERAL_MAX:
+            return frame.filter(
+                reduce(
+                    lambda a, b: a | b,
+                    [
+                        reduce(
+                            lambda a, b: a & b,
+                            [frame[c].eqNullSafe(F.lit(v)) for c, v in zip(pcols, t)],
+                        )
+                        for t in affected
+                    ],
+                )
+            )
+        aff_df = spark.createDataFrame(
+            [tuple(t) for t in sorted(affected, key=repr)], fresh.select(*pcols).schema
+        )
+        return frame.join(F.broadcast(aff_df), on=pcols, how="left_semi")
+
+    tgt_slice = _part_slice(tgt).alias("_tgt")
     kept = tgt_slice.join(src_keys, on=_key_cond(tgt_slice), how="left_anti")
     out = kept.unionByName(fresh)
     if sort_by:
@@ -235,13 +311,25 @@ def merge_upsert(
         written = {
             tuple(r[c] for c in pcols) for r in out.select(*pcols).dropDuplicates(pcols).collect()
         }
-        out.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+        # Dynamic partition overwrite is a CORRECTNESS requirement here, not
+        # a tuning default: with the Spark-default static mode this overwrite
+        # would delete EVERY partition of the target, not just the rewritten
+        # ones. Set it on the writer itself rather than trusting the session
+        # conf (the project session factory sets dynamic, but merge_upsert
+        # must be safe from any session).
+        out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+            *pcols
+        ).parquet(path)
     finally:
         out.unpersist()
     emptied = affected - written
     for t in emptied:
-        sub = "/".join(f"{c}={v}" for c, v in zip(pcols, t))
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}"), True)
+        sub = "/".join(
+            f"{c}={_escape_partition_value(spark, v)}" for c, v in zip(pcols, t)
+        )
+        dead = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        if fs.exists(dead) and not fs.delete(dead, True):
+            raise IOError(f"merge_upsert: failed to delete emptied partition {path}/{sub}")
     return {
         "created": False,
         "affected_partitions": len(affected),
