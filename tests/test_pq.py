@@ -92,6 +92,17 @@ def test_pq_dim_must_divide_m(qc):
         train_pq_codebooks(c, "c_id", "v", m=7)
 
 
+def test_pq_ragged_codebook_rejected(qc):
+    """A codebook whose subspaces carry unequal code counts (e.g. a filtered
+    or hand-edited table) must raise — zero-padding would mint phantom
+    all-zero centroids that argmin can pick for near-origin vectors."""
+    q, c = qc
+    books = train_pq_codebooks(c, "c_id", "v", m=4, n_codes=8)
+    ragged = books.filter(~((F.col("subspace") == 2) & (F.col("code") >= 4)))
+    with pytest.raises(ValueError, match="ragged"):
+        pq_encode(c, ragged, "c_id", "v").collect()
+
+
 def test_pq_training_respects_byte_budget(qc):
     """Shares IVF's byte-capped sampling: a budget admitting 64 x 64-dim
     vectors trains fine with n_codes<=64; one admitting fewer than n_codes

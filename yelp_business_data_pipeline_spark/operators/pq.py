@@ -102,11 +102,21 @@ def _codebook_tensor(codebooks: DataFrame):
         raise ValueError("empty codebook table — train_pq_codebooks first")
     m = rows[-1].subspace + 1
     per = [[r.cv for r in rows if r.subspace == j] for j in range(m)]
-    n_codes = max(len(p) for p in per)
+    # Ragged per-subspace code counts (a filtered or hand-edited codebook
+    # table) must fail loudly: zero-padding the short subspaces would mint
+    # phantom all-zero centroids that argmin can legally pick for
+    # near-origin vectors, silently corrupting codes and ADC distances.
+    counts = {j: len(p) for j, p in enumerate(per)}
+    if len(set(counts.values())) != 1 or 0 in counts.values():
+        raise ValueError(
+            f"codebook table is ragged: per-subspace code counts {counts}; "
+            "every subspace must carry the same (non-zero) number of codes"
+        )
+    n_codes = counts[0]
     sub = len(per[0][0])
     tens = np.zeros((m, n_codes, sub), dtype=np.float64)
     for j, p in enumerate(per):
-        tens[j, : len(p)] = np.array(p, dtype=np.float64)
+        tens[j] = np.array(p, dtype=np.float64)
     return tens
 
 
