@@ -34,6 +34,46 @@ def test_long_path_converges(spark):
     assert set(got.values()) == {0} and len(got) == 13
 
 
+def test_star_cc_matches_hashmin_and_union_find(spark):
+    """Alternating large-star/small-star CC (algorithm='star') computes the
+    identical (id, comp) map as hash-min and a Python union-find, across
+    shapes (chains, stars, triangles, random) — including the high-center
+    star where the min label must still win."""
+    import random
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(100, 7), (100, 8), (100, 9)],
+        [(i, i + 1) for i in range(12)],
+        [(5, 5), (6, 7)],  # self-loop + pair
+    ]
+    rng = random.Random(7)
+    for _ in range(2):
+        es = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+        cases.append([(a, b) for a, b in es if a != b])
+    for edges in cases:
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        star = {r.id: r.comp for r in connected_components(df, algorithm="star").collect()}
+        hm = {r.id: r.comp for r in connected_components(df, max_iter=60).collect()}
+        assert star == hm, edges
+
+
+def test_star_cc_beats_hashmin_on_long_chains(spark):
+    """A 200-node chain (diameter 199) is exactly where hash-min's
+    O(diameter) rounds fail: it cannot converge inside 20 rounds, while
+    star contraction finishes in O(log n) round-pairs well under the same
+    budget — the property that makes it the 100 TB path."""
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.id: r.comp
+        for r in connected_components(df, max_iter=20, algorithm="star").collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 201
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=20).collect()
+
+
 def _union_find_oracle(pairs):
     parent = {}
 
@@ -144,6 +184,33 @@ def test_pagerank_empty_edges(spark):
 
     e = spark.createDataFrame([], "src long, dst long")
     assert pagerank(e).count() == 0
+
+
+def test_pagerank_batched_convergence_checks(spark):
+    """check_every=k cuts delta actions to <= max_iter // k while keeping the
+    converged ranks within tolerance of the per-round-checked run (the extra
+    <=k-1 post-convergence iterations are sub-tol contractions)."""
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+
+    edge_list = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (2, 4)]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    s_batched, s_eager = {}, {}
+    batched = {
+        r.id: r.rank
+        for r in pagerank(e, max_iter=40, tol=1e-8, check_every=4, stats=s_batched).collect()
+    }
+    eager = {
+        r.id: r.rank
+        for r in pagerank(e, max_iter=40, tol=1e-8, check_every=1, stats=s_eager).collect()
+    }
+    assert s_batched["delta_checks"] <= 40 // 4
+    assert s_batched["delta_checks"] < s_eager["delta_checks"]
+    assert s_batched["iterations"] <= s_eager["iterations"] + 4
+    for v in eager:
+        assert batched[v] == pytest.approx(eager[v], abs=1e-6)
+    assert sum(batched.values()) == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError, match="check_every"):
+        pagerank(e, check_every=0)
 
 
 def _python_ppr(edge_list, seeds, damping=0.85, iters=60):

@@ -35,10 +35,28 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
-    """(id, component) for every vertex appearing in ``pairs``; component =
-    min vertex id reachable. Raises if ``max_iter`` rounds don't converge
-    (a diameter that deep means the input is not a dup-pair graph)."""
+    """(id, comp) for every vertex appearing in ``pairs``; comp =
+    min vertex id reachable. Raises if ``max_iter`` rounds don't converge.
+
+    ``algorithm`` picks the round structure for the graph's shape:
+
+    - ``"hashmin"`` (default): label propagation — one join + one groupBy
+      per round, rounds = closed-neighborhood hops to the component min,
+      i.e. O(diameter). The right choice for dup-pair graphs (stars /
+      short chains, 3-5 rounds); pathological on long paths.
+    - ``"star"``: alternating large-star / small-star contraction (Kiveris
+      et al. 2014, "Connected Components in MapReduce and Beyond") —
+      converges in O(log^2 n) rounds regardless of diameter, each round a
+      groupBy + join on the same key. The scale path for arbitrary graphs
+      (the friendship chains here are diameter ~n/2: hash-min would need
+      hundreds of rounds at sf0.1 where star needs ~a dozen).
+    """
+    if algorithm == "star":
+        return _cc_star(pairs, src, dst, max_iter)
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'hashmin' or 'star'")
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -76,6 +94,85 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Alternating large-star / small-star contraction.
+
+    Edges are kept normalized as (hi, lo) with hi > lo. Per round-pair:
+
+    - large-star: every node u computes m = min(closed neighborhood) and
+      rewires each LARGER neighbor v > u to (v, m) — long paths halve.
+    - small-star: every hi-node rewires all its smaller neighbors (and
+      itself) to its neighborhood min — stars flatten toward the root.
+
+    Fixed point = disjoint stars centered at each component's min id; the
+    edge set is then exactly (member, component-min). Each half-round is
+    one groupBy(min) + one join on the same key (AQE reuses the exchange)
+    + a distinct; lineage cut per round-pair. Convergence = edge set
+    unchanged by a full pair (count equal + empty symmetric difference
+    witness), checked per pair — the potential argument in the paper makes
+    equality a valid stop."""
+    verts = (
+        pairs.select(F.col(src).alias("id"))
+        .unionAll(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        # large-star over the undirected neighbor view
+        nbrs = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        )
+        # no distinct here: duplicate edges can't move a min aggregate, and
+        # small-star's distinct dedups the pair's output — saves one full
+        # shuffle per round
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        )
+        # small-star: edges already point hi -> smaller lo
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = large.join(mins2, "hi")
+        small = (
+            joined.select(F.col("hi"), F.col("m").alias("lo"))
+            .unionAll(
+                joined.filter(F.col("lo") != F.col("m")).select(
+                    F.col("lo").alias("hi"), F.col("m").alias("lo")
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        new_n = small.count()
+        if new_n == n_edges and small.exceptAll(edges).limit(1).count() == 0:
+            edges = small
+            break
+        edges, n_edges = small, new_n
+    else:
+        raise RuntimeError(f"connected_components(star) did not converge in {max_iter} rounds")
+    member = edges.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("comp"))
+    return verts.join(member, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )
 
 
 def resolve_entities(
