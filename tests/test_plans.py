@@ -155,3 +155,35 @@ def test_fof_motif_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Scan parquet") <= 6, f"edge lineage re-expanded: {p.count('Scan parquet')} scans"
+
+
+def test_iterative_bench_queries_shape_and_counts(spark, sf_dir):
+    """pagerank_friend_graph / connected_components_friend_graph (rows-only
+    bench trackers): localCheckpoint truncates the returned lineage, so the
+    meaningful per-round plan pins live in the operator tests
+    (test_components.py); here pin the tail plans are JVM-only with no
+    cartesian, and the results carry graph-level invariants — ranks cover
+    every friend-graph vertex and sum to 1, components = one per
+    represented nation (the chains are nation-local)."""
+    from pyspark.sql import functions as F
+
+    pr = QUERIES["pagerank_friend_graph"].spark(spark, sf_dir)
+    p = plan_str(pr)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    rows = pr.collect()
+    assert len(rows) == n_cust
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+
+    cc = QUERIES["connected_components_friend_graph"].spark(spark, sf_dir)
+    p2 = plan_str(cc)
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
+    assert "CartesianProduct" not in p2
+    n_nations = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_nationkey").distinct().count()
+    )
+    comp_rows = cc.collect()
+    assert len(comp_rows) == n_nations
+    assert sum(r.n_members for r in comp_rows) == n_cust
