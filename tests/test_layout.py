@@ -115,3 +115,53 @@ def test_zorder_null_raises_and_grid_nan_stays_null(spark):
     nan = spark.createDataFrame([(float("nan"),), (0.0,)], "x double")
     got = [r.g for r in nan.select(grid_surrogate("x", 0.0, 1.0, 4).alias("g")).collect()]
     assert got == [None, 0]  # NaN must not alias onto the lo-edge cell
+
+
+def test_quantile_grid_distributes_lognormal_where_static_bounds_collapse(spark):
+    """On a log-normal column (heavy right tail), static-bounds cells dump
+    ~90% of rows into one cell — the Z-curve degenerates. The
+    approxQuantile-derived grid keeps cells near-uniform, is monotone in
+    x, and keeps NULL/NaN as NULL."""
+    import math
+    import random
+    from collections import Counter
+
+    from yelp_business_data_pipeline_spark.sources.layout import (
+        grid_surrogate,
+        quantile_grid_surrogate,
+    )
+
+    rng = random.Random(42)
+    vals = [math.exp(rng.gauss(0.0, 2.0)) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+
+    bits = 4  # 16 cells
+    static = [
+        r.g
+        for r in df.select(grid_surrogate("x", 0.0, max(vals), bits=bits).alias("g")).collect()
+    ]
+    top_static = Counter(static).most_common(1)[0][1] / len(static)
+    assert top_static > 0.85, f"fixture lost its skew: {top_static}"
+
+    qcell = quantile_grid_surrogate(df, "x", bits=bits, n_knots=65)
+    got = df.select(F.col("x"), qcell.alias("g")).collect()
+    counts = Counter(r.g for r in got)
+    assert set(counts) == set(range(16)), counts  # every cell occupied
+    top_q = counts.most_common(1)[0][1] / len(got)
+    assert top_q < 0.15, f"quantile cells still skewed: {counts}"
+    # monotone: sort by x, cells must be non-decreasing
+    cells_by_x = [g for _, g in sorted((r.x, r.g) for r in got)]
+    assert all(a <= b for a, b in zip(cells_by_x, cells_by_x[1:]))
+
+    # NULL / NaN stay NULL (never alias onto a real cell)
+    weird = spark.createDataFrame([(None,), (float("nan",),), (1.0,)], "x double")
+    qc2 = quantile_grid_surrogate(df, "x", bits=bits, n_knots=17)
+    wg = [r.g for r in weird.select(qc2.alias("g")).collect()]
+    assert wg[0] is None and wg[1] is None and wg[2] is not None
+
+    # out-of-range values clamp to edge cells; validation raises
+    edge = spark.createDataFrame([(-1e9,), (1e9,)], "x double")
+    eg = [r.g for r in edge.select(qc2.alias("g")).collect()]
+    assert eg == [0, 15]
+    with pytest.raises(ValueError, match="n_knots"):
+        quantile_grid_surrogate(df, "x", n_knots=1)

@@ -1,4 +1,4 @@
-from .layout import grid_surrogate, zorder_key
+from .layout import grid_surrogate, quantile_grid_surrogate, zorder_key
 from .readers import load_testdata, read_json_lines, read_parquet_table
 from .writers import (
     compact_parquet,
@@ -10,6 +10,7 @@ from .writers import (
 
 __all__ = [
     "grid_surrogate",
+    "quantile_grid_surrogate",
     "zorder_key",
     "load_testdata",
     "read_json_lines",

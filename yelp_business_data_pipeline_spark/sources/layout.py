@@ -16,10 +16,13 @@ it before writing (the same slot as ``write_overwrite(sort_by=...)``).
 Columns must already be NON-NEGATIVE INTEGER surrogates of bounded width
 — map domain values onto a grid first (truncate timestamps to epoch
 buckets, quantize floats to fixed-point, hash-bucket strings).
-Range-id assignment via global quantiles is deliberately NOT built in:
-computing exact global ranks needs a global sort (the cost Z-ordering
-exists to avoid); at scale derive grid cells from static domain knowledge
-or a sampled-quantile map, both shuffle-free per row.
+EXACT global ranks are deliberately not built in (they need the global
+sort Z-ordering exists to avoid); the two shuffle-free per-row mappers
+are ``grid_surrogate`` (static domain bounds) and
+``quantile_grid_surrogate`` (an ``approxQuantile``-derived piecewise-
+linear CDF, computed once and carried to executors as a small knot
+array — the choice for skewed columns where static bounds would dump
+most rows into one cell).
 
 The locality property (consecutive chunks of the z-order have small
 per-column spans, so chunk min/max stats prune on EVERY dimension) is
@@ -30,7 +33,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+import pandas as pd  # module-level: pandas_udf resolves the 'pd.Series'
+# string annotations (PEP 563) against THIS module's globals — a local
+# import inside the builder breaks typehint resolution.
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -100,3 +106,71 @@ def grid_surrogate(col: Column | str, lo: float, hi: float, bits: int = 16) -> C
     # NULL so downstream routing (and zorder_key's guard) sees them.
     clamped = F.least(F.greatest(scaled, F.lit(0)), F.lit(cells)).cast("long")
     return F.when(c.isNull() | F.isnan(c), F.lit(None).cast("long")).otherwise(clamped)
+
+
+def quantile_grid_surrogate(
+    df: DataFrame,
+    col: str,
+    bits: int = 16,
+    n_knots: int = 257,
+    relative_error: float = 1e-3,
+) -> Column:
+    """Skew-proof grid mapper: cell = floor(CDF(x) * 2^bits), with the CDF
+    a piecewise-linear interpolation through ``n_knots`` evenly-spaced
+    ``approxQuantile`` knots of ``col`` (Greenwald-Khanna sketch — one
+    pass, no global sort). On a log-normal column, static bounds put ~all
+    rows in a handful of edge cells and the Z-curve degenerates to a
+    single-column sort; quantile cells stay ~uniformly occupied, so every
+    dimension keeps its pruning power.
+
+    Cost model at 100 TB: ONE sketch pass at build time (driver holds
+    ``n_knots`` doubles), then a shuffle-free vectorized ``searchsorted``
+    per row (Arrow-batched pandas_udf — there is no JVM builtin for
+    binary search over a broadcast array, and the O(n_knots)-per-row
+    ``filter``/``aggregate`` HOF expression would be 256x more
+    comparisons than the O(log) search). The knot array travels in the
+    UDF closure — effectively a broadcast.
+
+    Monotone in ``x`` by construction (clipped interpolation through
+    non-decreasing knots), so range filters still map to cell ranges.
+    NULL/NaN stay NULL, matching ``grid_surrogate``; values outside the
+    sketched range clamp to the edge cells. Heavy point masses (a value
+    spanning many knots) collapse to one cell — identical values carry no
+    ordering information, so that is the correct degeneration.
+    """
+    import numpy as np
+
+    if n_knots < 2:
+        raise ValueError(f"quantile_grid_surrogate needs n_knots >= 2, got {n_knots}")
+    probs = [i / (n_knots - 1) for i in range(n_knots)]
+    qs = df.stat.approxQuantile(col, probs, relative_error)
+    knots = np.asarray(qs, dtype=np.float64)
+    knots = knots[~np.isnan(knots)]
+    if knots.size < 2:
+        raise ValueError(
+            f"quantile_grid_surrogate: column {col!r} has < 2 non-NaN quantile "
+            "knots (empty or all-NaN input)"
+        )
+    # GK sketches are non-decreasing by contract; enforce anyway so a
+    # pathological sketch can't break searchsorted's precondition silently
+    knots = np.maximum.accumulate(knots)
+    cells = (1 << bits) - 1
+    denom = float(knots.size - 1)
+
+    @F.pandas_udf("long")
+    def _cell(s: pd.Series) -> pd.Series:
+        x = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        i = np.searchsorted(knots, x, side="right") - 1
+        i = np.clip(i, 0, knots.size - 2)
+        lo_k, hi_k = knots[i], knots[i + 1]
+        span = hi_k - lo_k
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.where(span > 0, (x - lo_k) / span, 0.0)
+        cdf = (i + np.clip(frac, 0.0, 1.0)) / denom
+        cell = np.clip(np.floor(cdf * (cells + 1)), 0, cells)
+        nanmask = np.isnan(x)
+        out = pd.array(np.where(nanmask, 0, cell).astype(np.int64), dtype="Int64")
+        out[nanmask] = pd.NA
+        return pd.Series(out)
+
+    return _cell(F.col(col).cast("double"))
