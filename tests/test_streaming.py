@@ -488,3 +488,75 @@ def test_stream_cdc_upsert_out_of_order_change_does_not_regress(spark, tmp_path)
     assert got == [(1, "newer", 1), (2, "b", 2)], got
     import os
     assert not os.path.exists(os.path.join(out, "p=3"))
+
+
+def test_stream_cdc_upsert_compaction_bounds_file_count(spark, tmp_path):
+    """compact_every=3: across 9 micro-batches the sink's data-file count
+    collapses to one file per partition directory after the final
+    compaction epoch, table state stays exactly the python latest-wins
+    model (compaction is layout-only), and a further batch merges cleanly
+    into the compacted table."""
+    import os
+
+    from yelp_business_data_pipeline_spark.streaming import stream_cdc_upsert
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("p", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_cdc_upsert(
+            spark, str(src), schema, out, ckpt,
+            keys=["id"], order_by=["seq"], partition_by=["p"],
+            compact_every=3, compact_target_mb=128,
+        )
+        q.awaitTermination()
+
+    def parquet_files():
+        return [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(out)
+            for f in fs
+            if f.endswith(".parquet") and "__" not in d
+        ]
+
+    model = {}
+    seq = 0
+    for batch in range(9):
+        rows = []
+        for j in range(3):
+            seq += 1
+            rid = (batch * 3 + j) % 8  # keys cycle -> plenty of updates
+            row = {"id": rid, "v": f"v{seq}", "p": rid % 4, "seq": seq}
+            rows.append(row)
+            model[rid] = (row["v"], row["p"], row["seq"])
+        (src / f"c{batch}.json").write_text("\n".join(json.dumps(r) for r in rows))
+        run()
+
+    state = sorted((r.id, r.v, r.p, r.seq) for r in spark.read.parquet(out).collect())
+    want = sorted((k, v, p, s) for k, (v, p, s) in model.items())
+    assert state == want
+    # epoch 8 was a compaction epoch (epochs 2,5,8): repartition(1, p) under
+    # partitionBy leaves exactly one data file per partition directory
+    n_parts = len({p for _, p, _ in model.values()})
+    files = parquet_files()
+    assert len(files) == n_parts, files
+    # merging into the compacted table still works and stays latest-wins
+    seq += 1
+    (src / "c_extra.json").write_text(
+        json.dumps({"id": 0, "v": "final", "p": 0, "seq": seq})
+    )
+    model[0] = ("final", 0, seq)
+    run()
+    state = sorted((r.id, r.v, r.p, r.seq) for r in spark.read.parquet(out).collect())
+    want = sorted((k, v, p, s) for k, (v, p, s) in model.items())
+    assert state == want

@@ -351,10 +351,22 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_mb: int = 128,
+    partition_by: list[str] | None = None,
+    partition_types: dict | None = None,
 ) -> int:
     """Compact a parquet directory's small files (the operational follow-up
-    to idempotent streaming appends, which produce one file set per
-    micro-batch) into ~``target_mb`` files. Returns the new file count.
+    to idempotent streaming appends and CDC merges, which produce one file
+    set per micro-batch) into ~``target_mb`` files. Returns the planned
+    file count (per partition-directory when partitioned).
+
+    ``partition_by`` preserves a partitioned layout: rows are hash-
+    clustered on the partition columns so each partition directory
+    collapses to one file (a heavily-skewed single partition stays one
+    task — acceptable for maintenance; split it manually if it exceeds
+    executor memory). ``partition_types`` (col -> Spark DataType) re-reads
+    with directory-name type inference DISABLED and casts explicitly — the
+    same '01'-reads-back-as-1 hazard merge_upsert guards against; pass it
+    whenever partition values are strings that can look numeric.
 
     Staged rewrite: write to ``<path>__compacting``, then swap directories
     via filesystem renames so readers never observe a HALF-written table.
@@ -378,7 +390,27 @@ def compact_parquet(
 
     staging = f"{path}__compacting"
     backup = f"{path}__precompact"
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(staging)
+    if partition_types:
+        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        old = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, "false")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set(conf_key, old)
+        from pyspark.sql import functions as F
+
+        for c, dt in partition_types.items():
+            df = df.withColumn(c, F.col(c).cast(dt))
+    else:
+        df = spark.read.parquet(path)
+    if partition_by:
+        writer = df.repartition(n_files, *partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.parquet(staging)
     s_path = jvm.org.apache.hadoop.fs.Path(staging)
     b_path = jvm.org.apache.hadoop.fs.Path(backup)
     if not fs.rename(hpath, b_path):

@@ -92,6 +92,8 @@ def stream_cdc_upsert(
     partition_by: list[str] | None = None,
     max_files_per_trigger: int | None = None,
     on_batch_complete: Callable[[int], None] | None = None,
+    compact_every: int | None = None,
+    compact_target_mb: int = 128,
 ):
     """CDC-style streaming upsert: a file stream of change records (each
     row = the new full state of its key, with ``order_by`` giving the
@@ -113,9 +115,18 @@ def stream_cdc_upsert(
     At scale each micro-batch rewrites only the partitions its keys touch
     (``partition_by`` + merge_upsert's affected-partition scoping), so a
     trickle of changes against a 100 TB table stays a trickle of I/O.
-    """
-    from ..sources.writers import merge_upsert
 
+    ``compact_every=N`` runs ``compact_parquet`` after every Nth committed
+    batch (counted by epoch id, so the cadence survives checkpoint
+    restarts), bounding the one-file-set-per-micro-batch growth. Layout
+    maintenance only — data is unchanged, so a crash-replay around a
+    compaction stays exactly-once; partition-column types are pinned from
+    the stream schema (never re-inferred from directory names).
+    """
+    from ..sources.writers import compact_parquet, merge_upsert
+
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -139,6 +150,17 @@ def stream_cdc_upsert(
             partition_by=partition_by,
             dedup_order_by=order_by,
         )
+        if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+            ptypes = (
+                {c: schema[c].dataType for c in partition_by} if partition_by else None
+            )
+            compact_parquet(
+                spark,
+                out_path,
+                target_mb=compact_target_mb,
+                partition_by=partition_by,
+                partition_types=ptypes,
+            )
         if on_batch_complete is not None:
             on_batch_complete(epoch_id)
 
