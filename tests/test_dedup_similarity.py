@@ -121,6 +121,26 @@ def test_embedding_near_dup_lsh_blocking_recall(spark):
     assert recall >= 0.85, f"cross-polytope blocking recall collapsed: {recall}"
 
 
+def test_embedding_near_dup_exact_mode_guardrail(spark):
+    """The exact (crossJoin) fallback must refuse to launch an all-pairs
+    join above exact_max_rows unless force_exact=True — a config typo
+    can't schedule a quadratic self-join over a production corpus."""
+    sf = "/root/testdata/sf0.001"
+    e = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") < 50)
+        .select("vec_id", sim.as_double_vec(F.col("embedding")).alias("v"))
+    )
+    with pytest.raises(ValueError, match="force_exact"):
+        sim.embedding_near_dup_pairs(e, threshold=0.3, exact_max_rows=10)
+    # force_exact overrides; small inputs under the cap never hit the gate
+    forced = sim.embedding_near_dup_pairs(
+        e, threshold=0.3, exact_max_rows=10, force_exact=True
+    ).count()
+    free = sim.embedding_near_dup_pairs(e, threshold=0.3).count()
+    assert forced == free
+
+
 def test_exact_dedup_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "a", 10), (1, "b", 20), (2, "c", 5)], ["k", "v", "ts"]

@@ -334,12 +334,18 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     n_tables: int = 6,
     family: str = "hyperplane",
+    force_exact: bool = False,
+    exact_max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= thr).
 
     ``n_planes=None``: exact all-pairs via self cross join — the bounded /
-    verification path. With ``n_planes`` set: multi-table LSH blocking
-    (requires ``dim``) — the 100 TB path, two families:
+    verification path, GATED: if the input exceeds ``exact_max_rows``
+    (10^10 candidate pairs at the default) it raises instead of launching
+    the quadratic join, unless ``force_exact=True`` — a config typo must
+    not schedule an all-pairs self-join over a 100 TB corpus. With
+    ``n_planes`` set: multi-table LSH blocking (requires ``dim``) — the
+    100 TB path, two families:
 
     - ``family="hyperplane"``: ``n_tables`` tables of ``n_planes`` sign
       bits; candidate recall 1-(1-p^k)^L with p = 1 - theta/pi.
@@ -386,6 +392,16 @@ def embedding_near_dup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
+        if not force_exact:
+            # cheap count (id column only) before committing to O(n^2)
+            n_rows = base.select("_id").count()
+            if n_rows > exact_max_rows:
+                raise ValueError(
+                    f"embedding_near_dup_pairs: exact mode would cross-join "
+                    f"{n_rows} rows (~{n_rows * (n_rows - 1) // 2:.2e} pairs); "
+                    f"enable LSH blocking (n_planes/family) or pass "
+                    f"force_exact=True if you really mean it"
+                )
         a = base.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
         )
