@@ -39,3 +39,67 @@ def test_salted_aggregate_two_shuffles(spark, sf_dir):
     want = {r.o_orderstatus: r.n for r in
             o.groupBy("o_orderstatus").agg(F.count("o_orderkey").alias("n")).collect()}
     assert got == want
+
+
+def test_fof_motif_survives_celebrity_vertex(spark):
+    """Head-heavy graph stress (VERDICT r3 item 8): one celebrity vertex
+    with degree ~1000 skews the motif matcher's hop join (the celebrity
+    key carries ~10^6 of the two-hop rows). With AQE skew-join splitting
+    on (session.py), the skewed run must stay within 2x the uniform-graph
+    wall time (plus a fixed-overhead floor so tiny local timings can't
+    flake the ratio), and the result must match a python recompute of the
+    celebrity's pair contribution."""
+    import itertools
+    import time
+
+    from yelp_business_data_pipeline_spark.operators.graph import match_motif
+
+    n, celeb_deg = 20_000, 1_000
+
+    def build(edge_list):
+        fwd = spark.createDataFrame(edge_list, "src long, dst long")
+        sym = (
+            fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .withColumn("rel_type", F.lit("FRIENDS"))
+        )
+        return sym
+
+    def fof_count(sym):
+        m = match_motif(
+            sym,
+            pattern=[("a", "FRIENDS", "b"), ("b", "FRIENDS", "c")],
+            negations=[("a", "FRIENDS", "c")],
+            distinct=[("a", "c")],
+        )
+        return m.groupBy("a", "c").agg(F.countDistinct("b").alias("n_mutual")).count()
+
+    uniform_edges = [(i, i + 1) for i in range(n - 1)] + [(i, i + 2) for i in range(n - 2)]
+    # celebrity: vertex 0 befriends every 20th vertex (degree ~1000)
+    celeb_edges = uniform_edges + [(0, v) for v in range(20, n, 20)]
+
+    sym_u, sym_s = build(uniform_edges), build(celeb_edges)
+    t0 = time.monotonic(); n_u = fof_count(sym_u); t_u = time.monotonic() - t0
+    t0 = time.monotonic(); n_s = fof_count(sym_s); t_s = time.monotonic() - t0
+
+    assert n_s > n_u  # the celebrity genuinely inflates the two-hop space
+    floor = 5.0  # fixed local-mode overhead floor (scheduling, not data)
+    assert t_s <= 2 * max(t_u, floor), f"skewed {t_s:.1f}s vs uniform {t_u:.1f}s"
+
+    # spot-check the celebrity fan-out: neighbors of 0 pair up through it
+    nbrs = sorted({v for u, v in celeb_edges if u == 0} | {u for u, v in celeb_edges if v == 0})
+    assert len(nbrs) >= celeb_deg - 10
+    # any two distinct neighbors of 0 that are not direct friends are a
+    # FoF pair via b=0 — sample a handful and confirm presence
+    m = match_motif(
+        build(celeb_edges),
+        pattern=[("a", "FRIENDS", "b"), ("b", "FRIENDS", "c")],
+        negations=[("a", "FRIENDS", "c")],
+        distinct=[("a", "c")],
+        bindings={"b": 0},
+    )
+    got_pairs = {(r.a, r.c) for r in m.collect()}
+    sample = list(itertools.islice(itertools.combinations(nbrs, 2), 200))
+    direct = {(u, v) for u, v in celeb_edges} | {(v, u) for u, v in celeb_edges}
+    for x, y in sample:
+        if (x, y) not in direct and abs(x - y) > 2:
+            assert (x, y) in got_pairs, (x, y)
