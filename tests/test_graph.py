@@ -242,3 +242,59 @@ def test_motif_self_loop_negation(motif_edges):
         ).select("a").collect()
     }
     assert "x" not in got and "u1" in got
+
+
+def test_triangle_count_matches_python_brute_force(spark):
+    """triangle_count (degree-ordered orientation, Suri & Vassilvitskii
+    2011) vs an itertools brute force: global and per-vertex counts on
+    known shapes (triangle, K4, triangle+tail, disjoint pair) and a seeded
+    random graph; duplicate edges, reversed duplicates and self-loops must
+    not change counts."""
+    import itertools
+    import random
+
+    from yelp_business_data_pipeline_spark.operators.graph import triangle_count
+
+    def brute(edges):
+        und = {frozenset(e) for e in edges if e[0] != e[1]}
+        verts = sorted({v for e in und for v in e})
+        tris = [
+            t
+            for t in itertools.combinations(verts, 3)
+            if all(frozenset(p) in und for p in itertools.combinations(t, 2))
+        ]
+        per = {}
+        for t in tris:
+            for v in t:
+                per[v] = per.get(v, 0) + 1
+        return len(tris), per
+
+    rng = random.Random(11)
+    cases = [
+        [(1, 2), (2, 3), (3, 1)],
+        list(itertools.combinations(range(4), 2)),  # K4: 4 triangles
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+        [(1, 2), (3, 4)],  # no triangles
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)],  # dups + self-loop
+        [(rng.randrange(25), rng.randrange(25)) for _ in range(80)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        want_n, want_per = brute(edges)
+        got_n = triangle_count(df).collect()[0].n_triangles
+        assert got_n == want_n, (edges, got_n, want_n)
+        got_per = {
+            r.id: r.n_triangles for r in triangle_count(df, per_vertex=True).collect()
+        }
+        assert got_per == want_per, (edges, got_per, want_per)
+
+
+def test_triangle_count_plan_has_no_cartesian(spark):
+    from yelp_business_data_pipeline_spark.operators.graph import triangle_count
+
+    from .test_plans import plan_str
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    p = plan_str(triangle_count(df))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

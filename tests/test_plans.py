@@ -187,3 +187,50 @@ def test_iterative_bench_queries_shape_and_counts(spark, sf_dir):
     comp_rows = cc.collect()
     assert len(comp_rows) == n_nations
     assert sum(r.n_members for r in comp_rows) == n_cust
+
+
+def test_iterative_round_plan_shapes_via_checkpoint_off(spark):
+    """checkpoint=False exposes the genuine per-round lineage the bench
+    queries truncate: pagerank's round = equi-joins + hash aggregates with
+    the only BroadcastNestedLoopJoin being the 1-row dangling-mass scalar;
+    star CC's round-pair = groupBy(min) + same-key joins, no cartesian and
+    no nested-loop join at all."""
+    from yelp_business_data_pipeline_spark.operators.components import connected_components
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    # one round: further rounds re-embed the prior round's subtree in
+    # several branches (exactly the lineage compounding checkpoint=True
+    # exists to cut), so only the single-round plan has a stable shape
+    pr = pagerank(e, max_iter=1, checkpoint=False)
+    p = plan_str(pr)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the 1-row dangling-mass broadcast is the round's ONLY nested-loop
+    # join (count on the simple plan — formatted prints each node twice)
+    assert plan_str(pr, "simple").count("BroadcastNestedLoopJoin") == 1, p
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    cc = connected_components(pairs, max_iter=4, algorithm="star", checkpoint=False)
+    p2 = plan_str(cc)
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2, p2
+    assert "BatchEvalPython" not in p2 and "ArrowEvalPython" not in p2
+
+
+def test_triangle_bench_query_matches_chain_model(spark, sf_dir):
+    """The friendship graph is a per-nation (acctbal, custkey)-ordered
+    chain with next-1 and next-2 links, so each nation of size L
+    contributes exactly max(0, L-2) triangles."""
+    from pyspark.sql import functions as F
+
+    got = QUERIES["triangle_count_friend_graph"].spark(spark, sf_dir).collect()[0].n_triangles
+    sizes = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = sum(max(0, r.n - 2) for r in sizes)
+    assert got == want

@@ -93,6 +93,54 @@ COMMENTARY = {
     ),
 }
 
+# Iterative operators truncate their returned lineage via localCheckpoint
+# (the lineage cut IS the scale property), so the registered bench queries
+# show a bare RDD scan. These builders re-run a bounded number of rounds
+# with checkpoint=False to expose the genuine per-round plan shape.
+
+
+def _pagerank_round_plan(spark, sf):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+    from yelp_business_data_pipeline_spark.plans.extensions import _friend_edges
+
+    fwd = _friend_edges(spark, sf)
+    sym = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(sym, max_iter=1, checkpoint=False)
+
+
+def _cc_star_round_plan(spark, sf):
+    from yelp_business_data_pipeline_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    return connected_components(pairs, max_iter=4, algorithm="star", checkpoint=False)
+
+
+SPECIAL = {
+    "pagerank (one round, checkpoint=False)": (
+        _pagerank_round_plan,
+        "The per-round shape the bench query repeats 8x: ONE equi-join "
+        "(edges x ranks on the source vertex) + ONE HashAggregate exchange "
+        "on the destination vertex — both keyed on vertex id so AQE reuses "
+        "the partitioning; the dangling-mass term is a 1-row aggregate "
+        "crossed on as a broadcast scalar (the only "
+        "BroadcastNestedLoopJoin, cardinality 1), never a rank-vector "
+        "collect. In production each round ends in localCheckpoint, so "
+        "the plan below never compounds.",
+    ),
+    "connected_components star round (checkpoint=False)": (
+        _cc_star_round_plan,
+        "One large-star/small-star round-pair (converged single component "
+        "shown): groupBy(min) + same-key equi-join per half-round, a "
+        "single distinct per pair, no cartesian anywhere. Round count is "
+        "O(log^2 n) regardless of graph diameter — the property that "
+        "lets the friendship chains (diameter ~600 at sf0.1) converge in "
+        "~5 pairs where hash-min label propagation would need ~300 "
+        "shuffle rounds.",
+    ),
+}
+
 
 def main() -> None:
     spark = get_spark(app_name="gen_explain", shuffle_partitions=8)
@@ -106,6 +154,10 @@ def main() -> None:
     ]
     for name, note in COMMENTARY.items():
         df = QUERIES[name].spark(spark, sf)
+        plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        out.append(f"\n## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
+    for name, (builder, note) in SPECIAL.items():
+        df = builder(spark, sf)
         plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         out.append(f"\n## {name}\n\n{note}\n\n```\n{plan.strip()}\n```\n")
     with open("EXPLAIN.md", "w") as f:

@@ -22,7 +22,7 @@ from .dedup import (
     token_jaccard_pairs,
     with_simhash,
 )
-from .graph import build_edges, build_vertices, match_motif
+from .graph import build_edges, build_vertices, match_motif, triangle_count
 from .multimodal import extract_media_features, media_meta_expr
 from .review import review_etl
 from .pq import pq_adc_topk, pq_ann_topk, pq_encode, train_pq_codebooks
@@ -101,6 +101,7 @@ __all__ = [
     "lang_id",
     "lsh_ann_topk",
     "match_motif",
+    "triangle_count",
     "media_meta_expr",
     "minhash_lsh_candidates",
     "null_profile",

@@ -36,6 +36,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     algorithm: str = "hashmin",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(id, comp) for every vertex appearing in ``pairs``; comp =
     min vertex id reachable. Raises if ``max_iter`` rounds don't converge.
@@ -54,7 +55,7 @@ def connected_components(
       hundreds of rounds at sf0.1 where star needs ~a dozen).
     """
     if algorithm == "star":
-        return _cc_star(pairs, src, dst, max_iter)
+        return _cc_star(pairs, src, dst, max_iter, checkpoint)
     if algorithm != "hashmin":
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'hashmin' or 'star'")
     edges = (
@@ -96,7 +97,9 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+def _cc_star(
+    pairs: DataFrame, src: str, dst: str, max_iter: int, checkpoint: bool = True
+) -> DataFrame:
     """Alternating large-star / small-star contraction.
 
     Edges are kept normalized as (hi, lo) with hi > lo. Per round-pair:
@@ -113,11 +116,15 @@ def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     unchanged by a full pair (count equal + empty symmetric difference
     witness), checked per pair — the potential argument in the paper makes
     equality a valid stop."""
-    verts = (
+    def _cp(df: DataFrame) -> DataFrame:
+        # checkpoint=False: plan-inspection mode (EXPLAIN) — keeps the
+        # genuine round lineage visible instead of a truncated RDD scan
+        return df.localCheckpoint() if checkpoint else df
+
+    verts = _cp(
         pairs.select(F.col(src).alias("id"))
         .unionAll(pairs.select(F.col(dst).alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     edges = (
         pairs.select(
@@ -126,8 +133,8 @@ def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint()
     )
+    edges = _cp(edges)
     n_edges = edges.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -160,8 +167,8 @@ def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
                 )
             )
             .distinct()
-            .localCheckpoint()
         )
+        small = _cp(small)
         new_n = small.count()
         if new_n == n_edges and small.exceptAll(edges).limit(1).count() == 0:
             edges = small

@@ -33,6 +33,7 @@ def pagerank(
     personalize: DataFrame | None = None,
     check_every: int = 4,
     stats: dict | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(id, rank) for every vertex in ``edges``; ranks sum to 1.
 
@@ -46,6 +47,10 @@ def pagerank(
     compared is always consecutive-round L1, so ``tol`` semantics are
     unchanged. Pass a ``stats`` dict to receive
     ``{"iterations": n, "delta_checks": n}`` (observability + test probe).
+    ``checkpoint=False`` skips the per-round localCheckpoint lineage cuts
+    so the RETURNED plan shows the genuine per-round join+groupBy shape
+    (plan inspection / EXPLAIN.md only — never run many iterations with
+    it, the plan doubles per round).
     Parallel edges are collapsed (a duplicated edge must not double a
     contribution); self-loops count like any other edge.
 
@@ -58,16 +63,14 @@ def pagerank(
     vector is a broadcast-joined indicator column, never a driver-side
     rank collect — the seed set can itself be large.
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    vertices = (
+    def _cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if checkpoint else df
+
+    e = _cp(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct())
+    vertices = _cp(
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     n = vertices.count()
     if n == 0:
@@ -82,15 +85,16 @@ def pagerank(
         seeds = personalize.select(F.col(seed_col).alias("id")).distinct()
         # checkpoint so the caller's (possibly expensive) personalize
         # lineage runs once, not once for the count and again in the join
-        in_graph = vertices.join(seeds, "id", "left_semi").localCheckpoint()
+        in_graph = _cp(vertices.join(seeds, "id", "left_semi"))
         n_seeds = in_graph.count()
         if n_seeds == 0:
             raise ValueError("pagerank: no personalization seed exists in the graph")
         teleport = vertices.join(
             in_graph.withColumn("_t", F.lit(1.0 / n_seeds)), "id", "left"
-        ).select("id", F.coalesce(F.col("_t"), F.lit(0.0)).alias("t")).localCheckpoint()
+        ).select("id", F.coalesce(F.col("_t"), F.lit(0.0)).alias("t"))
+        teleport = _cp(teleport)
     else:
-        teleport = vertices.withColumn("t", F.lit(1.0 / n)).localCheckpoint()
+        teleport = _cp(vertices.withColumn("t", F.lit(1.0 / n)))
 
     out_deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     # teleport is already checkpointed; the rename needs no second copy
@@ -128,8 +132,8 @@ def pagerank(
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("_dm") * F.col("t"))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        new_ranks = _cp(new_ranks)
         stats["iterations"] = it + 1
         # Convergence is tested only on check rounds (and never on the final
         # round, where the loop exits regardless) — the L1 aggregate is

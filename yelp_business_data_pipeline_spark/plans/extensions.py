@@ -1136,3 +1136,19 @@ def connected_components_friend_graph(spark: SparkSession, sf_dir: str) -> DataF
     return comps.groupBy(F.col("comp").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+@query(
+    "triangle_count_friend_graph",
+    None,  # join-DAG count — python brute-force pinned in tests/test_graph.py
+    doc="Global triangle count over the friendship graph via degree-ordered "
+    "orientation (Suri & Vassilvitskii 2011): every edge oriented from its "
+    "lower-(degree,id) endpoint, so wedge fan-out is O(sqrt(m)) per vertex "
+    "even on power-law graphs; wedge self-join + closing-edge equi-join, "
+    "no cartesian (plan-pinned). The nation-chained graph has exactly "
+    "(chain_len - 2) triangles per nation — pinned in pytest.",
+)
+def triangle_count_friend_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_friend_edges(spark, sf_dir))
