@@ -234,3 +234,17 @@ def test_triangle_bench_query_matches_chain_model(spark, sf_dir):
     )
     want = sum(max(0, r.n - 2) for r in sizes)
     assert got == want
+
+
+def test_funnel_retention_plan_shapes(spark, sf_dir):
+    """funnel: the k chained step windows and the per-user collapse all
+    reuse ONE user-key hash partitioning — exactly 2 Exchanges total (the
+    user shuffle + the final 1-row aggregate), no Python eval. retention:
+    cohort sizes join is a broadcast; no cartesian, no Python eval."""
+    p = plan_str(QUERIES["funnel_conversion_events"].spark(spark, sf_dir), "simple")
+    assert p.count("Exchange") == 2, p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+    p2 = plan_str(QUERIES["retention_cohorts_events"].spark(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p2, p2
+    assert "EvalPython" not in p2 and "CartesianProduct" not in p2

@@ -22,6 +22,7 @@ from .dedup import (
     token_jaccard_pairs,
     with_simhash,
 )
+from .funnel import funnel_conversion, retention_matrix
 from .graph import build_edges, build_vertices, match_motif, triangle_count
 from .multimodal import extract_media_features, media_meta_expr
 from .review import review_etl
@@ -96,6 +97,8 @@ __all__ = [
     "fingerprint",
     "flatten_attribute_structs",
     "flatten_attributes",
+    "funnel_conversion",
+    "retention_matrix",
     "gapfill_locf",
     "GRAIN_STEPS",
     "lang_id",

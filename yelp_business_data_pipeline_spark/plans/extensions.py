@@ -1152,3 +1152,39 @@ def triangle_count_friend_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
     return triangle_count(_friend_edges(spark, sf_dir))
+
+
+@query(
+    "funnel_conversion_events",
+    None,  # chained-window funnel — python-model pinned in tests/test_funnel.py
+    doc="Ordered funnel signup->view->purchase within 7 days over events: "
+    "k chained min-when window expressions over ONE partitionBy(user_id) "
+    "window (k changes expression count, not shuffle count), a per-user "
+    "collapse, then a 1-row aggregate exploded to k step rows. Strictly- "
+    "after semantics (simultaneous events never advance a funnel) pinned "
+    "against an independent python model in tests/test_funnel.py.",
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_conversion
+
+    return funnel_conversion(
+        tbl(spark, sf_dir, "events"),
+        ["signup", "view", "purchase"],
+        within="7 days",
+    )
+
+
+@query(
+    "retention_cohorts_events",
+    None,  # python-model + diagonal invariant pinned in tests/test_funnel.py
+    doc="Weekly cohort retention over events: per-user first-activity week "
+    "(groupBy user), user-keyed join back (AQE co-partitions with the "
+    "groupBy), collapse to (cohort, offset, user) grain BEFORE the wide "
+    "count so the shuffle carries one row per active user-week, broadcast "
+    "cohort sizes. Diagonal invariant (offset-0 count == cohort size) and "
+    "full python-model equality pinned in tests/test_funnel.py.",
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import retention_matrix
+
+    return retention_matrix(tbl(spark, sf_dir, "events"), max_offset=26)
