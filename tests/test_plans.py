@@ -78,7 +78,10 @@ def test_winnowing_is_shuffle_free_until_fingerprint_groupby(spark, sf_dir):
     # The Arrow kernel does per-doc work inside the partition: no Window
     # (the relational form's doc-id sort) may appear; the only exchange is
     # the cross-doc fingerprint groupBy.
-    p = plan_str(QUERIES["winnowing_shared_fingerprints"].spark(spark, sf_dir))
+    # winnowing_shared_fingerprints is the `winnowing_shared` branch of
+    # text_fingerprints_panel; pin the panel's plan (the branch survives
+    # verbatim inside the union).
+    p = plan_str(QUERIES["text_fingerprints_panel"].spark(spark, sf_dir))
     assert "Window" not in p, "winnowing regressed to the window-shuffle form"
     assert "SortAggregate" not in p
 

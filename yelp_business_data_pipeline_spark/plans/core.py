@@ -1230,25 +1230,14 @@ def range_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "zscore_outlier_orders",
-    """
-    SELECT o_orderkey, o_orderpriority,
-           round((o_totalprice - avg(o_totalprice) OVER w)
-                 / stddev_pop(o_totalprice) OVER w, 4) AS zscore
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority)
-    QUALIFY abs(round((o_totalprice - avg(o_totalprice) OVER w)
-                      / stddev_pop(o_totalprice) OVER w, 4)) >= 1.5
-    """,
-    doc="Per-group z-score outliers via window aggregates (avg + stddev_pop "
-    "over an unordered partition — one shuffle on the group key): orders "
-    "more than 2 sigma from their priority class's mean price. The "
-    "grouped-map pandas twin lives in operators/grouped.py; this is the "
-    "plan Catalyst optimizes. Threshold 1.5 sigma: the synthetic price "
-    "distribution is near-uniform (max |z| ~1.78), so 2 sigma never fires.",
-)
 def zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers via window aggregates (avg + stddev_pop
+    over an unordered partition — one shuffle on the group key): orders
+    more than 1.5 sigma from their priority class's mean price. The
+    grouped-map pandas twin lives in operators/grouped.py; this is the
+    plan Catalyst optimizes. Threshold 1.5 sigma: the synthetic price
+    distribution is near-uniform (max |z| ~1.78), so 2 sigma never fires.
+    Oracle-gated as the ``zscore`` branch of ``window_analytics_panel``."""
     o = tbl(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority")
     z = F.round(
@@ -1315,27 +1304,12 @@ def blocked_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rank_functions_panel",
-    """
-    SELECT o_orderkey, o_orderpriority,
-           CAST(row_number() OVER w AS INTEGER) AS rn,
-           CAST(rank() OVER w AS INTEGER) AS rnk,
-           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-           round(percent_rank() OVER w, 6) AS prnk,
-           round(cume_dist() OVER w, 6) AS cdist,
-           CAST(ntile(4) OVER w AS INTEGER) AS quartile
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-    QUALIFY o_orderkey % 199 = 0
-    """,
-    doc="The full ranking-function panel (row_number/rank/dense_rank/"
-    "percent_rank/cume_dist/ntile) in one window pass, fully tie-broken "
-    "ordering so every rank and quartile assignment is deterministic "
-    "across engines; deterministic row sample bounds the output across "
-    "SFs.",
-)
 def rank_functions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function panel (row_number/rank/dense_rank/
+    percent_rank/cume_dist/ntile) in one window pass, fully tie-broken
+    ordering so every rank and quartile assignment is deterministic
+    across engines; deterministic row sample bounds the output across
+    SFs. Oracle-gated as the ``rank`` branch of ``window_analytics_panel``."""
     o = tbl(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
@@ -1351,3 +1325,76 @@ def rank_functions_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("o_orderkey") % 199 == 0)
     )
+
+
+@query(
+    "window_analytics_panel",
+    """
+    WITH rankb AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(row_number() OVER w AS INTEGER) AS rn,
+             CAST(rank() OVER w AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+             round(percent_rank() OVER w, 6) AS prnk,
+             round(cume_dist() OVER w, 6) AS cdist,
+             CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      QUALIFY o_orderkey % 199 = 0
+    ), zb AS (
+      SELECT o_orderkey, o_orderpriority,
+             round((o_totalprice - avg(o_totalprice) OVER w)
+                   / stddev_pop(o_totalprice) OVER w, 4) AS zscore
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority)
+      QUALIFY abs(round((o_totalprice - avg(o_totalprice) OVER w)
+                        / stddev_pop(o_totalprice) OVER w, 4)) >= 1.5
+    )
+    SELECT 'rank' AS op, o_orderkey, o_orderpriority,
+           rn, rnk, drnk, prnk, cdist, quartile,
+           CAST(NULL AS DOUBLE) AS zscore
+    FROM rankb
+    UNION ALL
+    SELECT 'zscore' AS op, o_orderkey, o_orderpriority,
+           CAST(NULL AS INTEGER) AS rn, CAST(NULL AS INTEGER) AS rnk,
+           CAST(NULL AS INTEGER) AS drnk, CAST(NULL AS DOUBLE) AS prnk,
+           CAST(NULL AS DOUBLE) AS cdist, CAST(NULL AS INTEGER) AS quartile,
+           zscore
+    FROM zb
+    """,
+    doc="Window-function panel, op-tagged: the full ranking-function pass "
+    "(row_number/rank/dense_rank/percent_rank/cume_dist/ntile, fully "
+    "tie-broken — ``rank`` branch) and per-group z-score outliers via "
+    "unordered window aggregates (avg + stddev_pop, one shuffle on the "
+    "group key — ``zscore`` branch). Merged from the round-3 "
+    "``rank_functions_panel`` + ``zscore_outlier_orders`` registrations "
+    "to keep every oracle-backed query inside the driver's 50-slot gate "
+    "while freeing slots for the funnel/retention oracles — both window "
+    "plans survive verbatim as the panel's two branches.",
+)
+def window_analytics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rankb = rank_functions_panel(spark, sf_dir).select(
+        F.lit("rank").alias("op"),
+        "o_orderkey",
+        "o_orderpriority",
+        "rn",
+        "rnk",
+        "drnk",
+        "prnk",
+        "cdist",
+        "quartile",
+        F.lit(None).cast("double").alias("zscore"),
+    )
+    zb = zscore_outlier_orders(spark, sf_dir).select(
+        F.lit("zscore").alias("op"),
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(None).cast("int").alias("rn"),
+        F.lit(None).cast("int").alias("rnk"),
+        F.lit(None).cast("int").alias("drnk"),
+        F.lit(None).cast("double").alias("prnk"),
+        F.lit(None).cast("double").alias("cdist"),
+        F.lit(None).cast("int").alias("quartile"),
+        "zscore",
+    )
+    return rankb.unionAll(zb)
