@@ -22,6 +22,7 @@ from .dedup import (
     token_jaccard_pairs,
     with_simhash,
 )
+from .basket import item_cooccurrence
 from .funnel import funnel_conversion, retention_matrix
 from .graph import build_edges, build_vertices, match_motif, triangle_count
 from .multimodal import extract_media_features, media_meta_expr
@@ -98,6 +99,7 @@ __all__ = [
     "flatten_attribute_structs",
     "flatten_attributes",
     "funnel_conversion",
+    "item_cooccurrence",
     "retention_matrix",
     "gapfill_locf",
     "GRAIN_STEPS",

@@ -221,7 +221,10 @@ def minhash_lsh_candidates(
 
 
 def bucket_pairs(
-    buckets: DataFrame, ids_col: str = "_ids", max_bucket: int | None = None
+    buckets: DataFrame,
+    ids_col: str = "_ids",
+    max_bucket: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """All ordered (doc_a < doc_b) pairs within each bucket row's sorted id
     array — the shared pair-expansion tail of every blocking operator.
@@ -260,11 +263,12 @@ def bucket_pairs(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
+    out = buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
     )
+    # distinct=False keeps one row per (bucket, pair) co-occurrence — the
+    # multiset a counting consumer (e.g. basket.item_cooccurrence) needs.
+    return out.distinct() if distinct else out
 
 
 def deletion_neighborhood_candidates(

@@ -924,6 +924,48 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "item_cooccurrence_pairs",
+    """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), p AS (
+      SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS n_pairs
+      FROM d a JOIN d c ON a.basket = c.basket AND a.item < c.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), i AS (
+      SELECT item, COUNT(*) AS n_item FROM d GROUP BY 1
+    ), t AS (
+      SELECT COUNT(DISTINCT basket) AS n_baskets FROM d
+    )
+    SELECT p.item_a, p.item_b, p.n_pairs,
+           round(p.n_pairs / t.n_baskets, 6) AS support,
+           round((p.n_pairs * t.n_baskets) / (ia.n_item * ib.n_item), 6) AS lift
+    FROM p
+    CROSS JOIN t
+    JOIN i ia ON ia.item = p.item_a
+    JOIN i ib ON ib.item = p.item_b
+    """,
+    doc="Market-basket co-occurrence over lineitem (parts bought together "
+    "within an order) with support and lift (operators/basket.py). NO "
+    "self-join on the basket key: one groupBy collapses each order to a "
+    "sorted distinct part array (collect_set dedups map-side), ordered "
+    "pairs expand executor-locally via the shared bucket_pairs HOF kernel "
+    "(max_basket loud-degradation guard), then a uniform-key pair count; "
+    "the basket-count denominator is a broadcast 1-row aggregate. The "
+    "oracle expresses the same statistics with the naive self-join form — "
+    "two independent constructions agreeing on counts, support, and lift.",
+)
+def item_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.basket import item_cooccurrence
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return item_cooccurrence(
+        li, "l_orderkey", "l_partkey", min_pairs=2, max_basket=64
+    )
+
+
+@query(
     "funnel_conversion_events",
     """
     WITH e AS (
