@@ -1,0 +1,98 @@
+"""Snapshot diff (operators/diff.py): classification semantics incl.
+null-safe keys and values, payload modes, and the one-join plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators.diff import table_diff
+
+SCHEMA = "k long, v string, w double"
+
+OLD = [
+    (1, "a", 1.0),   # unchanged
+    (2, "b", 2.0),   # changed: v
+    (3, "c", 3.0),   # removed
+    (4, None, 4.0),  # changed: v NULL -> 'x' (null-safe value compare)
+    (5, "e", None),  # unchanged (NULL == NULL null-safely)
+    (None, "nk", 9.0),  # NULL key, changed: w
+]
+NEW = [
+    (1, "a", 1.0),
+    (2, "B", 2.0),
+    (4, "x", 4.0),
+    (5, "e", None),
+    (6, "f", 6.0),   # added
+    (None, "nk", 9.5),
+]
+
+
+def _diff_map(df):
+    return {r.k: (r.change_type, r.changed_cols) for r in df.collect()}
+
+
+def test_classification(spark):
+    old, new = spark.createDataFrame(OLD, SCHEMA), spark.createDataFrame(NEW, SCHEMA)
+    got = _diff_map(table_diff(old, new, ["k"]))
+    assert got == {
+        2: ("changed", "v"),
+        3: ("removed", ""),
+        4: ("changed", "v"),
+        6: ("added", ""),
+        None: ("changed", "w"),
+    }
+
+
+def test_keep_unchanged_and_multi_col_change(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    new = spark.createDataFrame([(1, "b", 2.0)], SCHEMA)
+    got = _diff_map(table_diff(old, new, ["k"], keep_unchanged=True))
+    assert got == {1: ("changed", "v,w")}
+    both_same = table_diff(old, old, ["k"], keep_unchanged=True)
+    assert _diff_map(both_same) == {1: ("unchanged", "")}
+    assert table_diff(old, old, ["k"]).count() == 0
+
+
+def test_include_values_payload(spark):
+    old = spark.createDataFrame([(1, "a", 1.0), (2, "z", 0.0)], SCHEMA)
+    new = spark.createDataFrame([(1, "b", 1.0)], SCHEMA)
+    rows = {
+        r.k: r
+        for r in table_diff(old, new, ["k"], include_values=True).collect()
+    }
+    assert rows[1].old_v == "a" and rows[1].new_v == "b"
+    assert rows[2].change_type == "removed" and rows[2].new_v is None
+    assert set(rows[1].asDict()) == {
+        "k", "change_type", "changed_cols", "old_v", "new_v", "old_w", "new_w"
+    }
+
+
+def test_compound_keys_and_default_compare_cols(spark):
+    old = spark.createDataFrame([(1, 1, "a"), (1, 2, "b")], "k1 long, k2 long, v string")
+    new = spark.createDataFrame([(1, 1, "a"), (1, 2, "c"), (2, 1, "d")],
+                                "k1 long, k2 long, v string")
+    got = {(r.k1, r.k2): r.change_type for r in table_diff(old, new, ["k1", "k2"]).collect()}
+    assert got == {(1, 2): "changed", (2, 1): "added"}
+
+
+def test_empty_keys_raises(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], SCHEMA)
+    with pytest.raises(ValueError, match="keys must be non-empty"):
+        table_diff(df, df, [])
+
+
+def test_plan_is_one_full_outer_join(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0)
+    plan = (
+        table_diff(old, new, ["o_orderkey"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("SortMergeJoin") == 1 and "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # comparisons are JVM expressions: no Python stage anywhere.
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -23,6 +23,7 @@ from .dedup import (
     with_simhash,
 )
 from .basket import item_cooccurrence
+from .diff import table_diff
 from .funnel import funnel_conversion, retention_matrix
 from .graph import build_edges, build_vertices, match_motif, triangle_count
 from .multimodal import extract_media_features, media_meta_expr
@@ -100,6 +101,7 @@ __all__ = [
     "flatten_attributes",
     "funnel_conversion",
     "item_cooccurrence",
+    "table_diff",
     "retention_matrix",
     "gapfill_locf",
     "GRAIN_STEPS",

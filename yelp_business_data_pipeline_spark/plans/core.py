@@ -207,21 +207,10 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pivot_event_counts",
-    """
-    SELECT user_id % 10 AS cohort,
-           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
-    FROM events GROUP BY 1
-    """,
-    doc="Pivot (SURVEY §2.4 extension; guide 'pivot/unpivot'). Explicit value "
-    "list so no extra distinct-values job at scale.",
-)
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.4 extension; guide 'pivot/unpivot'). Explicit value
+    list so no extra distinct-values job at scale. Oracle-gated as the
+    ``pivot`` branch of ``reshape_panel``."""
     ev = tbl(spark, sf_dir, "events")
     kinds = ["click", "view", "purchase", "signup", "error"]
     piv = (
@@ -967,22 +956,10 @@ def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(only97)
 
 
-@query(
-    "unpivot_lineitem_metrics",
-    """
-    SELECT metric,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
-    FROM (
-      SELECT 'qty' AS metric, l_quantity AS val FROM lineitem
-      UNION ALL SELECT 'price', l_extendedprice FROM lineitem
-      UNION ALL SELECT 'disc', l_discount FROM lineitem
-    ) GROUP BY metric
-    """,
-    doc="Unpivot/melt via stack() (guide 'pivot/unpivot'): wide metric "
-    "columns to long (metric, val) rows, then re-aggregate.",
-)
 def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt via stack() (guide 'pivot/unpivot'): wide metric
+    columns to long (metric, val) rows, then re-aggregate. Oracle-gated
+    as the ``unpivot`` branch of ``reshape_panel``."""
     li = tbl(spark, sf_dir, "lineitem")
     long = li.selectExpr(
         "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (metric, val)"
@@ -991,6 +968,71 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("val_sum"),
     )
+
+
+@query(
+    "reshape_panel",
+    """
+    WITH piv AS (
+      SELECT user_id % 10 AS cohort,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events GROUP BY 1
+    ), unp AS (
+      SELECT metric,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+      FROM (
+        SELECT 'qty' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+        UNION ALL SELECT 'disc', l_discount FROM lineitem
+      ) GROUP BY metric
+    )
+    SELECT 'pivot' AS op, cohort, click, view, purchase, signup, error,
+           CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS val_sum
+    FROM piv
+    UNION ALL
+    SELECT 'unpivot' AS op, CAST(NULL AS BIGINT) AS cohort,
+           CAST(NULL AS BIGINT) AS click, CAST(NULL AS BIGINT) AS view,
+           CAST(NULL AS BIGINT) AS purchase, CAST(NULL AS BIGINT) AS signup,
+           CAST(NULL AS BIGINT) AS error, metric, n, val_sum
+    FROM unp
+    """,
+    doc="Reshape panel, op-tagged: pivot with an explicit value list (no "
+    "distinct-values job — ``pivot`` branch over events) and unpivot/melt "
+    "via stack() with re-aggregation (``unpivot`` branch over lineitem). "
+    "Merged from the round-1 ``pivot_event_counts`` + "
+    "``unpivot_lineitem_metrics`` registrations to keep every oracle-"
+    "backed query inside the driver's 50-slot gate while freeing a slot "
+    "for snapshot_diff_orders — both reshape plans survive verbatim as "
+    "the panel's branches.",
+)
+def reshape_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = pivot_event_counts(spark, sf_dir).select(
+        F.lit("pivot").alias("op"),
+        "cohort",
+        "click",
+        "view",
+        "purchase",
+        "signup",
+        "error",
+        F.lit(None).cast("string").alias("metric"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("val_sum"),
+    )
+    unp = unpivot_lineitem_metrics(spark, sf_dir).select(
+        F.lit("unpivot").alias("op"),
+        F.lit(None).cast("bigint").alias("cohort"),
+        *[F.lit(None).cast("bigint").alias(k) for k in ("click", "view", "purchase", "signup", "error")],
+        "metric",
+        "n",
+        "val_sum",
+    )
+    return piv.unionAll(unp)
 
 
 @query(

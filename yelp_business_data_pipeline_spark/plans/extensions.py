@@ -924,6 +924,68 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 7 != 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 != 0
+    ), j AS (
+      SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+             o.o_totalprice AS op, n.o_totalprice AS np,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT COALESCE(ok, nk) AS o_orderkey,
+           CASE WHEN ok IS NULL THEN 'added'
+                WHEN nk IS NULL THEN 'removed'
+                WHEN (op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns)
+                  THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                 AND ((op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns))
+                THEN concat_ws(',',
+                       CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END,
+                       CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END)
+                ELSE '' END AS changed_cols
+    FROM j
+    WHERE NOT (ok IS NOT NULL AND nk IS NOT NULL
+               AND NOT ((op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns)))
+    """,
+    doc="Snapshot diff / CDC reconciliation (operators/diff.py:table_diff — "
+    "the complement of sources.writers.merge_upsert): two deterministic "
+    "snapshots derived from orders (old drops keys %7=0, new drops %5=0 "
+    "and bumps o_totalprice for %3=0) diffed into added/removed/changed "
+    "rows with the exact differing columns. ONE full-outer sort-merge "
+    "join keyed on the diff key, null-safe JVM comparisons, unchanged "
+    "rows dropped before the caller — output scales with churn, not "
+    "corpus. The oracle expresses the same classification with IS "
+    "DISTINCT FROM over a SQL full join.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import table_diff
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+@query(
     "item_cooccurrence_pairs",
     """
     WITH d AS (
