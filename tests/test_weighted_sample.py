@@ -1,0 +1,94 @@
+"""Weighted sampling (sampling.weighted_sample): python-model equality,
+determinism/repartition invariance, weight-proportionality, edge cases,
+and the TakeOrdered global plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators.sampling import weighted_sample
+
+
+def _unit(key, salt="ws:"):
+    h = hashlib.md5((salt + str(key)).encode()).hexdigest()
+    return int(h[:8], 16) / 4294967296.0
+
+
+def _model(rows, k, stratum=False, salt="ws:"):
+    """Independent A-ES recomputation: k smallest -ln(u)/w (per stratum)."""
+    scored = []
+    for r in rows:
+        key, w = r[0], r[-1]
+        s = r[1] if stratum else None
+        if key is None or w is None or w <= 0:
+            continue
+        u = _unit(key, salt)
+        race = math.inf if u == 0.0 else -math.log(u) / w
+        scored.append((s, race, key))
+    out = {}
+    for s in {x[0] for x in scored}:
+        grp = sorted((r, k2) for s2, r, k2 in scored if s2 == s)[:k]
+        for i, (_, key) in enumerate(grp):
+            out[key] = (s, i + 1)
+    return out
+
+
+def test_global_matches_python_model(spark):
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = {r.k: r.sample_rank for r in weighted_sample(df, "k", "w", 10).collect()}
+    want = {k: rk for k, (_, rk) in _model(rows, 10).items()}
+    assert got == want and len(got) == 10
+
+
+def test_stratified_matches_python_model(spark):
+    rows = [(i, "s" + str(i % 3), float(1 + i % 5)) for i in range(150)]
+    df = spark.createDataFrame(rows, "k long, s string, w double")
+    got = {
+        r.k: (r.s, r.sample_rank)
+        for r in weighted_sample(df, "k", "w", 7, stratum="s").collect()
+    }
+    assert got == _model(rows, 7, stratum=True)
+    assert len(got) == 21
+
+
+def test_repartition_invariance(spark):
+    rows = [(i, float(1 + i % 11)) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    a = {r.k for r in weighted_sample(df, "k", "w", 25).collect()}
+    b = {r.k for r in weighted_sample(df.repartition(17), "k", "w", 25).collect()}
+    assert a == b
+
+
+def test_weight_proportionality(spark):
+    # one heavy item (weight 50) among 50 light items (weight 1): across
+    # 40 independent salts, the heavy item must be drawn (k=1) in the
+    # majority of draws — its inclusion probability is 50/100.
+    rows = [(0, 50.0)] + [(i, 1.0) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    hits = sum(
+        weighted_sample(df, "k", "w", 1, salt=f"t{j}:").collect()[0].k == 0
+        for j in range(40)
+    )
+    assert 10 <= hits <= 35  # E[hits]=20, P(outside [10,35]) < 1e-3
+
+
+def test_edge_cases(spark):
+    rows = [(1, 1.0), (2, 0.0), (3, -1.0), (4, None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = {r.k for r in weighted_sample(df, "k", "w", 10).collect()}
+    assert got == {1}  # zero/negative/NULL weights and NULL keys drop
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample(df, "k", "w", 0)
+
+
+def test_global_plan_is_take_ordered(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = weighted_sample(o, "o_orderkey", "o_totalprice", 20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

@@ -35,6 +35,7 @@ from .sampling import (
     leakage_safe_splits,
     select_to_token_budget,
     stratified_sample,
+    weighted_sample,
 )
 from .similarity import (
     arrow_cosine_topk,
@@ -102,6 +103,7 @@ __all__ = [
     "funnel_conversion",
     "item_cooccurrence",
     "table_diff",
+    "weighted_sample",
     "retention_matrix",
     "gapfill_locf",
     "GRAIN_STEPS",

@@ -181,3 +181,63 @@ def leakage_safe_splits(
         ).cast("string"),
     ).otherwise(expr)
     return df.withColumn(out_col, guard)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    stratum: str | None = None,
+    salt: str = "ws:",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): inclusion probability proportional to
+    ``weight_col``, selection reproducible across reruns, repartitioning,
+    and engines.
+
+    Each row gets an exponential race time ``-ln(u) / w`` from the same
+    portable :func:`hash_unit` draw the other samplers use; the ``k``
+    SMALLEST times win (per ``stratum`` when given, else globally). This
+    is the distributed-safe form of weighted reservoir sampling: no
+    sequential reservoir, no RNG state — a per-row expression plus one
+    top-k. Globally that compiles to TakeOrderedAndProject (per-partition
+    heaps, no global sort); per-stratum it is one window shuffle on the
+    stratum key.
+
+    Ordering ties break on the key, so the selected set is a pure
+    function of (keys, weights, salt). Rows with NULL keys or
+    non-positive/NULL weights are dropped (a weight of zero can never win
+    a race; a NULL key has no reproducible draw). A hash draw of exactly
+    0 yields race time +infinity — that key simply never wins, matching
+    the u^(1/w) = 0 convention of the paper.
+
+    Output: the surviving rows with ``rank_col`` (1-based selection
+    order, best first) appended.
+    """
+    if k <= 0:
+        raise ValueError(f"weighted_sample: k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    eligible = df.filter(
+        F.col(key_col).isNotNull() & w.isNotNull() & (w > 0)
+    )
+    race = (-F.log(hash_unit(key_col, salt)) / w).alias("_race")
+    scored = eligible.withColumn("_race", race)
+    if stratum is None:
+        ranked = (
+            scored.orderBy(F.asc("_race"), F.asc(key_col))
+            .limit(k)
+            .withColumn(
+                rank_col,
+                F.row_number().over(
+                    Window.orderBy(F.asc("_race"), F.asc(key_col))
+                ),
+            )
+        )
+    else:
+        win = Window.partitionBy(stratum).orderBy(F.asc("_race"), F.asc(key_col))
+        ranked = scored.withColumn(rank_col, F.row_number().over(win)).filter(
+            F.col(rank_col) <= k
+        )
+    return ranked.drop("_race")

@@ -100,21 +100,11 @@ def data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "horizontal_row_sum",
-    """
-    SELECT l_orderkey, l_linenumber,
-           l_quantity + l_discount + l_tax AS row_sum,
-           (CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
-            + CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
-            + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS flags_sum
-    FROM lineitem
-    """,
-    doc="A6/A7 horizontal fold-sum across columns (reference engagement_score "
-    "Review_ETL.py:66-70 and days_open Business_ETL.py:133-135): pure row "
-    "arithmetic, no shuffle.",
-)
 def horizontal_row_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 horizontal fold-sum across columns (reference engagement_score
+    Review_ETL.py:66-70 and days_open Business_ETL.py:133-135): pure row
+    arithmetic, no shuffle. Oracle-gated as the ``row_sum`` branch of
+    ``row_arithmetic_panel``."""
     li = tbl(spark, sf_dir, "lineitem")
     flags = (
         F.when(F.col("l_quantity") > 25, 1).otherwise(0)
@@ -1214,9 +1204,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hours_parser_roundtrip",
-    """
+_HOURS_PARSER_SQL = """
     WITH spans AS (
       SELECT event_id,
              extract(hour FROM ts)::VARCHAR || ':' || extract(minute FROM ts)::VARCHAR
@@ -1238,15 +1226,17 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN (close_min + 1440 - open_min) / 60.0
                 ELSE (close_min - open_min) / 60.0 END AS open_hours
     FROM parsed
-    """,
-    doc="The signature hours-parser semantics (reference Business_ETL.py:"
-    "107-131: 'H:M-H:M' -> minutes-since-midnight, overnight wrap +1440, "
-    "close==open -> 0) under the oracle gate: spans synthesized from event "
-    "timestamps (+value*10 minutes, so some cross midnight and exercise "
-    "the wrap), formatted to the Yelp string shape, then parsed back by "
-    "functions.hours.day_hours_expr.",
-)
+    """
+
+
 def hours_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature hours-parser semantics (reference Business_ETL.py:
+    107-131: 'H:M-H:M' -> minutes-since-midnight, overnight wrap +1440,
+    close==open -> 0) under the oracle gate: spans synthesized from event
+    timestamps (+value*10 minutes, so some cross midnight and exercise
+    the wrap), formatted to the Yelp string shape, then parsed back by
+    functions.hours.day_hours_expr. Oracle-gated as the ``hours`` branch
+    of ``row_arithmetic_panel``."""
     from ..functions.hours import day_hours_expr
 
     ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
@@ -1259,6 +1249,55 @@ def hours_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", day_hours_expr(span).alias("open_hours")
     )
+
+
+@query(
+    "row_arithmetic_panel",
+    f"""
+    WITH hrs AS ({_HOURS_PARSER_SQL})
+    SELECT 'row_sum' AS op, l_orderkey AS key_a, l_linenumber AS key_b,
+           l_quantity + l_discount + l_tax AS row_sum,
+           (CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END
+            + CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END
+            + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS flags_sum,
+           CAST(NULL AS DOUBLE) AS open_hours
+    FROM lineitem
+    UNION ALL
+    SELECT 'hours' AS op, event_id AS key_a, CAST(NULL AS INTEGER) AS key_b,
+           CAST(NULL AS DOUBLE) AS row_sum, CAST(NULL AS INTEGER) AS flags_sum,
+           open_hours
+    FROM hrs
+    """,
+    doc="Row-arithmetic panel, op-tagged: A6/A7 horizontal fold-sum across "
+    "columns (reference engagement_score Review_ETL.py:66-70, days_open "
+    "Business_ETL.py:133-135 — ``row_sum`` branch, pure row arithmetic, "
+    "no shuffle) and the signature hours-parser roundtrip (reference "
+    "Business_ETL.py:107-131 'H:M-H:M' -> minutes, overnight wrap +1440, "
+    "close==open -> 0 — ``hours`` branch over synthesized event spans). "
+    "Merged from the round-1 ``horizontal_row_sum`` + "
+    "``hours_parser_roundtrip`` registrations to keep every oracle-backed "
+    "query inside the driver's 50-slot gate while freeing a slot for "
+    "weighted_sample_orders — both plans survive verbatim as the panel's "
+    "branches.",
+)
+def row_arithmetic_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rs = horizontal_row_sum(spark, sf_dir).select(
+        F.lit("row_sum").alias("op"),
+        F.col("l_orderkey").alias("key_a"),
+        F.col("l_linenumber").alias("key_b"),
+        "row_sum",
+        "flags_sum",
+        F.lit(None).cast("double").alias("open_hours"),
+    )
+    hrs = hours_parser_roundtrip(spark, sf_dir).select(
+        F.lit("hours").alias("op"),
+        F.col("event_id").alias("key_a"),
+        F.lit(None).cast("int").alias("key_b"),
+        F.lit(None).cast("double").alias("row_sum"),
+        F.lit(None).cast("int").alias("flags_sum"),
+        "open_hours",
+    )
+    return rs.unionAll(hrs)
 
 
 @query(

@@ -924,6 +924,44 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_orders",
+    f"""
+    WITH e AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             -ln({_sql_hash("CAST(o_orderkey AS VARCHAR)", "ws:")} / 4294967296.0)
+               / o_totalprice AS race
+      FROM orders
+      WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_totalprice > 0
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_orderpriority ORDER BY race, o_orderkey
+           ) AS INTEGER) AS sample_rank
+    FROM e QUALIFY sample_rank <= 20
+    """,
+    doc="Deterministic weighted sampling without replacement (Efraimidis & "
+    "Spirakis 2006 A-ES, operators/sampling.py:weighted_sample): top-20 "
+    "orders per priority stratum with inclusion probability proportional "
+    "to o_totalprice. Each row's exponential race time -ln(u)/w derives "
+    "from the same portable md5 hash_unit draw as the other samplers, so "
+    "the selection survives repartitioning and engine swap (the oracle "
+    "recomputes identical doubles); one window shuffle on the stratum "
+    "key, key tie-break. The distributed-safe form of weighted reservoir "
+    "sampling — no sequential reservoir, no RNG state.",
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return weighted_sample(
+        o, "o_orderkey", "o_totalprice", 20, stratum="o_orderpriority"
+    )
+
+
+@query(
     "snapshot_diff_orders",
     """
     WITH old AS (
