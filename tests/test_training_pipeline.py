@@ -115,3 +115,40 @@ def test_leakage_safe_splits_null_cluster_raises(spark):
     d = spark.createDataFrame([(1, "c1"), (2, None)], "doc_id long, cluster string")
     with pytest.raises(Exception, match="NULL cluster"):
         leakage_safe_splits(d, "cluster").collect()
+
+
+def test_weighted_selection_and_diff_audit(spark):
+    """Round-4 additions composed over the same corpus: weighted corpus
+    selection (A-ES) is a deterministic subset, and table_diff audits
+    exactly what canonical selection removed."""
+    from yelp_business_data_pipeline_spark.operators.diff import table_diff
+    from yelp_business_data_pipeline_spark.operators.sampling import weighted_sample
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashed = d.withColumn("content_hash", F.md5("text"))
+    deduped = dd.exact_dedup(hashed, ["content_hash"], [F.asc("doc_id")])
+    pairs = dd.minhash_lsh_candidates(deduped, "doc_id", "text")
+    resolved = resolve_entities(deduped, pairs, "doc_id")
+    canonical = resolved.filter("is_canonical")
+
+    # weighted selection: inclusion ~ token count; deterministic subset
+    weighted = canonical.withColumn("n_tokens", F.size(F.split("text", " ")))
+    sel = weighted_sample(weighted, "doc_id", "n_tokens", 50)
+    sel_ids = {r.doc_id for r in sel.select("doc_id").collect()}
+    assert len(sel_ids) == min(50, canonical.count())
+    again = {r.doc_id for r in weighted_sample(
+        weighted.repartition(13), "doc_id", "n_tokens", 50).select("doc_id").collect()}
+    assert sel_ids == again  # layout-independent selection
+
+    # diff audit: canonical vs pre-selection corpus — every non-canonical
+    # row classifies as removed, nothing is added or changed.
+    audit = table_diff(
+        deduped.select("doc_id", "content_hash"),
+        canonical.select("doc_id", "content_hash"),
+        ["doc_id"],
+    )
+    by_type = {r.change_type: r.n for r in
+               audit.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_removed = by_type.pop("removed", 0)
+    assert by_type == {}, f"unexpected diff classes: {by_type}"
+    assert n_removed == deduped.count() - canonical.count()

@@ -91,6 +91,39 @@ COMMENTARY = {
         "(supplier nation = customer nation) rides the hash join as a "
         "post-join filter on broadcast rows."
     ),
+    "item_cooccurrence_pairs": (
+        "Market-basket pairs WITHOUT a basket-key self-join: one groupBy "
+        "collapses each order to a sorted distinct part array "
+        "(collect_set dedups map-side), ordered pairs expand "
+        "executor-locally via higher-order functions, then a uniform-key "
+        "pair count. All three statistics branches (pairs, item "
+        "frequencies, basket count) read ONE lazily-checkpointed collapse "
+        "— zero parquet re-scans (pinned); the denominator is a "
+        "broadcast 1-row aggregate (the sole BroadcastNestedLoopJoin, "
+        "cardinality 1)."
+    ),
+    "snapshot_diff_orders": (
+        "CDC diff as ONE full-outer SortMergeJoin on the diff key — the "
+        "minimal movement for any reconciliation; null-safe comparisons "
+        "and the changed-cols audit are pure JVM expressions (no Python "
+        "stage), and unchanged rows are filtered before the caller, so "
+        "downstream cost scales with churn, not corpus. Pre-bucketed "
+        "snapshots would elide both exchanges."
+    ),
+    "weighted_sample_orders": (
+        "A-ES weighted sampling: the exponential race time is a per-row "
+        "expression over the portable md5 draw (whole-stage codegen, no "
+        "UDF), so the only exchange is the stratum window shuffle; the "
+        "global variant compiles to TakeOrderedAndProject (per-partition "
+        "heaps, no global sort)."
+    ),
+    "funnel_conversion_events": (
+        "k funnel steps = k chained min-when window expressions over ONE "
+        "partitionBy(user) window: Catalyst stacks k Window operators on "
+        "a single user-key exchange (step count changes expression count, "
+        "not shuffle count); the per-user collapse reuses that "
+        "partitioning and the final unpivot explodes a 1-row aggregate."
+    ),
 }
 
 # Iterative operators truncate their returned lineage via localCheckpoint
