@@ -96,3 +96,40 @@ def test_plan_is_one_full_outer_join(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # comparisons are JVM expressions: no Python stage anywhere.
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+from hypothesis import given, settings, strategies as st
+
+_keys = st.integers(min_value=0, max_value=15)
+_vals = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+_snap = st.dictionaries(_keys, st.tuples(_vals, _vals), max_size=12)
+
+
+def _model_diff(old, new):
+    out = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            out[k] = ("added", "")
+        elif k not in new:
+            out[k] = ("removed", "")
+        else:
+            changed = [
+                c for c, (a, b) in zip(("v", "w"), zip(old[k], new[k])) if a != b
+            ]
+            if changed:
+                out[k] = ("changed", ",".join(changed))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(_snap, _snap)
+def test_random_snapshots_match_python_model(spark, old, new):
+    schema = "k long, v string, w string"
+    old_df = spark.createDataFrame(
+        [(k, v, w) for k, (v, w) in old.items()] or [], schema
+    )
+    new_df = spark.createDataFrame(
+        [(k, v, w) for k, (v, w) in new.items()] or [], schema
+    )
+    got = _diff_map(table_diff(old_df, new_df, ["k"]))
+    assert got == _model_diff(old, new)
