@@ -23,6 +23,7 @@ from .dedup import (
     with_simhash,
 )
 from .basket import item_cooccurrence
+from .bfs import bfs_distances
 from .diff import table_diff
 from .funnel import funnel_conversion, retention_matrix
 from .graph import build_edges, build_vertices, match_motif, triangle_count
@@ -101,6 +102,7 @@ __all__ = [
     "flatten_attribute_structs",
     "flatten_attributes",
     "funnel_conversion",
+    "bfs_distances",
     "item_cooccurrence",
     "table_diff",
     "weighted_sample",
