@@ -96,3 +96,14 @@ def test_plan_no_cartesian(spark):
     df = bfs_distances(e, s, checkpoint=False, max_depth=4)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_exact_max_depth_on_undirected_graph_returns_not_raises(spark):
+    # Regression: a symmetrized chain fully explored at exactly max_depth
+    # has back-edges from the final frontier into the visited set — that
+    # must NOT trip the depth-cap error (the cap is about unvisited
+    # vertices, not any outgoing edge).
+    fwd = [(0, 1), (1, 2), (2, 3)]
+    sym = fwd + [(d, s) for s, d in fwd]
+    got = _run(spark, sym, [0], max_depth=3)
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}

@@ -92,3 +92,25 @@ def test_global_plan_is_take_ordered(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_zero_hash_draw_races_last_not_first(spark, monkeypatch):
+    # Regression: Spark's ln(0) is NULL and NULLs sort FIRST ascending —
+    # a zero draw must map to +inf (loses to every positive draw) per
+    # the paper's u^(1/w) = 0 convention, not silently win rank 1.
+    import yelp_business_data_pipeline_spark.operators.sampling as S
+
+    real = S.hash_unit
+    monkeypatch.setattr(
+        S,
+        "hash_unit",
+        lambda key, salt="": F.when(F.col(key) == 0, F.lit(0.0)).otherwise(
+            real(key, salt)
+        ),
+    )
+    rows = [(i, 1.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    top3 = {r.k for r in S.weighted_sample(df, "k", "w", 3).collect()}
+    assert 0 not in top3  # loses while >= k positive-draw rows exist
+    all_ranks = {r.k: r.sample_rank for r in S.weighted_sample(df, "k", "w", 6).collect()}
+    assert all_ranks[0] == 6  # selected only as the last resort, ranked last

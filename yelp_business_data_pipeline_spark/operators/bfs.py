@@ -80,7 +80,15 @@ def bfs_distances(
         # the growing lineage is a union of RDD scans, never recomputation.
         visited = visited.unionAll(nxt)
         frontier = nxt
-    if frontier.join(e, frontier.id == e._s).limit(1).count() > 0:
+    # Raise only if the final frontier can still reach an UNVISITED
+    # vertex — frontier edges back into the visited set (every undirected
+    # graph has them) do not mean the search is incomplete.
+    remaining = (
+        frontier.join(e, frontier.id == e._s)
+        .select(F.col("_d").alias("id"))
+        .join(visited, "id", "left_anti")
+    )
+    if remaining.limit(1).count() > 0:
         raise RuntimeError(
             f"bfs_distances: frontier not exhausted after max_depth={max_depth}; "
             "raise the cap or check for unexpectedly long paths"

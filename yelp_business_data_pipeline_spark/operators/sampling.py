@@ -207,11 +207,17 @@ def weighted_sample(
     stratum key.
 
     Ordering ties break on the key, so the selected set is a pure
-    function of (keys, weights, salt). Rows with NULL keys or
-    non-positive/NULL weights are dropped (a weight of zero can never win
-    a race; a NULL key has no reproducible draw). A hash draw of exactly
-    0 yields race time +infinity — that key simply never wins, matching
-    the u^(1/w) = 0 convention of the paper.
+    function of (keys, weights, salt) — PROVIDED key values are unique
+    (duplicate keys share one hash draw and one tie-break value, so the
+    row chosen among duplicates at the k-boundary is arbitrary; validate
+    with ``cleaning.assert_unique_keys`` first, the ``table_diff``
+    convention). Rows with NULL keys or non-positive/NULL weights are
+    dropped (a weight of zero can never win a race; a NULL key has no
+    reproducible draw). A hash draw of exactly 0 yields race time
+    +infinity explicitly (Spark's ``ln(0)`` is NULL, which would sort
+    FIRST ascending — the guard pins the paper's u^(1/w) = 0 "never
+    wins" convention instead): such a key loses to every positive draw
+    and is selected only when fewer than k positive-draw rows exist.
 
     Output: the surviving rows with ``rank_col`` (1-based selection
     order, best first) appended.
@@ -222,7 +228,8 @@ def weighted_sample(
     eligible = df.filter(
         F.col(key_col).isNotNull() & w.isNotNull() & (w > 0)
     )
-    race = (-F.log(hash_unit(key_col, salt)) / w).alias("_race")
+    u = hash_unit(key_col, salt)
+    race = F.when(u == 0, F.lit(float("inf"))).otherwise(-F.log(u) / w)
     scored = eligible.withColumn("_race", race)
     if stratum is None:
         ranked = (
