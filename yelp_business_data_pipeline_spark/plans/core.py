@@ -437,11 +437,21 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
     FROM orders
     """,
-    doc="Window running aggregate (SURVEY §2.5 'true window functions absent "
-    "in reference; engine exposes'): explicit ROWS frame, deterministic order.",
+    doc="Window running aggregates (SURVEY §2.5 'true window functions "
+    "absent in reference; engine exposes'): a cumulative ROWS frame with "
+    "deterministic tie-broken order, plus a time-based RANGE frame — the "
+    "trailing-30-day spend per customer, framed by VALUE (days since "
+    "epoch) so simultaneous orders aggregate together regardless of row "
+    "order. Both frames share the ONE customer-key window shuffle; the "
+    "decimal(18,2) accumulation keeps both sums exact for cross-engine "
+    "comparison.",
 )
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tbl(spark, sf_dir, "orders")
@@ -450,10 +460,21 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # RANGE frame is framed by the ORDER value, so it must order by the
+    # numeric day (unix_date) alone — Spark rejects multi-column RANGE
+    # orderings, and that is the right semantics: same-day orders always
+    # fall in each other's trailing window.
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    spend = F.col("o_totalprice").cast("decimal(18,2)")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+        F.sum(spend).over(w).cast("double").alias("running_spend"),
+        F.sum(spend).over(wr).cast("double").alias("trailing_30d_spend"),
     )
 
 
