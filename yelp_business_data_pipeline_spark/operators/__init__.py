@@ -26,7 +26,13 @@ from .basket import item_cooccurrence
 from .bfs import bfs_distances
 from .diff import table_diff
 from .funnel import funnel_conversion, retention_matrix
-from .graph import build_edges, build_vertices, match_motif, triangle_count
+from .graph import (
+    build_edges,
+    build_vertices,
+    link_prediction_features,
+    match_motif,
+    triangle_count,
+)
 from .multimodal import extract_media_features, media_meta_expr
 from .review import review_etl
 from .pq import pq_adc_topk, pq_ann_topk, pq_encode, train_pq_codebooks
@@ -110,6 +116,7 @@ __all__ = [
     "gapfill_locf",
     "GRAIN_STEPS",
     "lang_id",
+    "link_prediction_features",
     "lsh_ann_topk",
     "match_motif",
     "triangle_count",

@@ -469,3 +469,115 @@ def triangle_count(
         tris.select(F.col("x").alias("id"))
     ).unionAll(tris.select(F.col("y").alias("id")))
     return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def link_prediction_features(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_center_degree: int | None = None,
+    exclude_existing: bool = True,
+) -> DataFrame:
+    """Link-prediction features for vertex pairs of an undirected graph:
+    ``common_neighbors``, ``adamic_adar`` (Adamic & Adar 2003 — common
+    neighbors weighted 1/ln(degree), rare mutual friends count more), and
+    ``jaccard`` (|CN| / |N(u) u N(v)|). The classic neighborhood-overlap
+    feature set for friend recommendation / entity-graph densification
+    (the FoF motif query returns candidates; this scores them).
+
+    Shape: exactly the market-basket construction with the CENTER vertex
+    as the basket — each center's neighbor set collapses in one groupBy
+    (collect_set, map-side dedup), candidate pairs expand
+    executor-locally via higher-order functions carrying the center's
+    1/ln(degree) weight, then one uniform-key groupBy aggregates count
+    and Adamic-Adar sum together. No neighbor-list self-join. Every
+    common neighbor has degree >= 2 by construction (it touches both
+    endpoints), so ln(degree) is never zero.
+
+    ``max_center_degree`` guards the quadratic per-center fan-out the
+    same way ``max_basket``/``max_bucket`` do — a celebrity hub fails
+    loudly (executor-side raise naming the size) instead of building a
+    deg^2 pair array toward OOM; cap-and-sample is the caller's call.
+
+    ``exclude_existing`` (default) anti-joins already-connected pairs
+    out — link PREDICTION scores non-edges; pass False to score existing
+    edges too (e.g. for edge-strength features).
+
+    Output: ``(u, v, common_neighbors, adamic_adar, jaccard)`` with
+    u < v, pairs below ``min_common`` dropped.
+    """
+    und = (
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = und.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    centers = nbrs.groupBy("w").agg(
+        F.sort_array(F.collect_set("n")).alias("_ids")
+    )
+    deg = centers.select("w", F.size("_ids").alias("deg"))
+    centers = centers.filter(F.size("_ids") >= 2).withColumn(
+        "_w_aa", 1.0 / F.log(F.size("_ids").cast("double"))
+    )
+    if max_center_degree is not None:
+        centers = centers.withColumn(
+            "_ids",
+            F.when(
+                F.size("_ids") > max_center_degree,
+                F.raise_error(
+                    F.concat(
+                        F.lit("link_prediction_features: center of degree "),
+                        F.size("_ids").cast("string"),
+                        F.lit(
+                            f" exceeds max_center_degree={max_center_degree}; "
+                            "quadratic pair expansion refused — cap or sample hubs first"
+                        ),
+                    )
+                ).cast(centers.schema["_ids"].dataType.simpleString()),
+            ).otherwise(F.col("_ids")),
+        )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    cand = (
+        centers.select(F.explode(pair_structs).alias("p"), "_w_aa")
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "_w_aa")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("_w_aa").alias("_aa"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    if exclude_existing:
+        existing = und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        cand = cand.join(existing, ["u", "v"], "left_anti")
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("_dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(F.col("_aa"), 6).alias("adamic_adar"),
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("_du") + F.col("_dv") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
