@@ -1,0 +1,73 @@
+"""k-core decomposition (graph.k_core): python-model equality and the
+peeling/termination edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from yelp_business_data_pipeline_spark.operators.graph import k_core
+
+
+def _model(edges, k):
+    und = {(max(s, d), min(s, d)) for s, d in edges if s != d}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            return deg  # (id -> degree within the core)
+        und = {(a, b) for a, b in und if a not in drop and b not in drop}
+        if not und:
+            return {}
+
+
+def _run(spark, edges, k, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.id: r.degree for r in k_core(df, k, **kw).collect()}
+
+
+def test_triangle_with_tendril(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _run(spark, edges, 2) == {1: 2, 2: 2, 3: 2}  # tendril peels off
+    assert _run(spark, edges, 3) == {}
+
+
+def test_chain_has_no_2core(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    assert _run(spark, edges, 2) == {}
+    # k=1: every non-isolated vertex survives with its degree
+    assert _run(spark, edges, 1) == _model(edges, 1)
+
+
+def test_clique_survives_any_k_below_size(spark):
+    import itertools
+
+    edges = list(itertools.combinations(range(5), 2))
+    assert _run(spark, edges, 4) == {i: 4 for i in range(5)}
+    assert _run(spark, edges, 5) == {}
+
+
+def test_random_graphs_match_model(spark):
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(20), rng.randrange(20)) for _ in range(60)]
+    for k in (1, 2, 3, 4):
+        assert _run(spark, edges, k) == _model(edges, k)
+
+
+def test_deep_peeling_and_max_iter(spark):
+    # a path peels one layer per round from both ends under k=2: a short
+    # max_iter must fail loudly, a sufficient one returns empty.
+    edges = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="stabilize"):
+        _run(spark, edges, 2, max_iter=2)
+    assert _run(spark, edges, 2, max_iter=12) == {}
+
+
+def test_invalid_k(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        k_core(df, 0)

@@ -29,6 +29,7 @@ from .funnel import funnel_conversion, retention_matrix
 from .graph import (
     build_edges,
     build_vertices,
+    k_core,
     link_prediction_features,
     match_motif,
     triangle_count,
@@ -115,6 +116,7 @@ __all__ = [
     "retention_matrix",
     "gapfill_locf",
     "GRAIN_STEPS",
+    "k_core",
     "lang_id",
     "link_prediction_features",
     "lsh_ann_topk",

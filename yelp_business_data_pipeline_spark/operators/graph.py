@@ -581,3 +581,69 @@ def link_prediction_features(
             ).alias("jaccard"),
         )
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Vertices of the k-core: the maximal subgraph where every vertex
+    has degree >= k (undirected; parallel edges and self-loops ignored).
+    The standard graph-cleaning pass before community/embedding work —
+    peeling low-degree tendrils isolates the dense regions where
+    near-duplicate clusters and real communities live.
+
+    Iterative peeling: each round computes degrees in the CURRENT
+    subgraph (one groupBy) and drops vertices below k (one semi-join of
+    the edge set against surviving vertices per endpoint). Rounds are
+    bounded by the peeling depth (how many "layers" of low-degree
+    vertices shield the core) — typically far below the diameter;
+    ``max_iter`` raises loudly rather than returning a non-core. Edge
+    frame is checkpointed per round (the repo's iterative contract), so
+    lineage never compounds; convergence = edge count unchanged (exact:
+    peeling only ever removes edges, so a stable count IS a fixpoint).
+
+    Returns ``(id, degree)`` for core members (their degree WITHIN the
+    core); an empty frame when no k-core exists.
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+
+    def _cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint() if checkpoint else df
+
+    edges = _cp(
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            return edges.sparkSession.createDataFrame([], "id long, degree bigint")
+        deg = (
+            edges.select(F.col("a").alias("id"))
+            .unionAll(edges.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        pruned = _cp(
+            edges.join(keep.withColumnRenamed("id", "a"), "a", "left_semi").join(
+                keep.withColumnRenamed("id", "b"), "b", "left_semi"
+            )
+        )
+        new_n = pruned.count()
+        if new_n == n_edges:
+            # stable edge count == no vertex fell below k this round:
+            # peeling is monotone (edges only leave), so this is the core.
+            return deg.filter(F.col("degree") >= k)
+        edges, n_edges = pruned, new_n
+    raise RuntimeError(f"k_core did not stabilize in {max_iter} rounds")
