@@ -259,3 +259,17 @@ def test_personalized_pagerank_matches_python_and_localizes(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="no personalization seed"):
         pagerank(empty, personalize=seeds)
+
+
+def test_star_algorithm_on_string_ids(spark):
+    # Regression: the round-4 stats-triple convergence check summed the
+    # endpoint columns directly — an ANSI cast crash on string doc ids
+    # (this module's dedup use case). The digest must be type-agnostic.
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d")], "doc_a string, doc_b string"
+    )
+    got = {
+        r.id: r.comp
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}

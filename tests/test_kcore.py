@@ -71,3 +71,15 @@ def test_invalid_k(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="k must be >= 1"):
         k_core(df, 0)
+
+
+def test_empty_core_preserves_input_id_type(spark):
+    # Regression: the empty-core branch hard-coded 'id long'; it must
+    # carry the INPUT id type so unions across k values never clash.
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    empty = k_core(df, 2)
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == {"id": "string", "degree": "bigint"}
+    full = k_core(spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"), 2)
+    assert empty.unionAll(full).count() == 3  # schema-compatible union

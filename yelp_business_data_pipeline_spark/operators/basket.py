@@ -101,8 +101,12 @@ def item_cooccurrence(
             "item_b",
             "n_pairs",
             F.round(F.col("n_pairs") / F.col("n_baskets"), 6).alias("support"),
+            # cast to double BEFORE multiplying: n_pairs * n_baskets as
+            # bigints overflows 2^63 at corpus scale (ANSI abort / silent
+            # wrap); the double product is what the ratio needs anyway
             F.round(
-                (F.col("n_pairs") * F.col("n_baskets")) / (F.col("_na") * F.col("_nb")),
+                (F.col("n_pairs").cast("double") * F.col("n_baskets"))
+                / (F.col("_na").cast("double") * F.col("_nb")),
                 6,
             ).alias("lift"),
         )

@@ -122,15 +122,21 @@ def _cc_star(
         return df.localCheckpoint() if checkpoint else df
 
     def _stats(df: DataFrame) -> tuple:
-        # One job per round: (edge count, sum hi, sum lo). The sums are
-        # the paper's potential — they strictly decrease until fixpoint —
-        # so count-equal rounds with moving labels (measured: 3-4 per run
-        # near convergence) no longer trigger the expensive exceptAll
-        # witness; it runs only when the full triple repeats.
+        # One job per round: (edge count, order-independent multiset
+        # digests of each endpoint column). bit_xor over xxhash64 keeps
+        # the digest TYPE-AGNOSTIC (string doc ids — this module's dedup
+        # use case — must not be summed directly: ANSI cast failure) and
+        # OVERFLOW-FREE (summing raw 64-bit hashes aborts under ANSI). A
+        # changed digest proves the edge set changed, so count-equal
+        # rounds with moving labels (measured: 3-4 per run near
+        # convergence) no longer trigger the expensive exceptAll witness;
+        # exceptAll remains the EXACT stop — it runs whenever the triple
+        # repeats, so a digest collision merely costs one extra check,
+        # never a wrong result.
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("hi").alias("sh"),
-            F.sum("lo").alias("sl"),
+            F.expr("bit_xor(xxhash64(hi))").alias("sh"),
+            F.expr("bit_xor(xxhash64(lo))").alias("sl"),
         ).first()
         return (r.n, r.sh, r.sl)
 

@@ -225,6 +225,7 @@ def bucket_pairs(
     ids_col: str = "_ids",
     max_bucket: int | None = None,
     distinct: bool = True,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """All ordered (doc_a < doc_b) pairs within each bucket row's sorted id
     array — the shared pair-expansion tail of every blocking operator.
@@ -237,7 +238,13 @@ def bucket_pairs(
     diagnosable message (executor-side raise_error naming the size), never
     silently attempt an |bucket|^2 array build toward OOM. Unset by default
     because each blocker's bound differs (deletion-neighborhood buckets are
-    bounded by construction; LSH band buckets by band width)."""
+    bounded by construction; LSH band buckets by band width).
+
+    ``carry_cols`` passes per-BUCKET columns through to every emitted pair
+    row (e.g. a bucket weight a downstream aggregate sums — see
+    graph.link_prediction_features); usually combined with
+    ``distinct=False`` since distinct over carried values would conflate
+    pair identity with bucket payload."""
     if max_bucket is not None:
         ids = F.col(ids_col)
         buckets = buckets.withColumn(
@@ -263,8 +270,9 @@ def bucket_pairs(
             ),
         )
     )
-    out = buckets.select(F.explode(pairs).alias("p")).select(
-        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+    carry = list(carry_cols or [])
+    out = buckets.select(F.explode(pairs).alias("p"), *carry).select(
+        F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), *carry
     )
     # distinct=False keeps one row per (bucket, pair) co-occurrence — the
     # multiset a counting consumer (e.g. basket.item_cooccurrence) needs.

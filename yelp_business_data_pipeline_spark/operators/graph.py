@@ -478,6 +478,7 @@ def link_prediction_features(
     min_common: int = 1,
     max_center_degree: int | None = None,
     exclude_existing: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Link-prediction features for vertex pairs of an undirected graph:
     ``common_neighbors``, ``adamic_adar`` (Adamic & Adar 2003 — common
@@ -489,11 +490,17 @@ def link_prediction_features(
     Shape: exactly the market-basket construction with the CENTER vertex
     as the basket — each center's neighbor set collapses in one groupBy
     (collect_set, map-side dedup), candidate pairs expand
-    executor-locally via higher-order functions carrying the center's
-    1/ln(degree) weight, then one uniform-key groupBy aggregates count
-    and Adamic-Adar sum together. No neighbor-list self-join. Every
-    common neighbor has degree >= 2 by construction (it touches both
-    endpoints), so ln(degree) is never zero.
+    executor-locally via the shared ``dedup.bucket_pairs`` kernel
+    carrying the center's 1/ln(degree) weight (``carry_cols``), then one
+    uniform-key groupBy aggregates count and Adamic-Adar sum together.
+    No neighbor-list self-join. Every common neighbor has degree >= 2 by
+    construction (it touches both endpoints), so ln(degree) is never
+    zero. The normalized edge set and the neighbor collapse are each
+    lazily checkpointed (the basket.py pattern): the degree frame, the
+    pair expansion, and the existing-edge anti-join all read those
+    materializations instead of re-running the edge scan + distinct +
+    collect_set per branch (Catalyst prunes each branch differently, so
+    without the checkpoint the collapse executes 3-4x).
 
     ``max_center_degree`` guards the quadratic per-center fan-out the
     same way ``max_basket``/``max_bucket`` do — a celebrity hub fails
@@ -507,7 +514,12 @@ def link_prediction_features(
     Output: ``(u, v, common_neighbors, adamic_adar, jaccard)`` with
     u < v, pairs below ``min_common`` dropped.
     """
-    und = (
+    from .dedup import bucket_pairs
+
+    def _cp(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    und = _cp(
         pairs.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
             F.least(F.col(src), F.col(dst)).alias("b"),
@@ -518,43 +530,21 @@ def link_prediction_features(
     nbrs = und.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
         und.select(F.col("b").alias("w"), F.col("a").alias("n"))
     )
-    centers = nbrs.groupBy("w").agg(
-        F.sort_array(F.collect_set("n")).alias("_ids")
+    centers = _cp(
+        nbrs.groupBy("w").agg(F.sort_array(F.collect_set("n")).alias("_ids"))
     )
     deg = centers.select("w", F.size("_ids").alias("deg"))
-    centers = centers.filter(F.size("_ids") >= 2).withColumn(
+    expandable = centers.filter(F.size("_ids") >= 2).withColumn(
         "_w_aa", 1.0 / F.log(F.size("_ids").cast("double"))
     )
-    if max_center_degree is not None:
-        centers = centers.withColumn(
-            "_ids",
-            F.when(
-                F.size("_ids") > max_center_degree,
-                F.raise_error(
-                    F.concat(
-                        F.lit("link_prediction_features: center of degree "),
-                        F.size("_ids").cast("string"),
-                        F.lit(
-                            f" exceeds max_center_degree={max_center_degree}; "
-                            "quadratic pair expansion refused — cap or sample hubs first"
-                        ),
-                    )
-                ).cast(centers.schema["_ids"].dataType.simpleString()),
-            ).otherwise(F.col("_ids")),
-        )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
     cand = (
-        centers.select(F.explode(pair_structs).alias("p"), "_w_aa")
-        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "_w_aa")
-        .groupBy("u", "v")
+        bucket_pairs(
+            expandable,
+            max_bucket=max_center_degree,
+            distinct=False,
+            carry_cols=["_w_aa"],
+        )
+        .groupBy(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
             F.sum("_w_aa").alias("_aa"),
@@ -627,7 +617,13 @@ def k_core(
     n_edges = edges.count()
     for _ in range(max_iter):
         if n_edges == 0:
-            return edges.sparkSession.createDataFrame([], "id long, degree bigint")
+            # empty core with the INPUT id type (limit(0) keeps the
+            # schema), so unions/joins across k values never type-clash
+            return (
+                edges.select(F.col("a").alias("id"))
+                .limit(0)
+                .withColumn("degree", F.lit(0).cast("bigint"))
+            )
         deg = (
             edges.select(F.col("a").alias("id"))
             .unionAll(edges.select(F.col("b").alias("id")))

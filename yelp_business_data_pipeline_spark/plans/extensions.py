@@ -1040,7 +1040,8 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.item_a, p.item_b, p.n_pairs,
            round(p.n_pairs / t.n_baskets, 6) AS support,
-           round((p.n_pairs * t.n_baskets) / (ia.n_item * ib.n_item), 6) AS lift
+           round((CAST(p.n_pairs AS DOUBLE) * t.n_baskets)
+                 / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
     FROM p
     CROSS JOIN t
     JOIN i ia ON ia.item = p.item_a
