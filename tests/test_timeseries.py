@@ -336,3 +336,80 @@ def test_exactly_once_refresh_survives_replay(spark, tmp_path):
     # genuinely new refresh accumulates
     apply([("b", _ts(1), 9.0)], 2)
     assert folded() == {("a", 0): (3, 7.0), ("b", 1): (2, 9.0)}
+
+
+class TestEwmaByKey:
+    @staticmethod
+    def _model(rows, hl):
+        """O(n^2) direct-formula recomputation, independent of the
+        operator's two-accumulator recursion."""
+        import math
+
+        out = {}
+        by_key = {}
+        for k, t, v in rows:
+            by_key.setdefault(k, []).append((t, v))
+        for k, obs in by_key.items():
+            obs.sort()
+            for i, (t, _) in enumerate(obs):
+                num = sum(0.5 ** ((t - ti) / hl) * vi for ti, vi in obs[: i + 1])
+                den = sum(0.5 ** ((t - ti) / hl) for ti, _ in obs[: i + 1])
+                out[(k, i)] = round(num / den, 6)
+        return out
+
+    def _run(self, spark, rows, hl):
+        from datetime import datetime, timezone
+
+        from yelp_business_data_pipeline_spark.operators.timeseries import ewma_by_key
+
+        data = [
+            (k, datetime.fromtimestamp(t, tz=timezone.utc), float(v))
+            for k, t, v in rows
+        ]
+        df = spark.createDataFrame(data, "k string, ts timestamp, v double")
+        got = ewma_by_key(df, "k", "ts", "v", hl)
+        res = {}
+        for r in sorted(got.collect(), key=lambda r: (r.k, r.ts, r.v)):
+            i = sum(1 for kk in res if kk[0] == r.k)
+            res[(r.k, i)] = r.ewma
+        return res
+
+    def test_matches_direct_formula(self, spark):
+        rows = [
+            ("a", 0, 10.0), ("a", 3600, 20.0), ("a", 7200, 0.0),
+            ("b", 0, 5.0), ("b", 86400, 7.0),
+        ]
+        assert self._run(spark, rows, 3600.0) == self._model(rows, 3600.0)
+
+    def test_random_streams(self, spark):
+        import random
+
+        rng = random.Random(9)
+        rows = [
+            (f"k{rng.randrange(3)}", rng.randrange(0, 50000), rng.uniform(-5, 5))
+            for _ in range(120)
+        ]
+        # dedupe (k, t) pairs so ordering ties can't make the python
+        # index-based comparison ambiguous about which row is which
+        seen, uniq = set(), []
+        for k, t, v in rows:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                uniq.append((k, t, round(v, 3)))
+        assert self._run(spark, uniq, 1800.0) == self._model(uniq, 1800.0)
+
+    def test_first_observation_is_identity_and_decay_direction(self, spark):
+        rows = [("a", 0, 100.0), ("a", 10 * 86400, 0.0)]
+        got = self._run(spark, rows, 3600.0)
+        assert got[("a", 0)] == 100.0
+        # ten days >> 1h halflife: the old 100 has decayed to ~nothing
+        assert got[("a", 1)] < 0.01
+
+    def test_invalid_halflife(self, spark):
+        import pytest as _pytest
+
+        from yelp_business_data_pipeline_spark.operators.timeseries import ewma_by_key
+
+        df = spark.createDataFrame([("a", None, 1.0)], "k string, ts timestamp, v double")
+        with _pytest.raises(ValueError, match="halflife"):
+            ewma_by_key(df, "k", "ts", "v", 0)

@@ -57,6 +57,7 @@ from .timeseries import (
     GRAIN_STEPS,
     continuous_aggregate_update,
     continuous_aggregate_update_exactly_once,
+    ewma_by_key,
     gapfill_locf,
     incremental_distinct_rollup,
     read_continuous_aggregate,
@@ -103,6 +104,7 @@ __all__ = [
     "duplicate_keys",
     "elite_distribution_by_location",
     "embedding_near_dup_pairs",
+    "ewma_by_key",
     "exact_dedup",
     "extract_media_features",
     "fingerprint",

@@ -319,3 +319,79 @@ def read_continuous_aggregate(
         F.sum("n_events").alias("n_events"),
         F.sum("value_sum").alias("value_sum"),
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    halflife_seconds: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Time-decayed exponentially-weighted moving average per key:
+    ``ewma_t = sum_i 0.5^((t - t_i)/h) * x_i / sum_i 0.5^((t - t_i)/h)``
+    over all observations at or before ``t`` — the standard decayed
+    feature for irregular event streams (recent behavior dominates, the
+    decay follows WALL time, not row count, so a burst of events doesn't
+    flush history the way a row-count window would).
+
+    Genuinely sequential state (each output depends on the full decayed
+    prefix), so this is an ``applyInPandas`` operator by design — the
+    sanctioned escape hatch (pack_next_fit precedent), Arrow-batched,
+    never row-at-a-time Python. The recursion is the numerically stable
+    two-accumulator form (numerator and weight both decay by
+    ``0.5^(dt/h)`` each step — no global ``exp(lambda*t)`` rescaling
+    that overflows on long spans). Ties on ``ts`` are deterministic: the
+    group sorts by (ts, value) and simultaneous events share the
+    not-yet-decayed weight, so output is independent of input order.
+
+    Scale: one shuffle on the key; each KEY's history must fit in one
+    executor's pandas frame (the grouped-map contract — bound the span
+    upstream or pre-aggregate to a coarser grain for multi-year hot
+    keys). Output: input columns (key, ts, value) + ``out_col``, one row
+    per input row.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (module-level import satisfies PEP 563)
+
+    schema = (
+        f"{key_col} string, {ts_col} timestamp, "
+        f"{value_col} double, {out_col} double"
+    )
+    hl = float(halflife_seconds)
+    if hl <= 0:
+        raise ValueError(f"ewma_by_key: halflife_seconds must be > 0, got {hl}")
+
+    def _ewma(pdf):
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        t = pdf[ts_col].astype("int64").to_numpy() / 1e9  # epoch seconds
+        x = pdf[value_col].to_numpy(dtype=float)
+        out = np.empty(len(x))
+        num = 0.0
+        den = 0.0
+        prev_t = None
+        for i in range(len(x)):
+            if prev_t is not None:
+                decay = 0.5 ** ((t[i] - prev_t) / hl)
+                num *= decay
+                den *= decay
+            num += x[i]
+            den += 1.0
+            out[i] = num / den
+            prev_t = t[i]
+        pdf[out_col] = np.round(out, 6)
+        return pdf
+
+    return (
+        df.select(
+            F.col(key_col).cast("string"),
+            F.col(ts_col).cast("timestamp"),
+            F.col(value_col).cast("double"),
+        )
+        .filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(key_col)
+        .applyInPandas(_ewma, schema=schema)
+    )
