@@ -133,3 +133,49 @@ def test_random_snapshots_match_python_model(spark, old, new):
     )
     got = _diff_map(table_diff(old_df, new_df, ["k"]))
     assert got == _model_diff(old, new)
+
+
+def test_bucketed_snapshots_diff_without_shuffle(spark, sf_dir):
+    """The SCALE.md claim: table_diff on two snapshots bucketed on the
+    diff key plans with NO Exchange — the full-outer join co-locates."""
+    import shutil
+    from pathlib import Path
+
+    from yelp_business_data_pipeline_spark.sources.catalog import save_bucketed
+
+    def _clean():
+        for t in ("tb_snap_old", "tb_snap_new"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = Path("spark-warehouse") / t
+            if loc.exists():
+                shutil.rmtree(loc)
+
+    _clean()
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice"
+        )
+        save_bucketed(o.filter(F.col("o_orderkey") % 7 != 0), "tb_snap_old",
+                      ["o_orderkey"], n_buckets=4)
+        save_bucketed(o.filter(F.col("o_orderkey") % 5 != 0), "tb_snap_new",
+                      ["o_orderkey"], n_buckets=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            d = table_diff(
+                spark.table("tb_snap_old"), spark.table("tb_snap_new"),
+                ["o_orderkey"], null_safe_keys=False,
+            )
+            p = d._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin FullOuter" in p or (
+                "SortMergeJoin" in p and "FullOuter" in p
+            ), p
+            assert "Exchange hashpartitioning" not in p, (
+                f"bucketed snapshot diff still shuffles:\n{p}"
+            )
+            # and it still produces the right answer
+            assert d.filter(F.col("change_type") == "added").count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        _clean()

@@ -44,6 +44,7 @@ def table_diff(
     compare_cols: list[str] | None = None,
     keep_unchanged: bool = False,
     include_values: bool = False,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Row-level diff of two snapshots sharing a key.
 
@@ -59,10 +60,19 @@ def table_diff(
       column (the CDC-feed payload).
 
     ``compare_cols`` defaults to every shared non-key column. Keys are
-    matched null-safely (a NULL key is a legal key value and meets its
-    NULL counterpart, exactly like ``merge_upsert``). Duplicate keys are
-    the caller's contract to avoid (diff of multisets is ill-posed);
-    validate with ``cleaning.assert_unique_keys`` first.
+    matched null-safely by default (a NULL key is a legal key value and
+    meets its NULL counterpart, exactly like ``merge_upsert``) — but the
+    ``<=>`` condition compiles to derived join keys
+    ``(coalesce(k), isnull(k))``, which a bucketed table layout cannot
+    satisfy, forcing both sides to shuffle. When the snapshots are
+    pre-bucketed on the diff keys AND keys are known non-null (the usual
+    production contract), pass ``null_safe_keys=False``: the join then
+    uses the raw key columns, bucket co-location elides BOTH exchanges
+    (pinned in tests/test_diff.py), and any NULL-keyed rows degrade to a
+    removed+added pair instead of matching each other.
+
+    Duplicate keys are the caller's contract to avoid (diff of multisets
+    is ill-posed); validate with ``cleaning.assert_unique_keys`` first.
     """
     if not keys:
         raise ValueError("table_diff: keys must be non-empty")
@@ -79,9 +89,12 @@ def table_diff(
         *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
         F.lit(1).alias("_n_present"),
     )
+    cmp = (
+        (lambda a, b: a.eqNullSafe(b)) if null_safe_keys else (lambda a, b: a == b)
+    )
     cond = reduce(
         lambda a, b: a & b,
-        [F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}")) for k in keys],
+        [cmp(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")) for k in keys],
     )
     j = o.join(n, cond, "full_outer")
     in_old = F.col("_o_present").isNotNull()
