@@ -83,7 +83,7 @@ def test_min_common_prunes(spark):
 def test_hub_guard_raises(spark):
     edges = [(0, i) for i in range(1, 40)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    with pytest.raises(Exception, match="max_bucket"):
+    with pytest.raises(Exception, match="max_center_degree"):
         link_prediction_features(df, max_center_degree=8).collect()
     assert (
         link_prediction_features(df, max_center_degree=64).count() > 0

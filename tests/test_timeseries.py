@@ -413,3 +413,62 @@ class TestEwmaByKey:
         df = spark.createDataFrame([("a", None, 1.0)], "k string, ts timestamp, v double")
         with _pytest.raises(ValueError, match="halflife"):
             ewma_by_key(df, "k", "ts", "v", 0)
+
+    def test_null_values_dropped_not_poisoning(self, spark):
+        from datetime import datetime, timezone
+
+        from yelp_business_data_pipeline_spark.operators.timeseries import ewma_by_key
+
+        rows = [
+            ("a", datetime.fromtimestamp(0, tz=timezone.utc), 1.0),
+            ("a", datetime.fromtimestamp(3600, tz=timezone.utc), None),
+            ("a", datetime.fromtimestamp(7200, tz=timezone.utc), 5.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        got = sorted(
+            (r.ts.timestamp(), r.ewma)
+            for r in ewma_by_key(df, "k", "ts", "v", 3600.0).collect()
+        )
+        # the NULL row vanishes; later rows stay finite and correct
+        assert len(got) == 2
+        import math
+        assert all(math.isfinite(e) for _, e in got)
+        # direct formula on the two surviving rows (dt = 2 halflives)
+        w = 0.5 ** 2.0
+        assert got[1][1] == round((5.0 + w * 1.0) / (1.0 + w), 6)
+
+    def test_key_type_preserved(self, spark):
+        from datetime import datetime, timezone
+
+        from yelp_business_data_pipeline_spark.operators.timeseries import ewma_by_key
+
+        rows = [(42, datetime.fromtimestamp(0, tz=timezone.utc), 1.0)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        out = ewma_by_key(df, "k", "ts", "v", 60.0)
+        assert dict(out.dtypes)["k"] == "bigint"
+        assert out.collect()[0].k == 42
+
+    def test_session_timezone_independent(self, spark):
+        # decay runs on JVM-computed epoch seconds: a DST session timezone
+        # must produce byte-identical results to UTC.
+        from datetime import datetime, timezone
+
+        from yelp_business_data_pipeline_spark.operators.timeseries import ewma_by_key
+
+        # 2021-11-07 America/New_York fall-back: 05:30 and 06:30 UTC are
+        # 01:30 EDT and 01:30 EST — same local wall clock, 1h apart in truth
+        rows = [
+            ("a", datetime(2021, 11, 7, 5, 30, tzinfo=timezone.utc), 10.0),
+            ("a", datetime(2021, 11, 7, 6, 30, tzinfo=timezone.utc), 0.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        utc = {(r.k, r.ewma) for r in ewma_by_key(df, "k", "ts", "v", 3600.0).collect()}
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        try:
+            ny = {(r.k, r.ewma) for r in ewma_by_key(df, "k", "ts", "v", 3600.0).collect()}
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        assert utc == ny
+        # and the 1h-apart decay really happened (halflife 1h -> weight 0.5)
+        assert round(min(e for _, e in utc), 6) == round(0.5 * 10 / 1.5, 6)

@@ -226,6 +226,8 @@ def bucket_pairs(
     max_bucket: int | None = None,
     distinct: bool = True,
     carry_cols: list[str] | None = None,
+    guard_name: str = "max_bucket",
+    guard_hint: str = "re-block or raise the cap",
 ) -> DataFrame:
     """All ordered (doc_a < doc_b) pairs within each bucket row's sorted id
     array — the shared pair-expansion tail of every blocking operator.
@@ -244,7 +246,12 @@ def bucket_pairs(
     row (e.g. a bucket weight a downstream aggregate sums — see
     graph.link_prediction_features); usually combined with
     ``distinct=False`` since distinct over carried values would conflate
-    pair identity with bucket payload."""
+    pair identity with bucket payload.
+
+    ``guard_name``/``guard_hint`` let a wrapping operator keep the
+    loud-failure message in ITS vocabulary (link_prediction_features
+    names max_center_degree and suggests capping hubs) — a user must see
+    the parameter they actually passed, not this kernel's internals."""
     if max_bucket is not None:
         ids = F.col(ids_col)
         buckets = buckets.withColumn(
@@ -255,8 +262,8 @@ def bucket_pairs(
                     F.concat(
                         F.lit("bucket_pairs: bucket of "),
                         F.size(ids).cast("string"),
-                        F.lit(f" ids exceeds max_bucket={max_bucket}; "),
-                        F.lit("quadratic pair expansion refused — re-block or raise the cap"),
+                        F.lit(f" ids exceeds {guard_name}={max_bucket}; "),
+                        F.lit(f"quadratic pair expansion refused — {guard_hint}"),
                     )
                 ).cast(buckets.schema[ids_col].dataType.simpleString()),
             ).otherwise(ids),

@@ -543,6 +543,8 @@ def link_prediction_features(
             max_bucket=max_center_degree,
             distinct=False,
             carry_cols=["_w_aa"],
+            guard_name="max_center_degree",
+            guard_hint="cap or sample hubs first",
         )
         .groupBy(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .agg(

@@ -349,14 +349,22 @@ def ewma_by_key(
     Scale: one shuffle on the key; each KEY's history must fit in one
     executor's pandas frame (the grouped-map contract — bound the span
     upstream or pre-aggregate to a coarser grain for multi-year hot
-    keys). Output: input columns (key, ts, value) + ``out_col``, one row
-    per input row.
+    keys). Output: input columns (key with its INPUT type, ts, value) +
+    ``out_col``, one row per surviving input row — rows with a NULL key,
+    timestamp, or value are dropped (a NULL value would otherwise poison
+    every later EWMA of its key with NaN).
     """
     import numpy as np
     import pandas as pd  # noqa: F401  (module-level import satisfies PEP 563)
 
+    # key keeps its INPUT type (the k_core lesson: a silently-stringed key
+    # defeats downstream joins/unions); decay runs on epoch seconds
+    # computed JVM-side (timestamp -> double is tz-independent), so a
+    # non-UTC session timezone can never warp deltas across DST — the
+    # pandas side never touches wall-clock datetimes.
+    key_type = df.schema[key_col].dataType.simpleString()
     schema = (
-        f"{key_col} string, {ts_col} timestamp, "
+        f"{key_col} {key_type}, {ts_col} timestamp, "
         f"{value_col} double, {out_col} double"
     )
     hl = float(halflife_seconds)
@@ -364,10 +372,10 @@ def ewma_by_key(
         raise ValueError(f"ewma_by_key: halflife_seconds must be > 0, got {hl}")
 
     def _ewma(pdf):
-        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort").reset_index(
+        pdf = pdf.sort_values(["_epoch", value_col], kind="mergesort").reset_index(
             drop=True
         )
-        t = pdf[ts_col].astype("int64").to_numpy() / 1e9  # epoch seconds
+        t = pdf["_epoch"].to_numpy(dtype=float)
         x = pdf[value_col].to_numpy(dtype=float)
         out = np.empty(len(x))
         num = 0.0
@@ -383,15 +391,23 @@ def ewma_by_key(
             out[i] = num / den
             prev_t = t[i]
         pdf[out_col] = np.round(out, 6)
-        return pdf
+        return pdf.drop(columns=["_epoch"])
 
     return (
         df.select(
-            F.col(key_col).cast("string"),
+            F.col(key_col),
             F.col(ts_col).cast("timestamp"),
             F.col(value_col).cast("double"),
+            F.col(ts_col).cast("timestamp").cast("double").alias("_epoch"),
         )
-        .filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        # NULL values are non-observations (they would poison every later
+        # EWMA of the key with NaN), NULL keys/timestamps have no identity
+        # or position — all three drop.
+        .filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
         .groupBy(key_col)
         .applyInPandas(_ewma, schema=schema)
     )
