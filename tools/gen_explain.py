@@ -117,6 +117,14 @@ COMMENTARY = {
         "global variant compiles to TakeOrderedAndProject (per-partition "
         "heaps, no global sort)."
     ),
+    "running_customer_spend": (
+        "Two frames, one shuffle: the cumulative ROWS frame and the "
+        "trailing-30-day RANGE frame (framed by VALUE — days since epoch "
+        "— so same-day orders aggregate together) are both windows over "
+        "the customer key; Catalyst stacks the Window operators on a "
+        "single hash partitioning. Frame count changes operator count, "
+        "never exchange count."
+    ),
     "funnel_conversion_events": (
         "k funnel steps = k chained min-when window expressions over ONE "
         "partitionBy(user) window: Catalyst stacks k Window operators on "
