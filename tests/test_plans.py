@@ -251,3 +251,14 @@ def test_funnel_retention_plan_shapes(spark, sf_dir):
     p2 = plan_str(QUERIES["retention_cohorts_events"].spark(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in p2, p2
     assert "EvalPython" not in p2 and "CartesianProduct" not in p2
+
+
+def test_two_window_frames_share_one_exchange(spark, sf_dir):
+    # running_customer_spend stacks a ROWS frame and a time-RANGE frame
+    # over the same customer key: frame count must never add exchanges.
+    df = QUERIES["running_customer_spend"].spark(spark, sf_dir)
+    # formatted mode prints each node twice (tree + details): one Exchange
+    # node -> 2 occurrences; two Window nodes -> 4.
+    p = plan_str(df)
+    assert p.count("Exchange") == 2, p
+    assert p.count("Window") >= 4, p
