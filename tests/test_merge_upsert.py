@@ -397,3 +397,102 @@ def test_empty_source_batch_is_a_noop(spark, tmp_path):
     before_flat = _files(flat)
     merge_upsert(spark.createDataFrame([], "id long, v string"), flat, keys=["id"])
     assert _files(flat) == before_flat
+
+
+def test_stale_swap_backup_refuses_fresh_create(spark, tmp_path):
+    """Crash between the two swap renames leaves the table only under
+    __premerge; the next writer must FAIL loudly, never recreate the table
+    from one batch over the lost history."""
+    import shutil
+
+    from yelp_business_data_pipeline_spark.sources.writers import (
+        write_append_idempotent,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    # simulate the mid-swap crash: primary renamed aside, staging never in
+    shutil.move(path, f"{path}__premerge")
+    batch = spark.createDataFrame([(9, "z", 1)], ["id", "v", "p"])
+    with pytest.raises(Exception, match="stale swap backup"):
+        merge_upsert(batch, path, keys=["id"], partition_by=["p"])
+    with pytest.raises(Exception, match="stale swap backup"):
+        write_append_idempotent(batch, path, keys=["id"])
+    # data still intact under the backup, untouched
+    assert sorted(
+        (r.id, r.v, r.p)
+        for r in spark.read.parquet(f"{path}__premerge").collect()
+    ) == [(1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 3)]
+
+
+def test_completed_swap_leftover_backup_is_cleaned(spark, tmp_path):
+    """Crash AFTER the second rename but before the backup delete: primary
+    is the new table, backup is stale — the next merge finishes the
+    protocol (deletes the backup) and proceeds normally."""
+    import os as _os
+    import shutil
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    shutil.copytree(path, f"{path}__premerge")
+    merge_upsert(
+        spark.createDataFrame([(1, "A", 1)], ["id", "v", "p"]),
+        path, keys=["id"], partition_by=["p"],
+    )
+    assert not _os.path.exists(f"{path}__premerge")
+    assert ((1, "A", 1) in _rows(spark, path))
+
+
+def test_null_partition_in_target_wide_path_merges(spark, tmp_path):
+    """A TARGET holding a NULL partition (other writers can produce one)
+    must still merge on the wide (semi-join) path: the matched null-
+    partition row is rewritten, and the emptied __HIVE_DEFAULT_PARTITION__
+    directory is deleted."""
+    import os as _os
+
+    from yelp_business_data_pipeline_spark.sources.writers import write_overwrite
+
+    path = str(tmp_path / "t")
+    n = 40  # > AFFECTED_LITERAL_MAX forces the semi-join path
+    base = [(i, "old", str(i % 39)) for i in range(1, n)] + [(999, "old", None)]
+    write_overwrite(
+        spark.createDataFrame(base, ["id", "v", "p"]), path, partition_by=["p"]
+    )
+    assert _os.path.exists(f"{path}/p=__HIVE_DEFAULT_PARTITION__")
+    src = spark.createDataFrame(
+        [(i, "new", str(i % 39)) for i in range(1, n)] + [(999, "new", "7")],
+        ["id", "v", "p"],
+    )
+    res = merge_upsert(src, path, keys=["id"], partition_by=["p"])
+    assert res["affected_partitions"] > 32
+    # a plain re-read re-infers numeric-looking partition strings as ints;
+    # compare on stringified partition values (the merge itself reads via
+    # _read_target and is unaffected)
+    got = sorted(
+        (r.id, r.v, str(r.p) if r.p is not None else None)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert (999, "new", "7") in got and (999, "old", None) not in got
+    assert len([r for r in got if r[0] == 999]) == 1  # no stranded duplicate
+    assert not _os.path.exists(f"{path}/p=__HIVE_DEFAULT_PARTITION__")
+
+
+def test_boolean_partition_emptied_directory_deleted(spark, tmp_path):
+    """Spark writes boolean partition dirs as p=true/p=false; the emptied-
+    partition delete must render the value Spark's way, not str(True)."""
+    import os as _os
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a", True), (2, "b", False)], "id long, v string, p boolean")
+    merge_upsert(df, path, keys=["id"], partition_by=["p"])
+    assert _os.path.exists(f"{path}/p=true")
+    # re-home key 1 from p=true to p=false: p=true empties
+    merge_upsert(
+        spark.createDataFrame([(1, "a2", False)], "id long, v string, p boolean"),
+        path, keys=["id"], partition_by=["p"],
+    )
+    # plain partition-type inference reads booleans back as strings;
+    # compare the stringified directory values
+    got = sorted((r.id, r.v, str(r.p)) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a2", "false"), (2, "b", "false")]
+    assert not _os.path.exists(f"{path}/p=true")

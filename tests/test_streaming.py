@@ -560,3 +560,52 @@ def test_stream_cdc_upsert_compaction_bounds_file_count(spark, tmp_path):
     state = sorted((r.id, r.v, r.p, r.seq) for r in spark.read.parquet(out).collect())
     want = sorted((k, v, p, s) for k, (v, p, s) in model.items())
     assert state == want
+
+
+def test_stream_cdc_upsert_numeric_looking_string_partition(spark, tmp_path):
+    """Regression: the CDC sink's stored-row read must go through
+    _read_target — a raw read would infer the '01' string partition as int
+    1, re-homing the re-asserted stored row into a bogus p=1 partition on
+    out-of-order arbitration."""
+    from pyspark.sql import types as T
+
+    from yelp_business_data_pipeline_spark.streaming import stream_cdc_upsert
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("p", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = stream_cdc_upsert(
+            spark, str(src), schema, out, ckpt,
+            keys=["id"], order_by=["seq"], partition_by=["p"],
+        )
+        q.awaitTermination()
+
+    (src / "c1.json").write_text(json.dumps({"id": 1, "v": "newer", "p": "01", "seq": 7}))
+    run()
+    import os
+    assert os.path.exists(os.path.join(out, "p=01"))
+    # an out-of-order OLDER change triggers the stored-row re-assert path
+    (src / "c2.json").write_text(json.dumps({"id": 1, "v": "stale", "p": "01", "seq": 3}))
+    run()
+    assert os.path.exists(os.path.join(out, "p=01"))
+    assert not os.path.exists(os.path.join(out, "p=1"))
+    from yelp_business_data_pipeline_spark.sources.writers import (
+        _read_no_partition_inference,
+    )
+
+    got = sorted(
+        (r.id, r.v, r.p, r.seq)
+        for r in _read_no_partition_inference(spark, out).collect()
+    )
+    assert got == [(1, "newer", "01", 7)], got

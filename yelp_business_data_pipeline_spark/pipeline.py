@@ -118,18 +118,38 @@ def run_streaming(
     as_of: str | None = "2026-01-01 00:00:00",
     build_graph: bool = False,
     register_views: bool = True,
+    partition_outputs: bool = True,
 ) -> dict[str, DataFrame]:
     """Drain the three domain landing folders via Structured Streaming
     (exactly-once per file), then rebuild unified — the reference's
-    S3-event -> Lambda -> job-DAG path without the Lambda."""
+    S3-event -> Lambda -> job-DAG path without the Lambda.
+
+    ``partition_outputs`` MUST match what ``run_batch`` used (both default
+    True): the streams append into the same domain tables, and a mixed
+    partitioned/unpartitioned directory breaks partition discovery for
+    every reader. The review stream derives ``review_year`` exactly like
+    the batch path so both write the same schema and layout."""
+    from pyspark.sql import functions as F
+
+    if partition_outputs:
+        def _review_etl(df):
+            return review_etl(df).withColumn("review_year", F.year("date"))
+
+        biz_layout = {"partition_by": ["state"]}
+        rev_layout = {"partition_by": ["review_year"]}
+    else:
+        _review_etl = review_etl
+        biz_layout = rev_layout = {}
     streams = [
         stream_domain_etl(
             spark, paths.business_raw, BUSINESS_RAW_SCHEMA, business_etl,
             paths.business_out, f"{checkpoint_dir}/business", DOMAIN_KEYS["business"],
+            **biz_layout,
         ),
         stream_domain_etl(
-            spark, paths.review_raw, REVIEW_RAW_SCHEMA, review_etl,
+            spark, paths.review_raw, REVIEW_RAW_SCHEMA, _review_etl,
             paths.review_out, f"{checkpoint_dir}/review", DOMAIN_KEYS["review"],
+            **rev_layout,
         ),
         stream_domain_etl(
             spark, paths.user_raw, USER_RAW_SCHEMA,

@@ -16,6 +16,9 @@ idempotent append at 100 TB costs one key-scan + one shuffle, not a rewrite.
 
 from __future__ import annotations
 
+import datetime as _dt
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 # Above this many affected partitions, merge_upsert switches its rewrite-set
@@ -25,19 +28,57 @@ from pyspark.sql import DataFrame, SparkSession
 # analysis itself the bottleneck long before execution.
 AFFECTED_LITERAL_MAX = 32
 
+#: Directory name Spark/Hive use for a NULL partition value.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+# partitionColumnTypeInference is a SESSION conf: set/restore around a read
+# races with concurrent jobs on the same SparkSession (two CDC streams, a
+# merge next to a compaction). Partition discovery happens eagerly inside
+# spark.read.parquet, so holding this lock across {set, read, restore}
+# scopes the override correctly for every in-process caller.
+_PARTITION_INFERENCE_LOCK = threading.Lock()
+
 
 def _escape_partition_value(spark: SparkSession, v) -> str:
     """Directory-name form of one partition value, exactly as Spark wrote it.
 
-    Spark/Hive percent-escape special characters in partition directory
-    names (':' -> %3A etc. — ExternalCatalogUtils.escapePathName). Building
-    the path with raw f"{c}={v}" targets a nonexistent directory for such
+    Python-side values must first be rendered the way SPARK renders them —
+    str() alone diverges: None -> Spark's __HIVE_DEFAULT_PARTITION__ (not
+    'None'), booleans -> 'true'/'false' (not 'True'/'False'); dates and
+    datetimes str() to the ISO forms Spark writes. Then Spark/Hive
+    percent-escape special characters in partition directory names
+    (':' -> %3A etc. — ExternalCatalogUtils.escapePathName); building the
+    path with a raw f"{c}={v}" targets a nonexistent directory for such
     values, silently leaving stale files behind. Delegate to the SAME JVM
     routine the writer used, so the round-trip is exact by construction.
     """
+    if v is None:
+        # Spark writes the sentinel literally (it contains no specials).
+        return HIVE_DEFAULT_PARTITION
+    if isinstance(v, bool):
+        rendered = "true" if v else "false"
+    elif isinstance(v, (_dt.date, _dt.datetime)):
+        rendered = v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    else:
+        rendered = str(v)
     return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
-        str(v)
+        rendered
     )
+
+
+def _read_no_partition_inference(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with directory-name partition-TYPE inference off,
+    concurrency-safe: the session conf is mutated only inside the module
+    lock (see _PARTITION_INFERENCE_LOCK). All partition columns arrive as
+    written strings; callers cast explicitly."""
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    with _PARTITION_INFERENCE_LOCK:
+        old = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, "false")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            spark.conf.set(conf_key, old)
 
 
 def _read_target(spark: SparkSession, path: str, like: DataFrame, pcols: list[str]) -> DataFrame:
@@ -51,23 +92,71 @@ def _read_target(spark: SparkSession, path: str, like: DataFrame, pcols: list[st
     written strings) and cast to the source column's type: exact for the
     string case, and the identical parse Spark would have done otherwise
     for genuinely-typed columns.
-
-    The inference conf is session-level; partition discovery happens
-    eagerly inside ``spark.read.parquet``, so a set/restore around the
-    call scopes it correctly.
     """
     from pyspark.sql import functions as F
 
-    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "false")
-    try:
-        tgt = spark.read.parquet(path)
-    finally:
-        spark.conf.set(conf_key, old)
+    tgt = _read_no_partition_inference(spark, path)
     for c in pcols:
         tgt = tgt.withColumn(c, F.col(c).cast(like.schema[c].dataType))
     return tgt
+
+
+#: staged-swap backup suffixes, one per swapping writer.
+_BACKUP_SUFFIXES = ("__premerge", "__precompact")
+
+
+def _recover_stale_swap(spark: SparkSession, fs, jvm, path: str) -> None:
+    """Detect a crashed directory swap BEFORE treating the target as absent
+    or readable.
+
+    The swap protocol (write staging -> rename primary to backup -> rename
+    staging to primary -> delete backup) can crash in two observable
+    states:
+
+    - primary MISSING + backup present: mid-swap crash. The data lives
+      under the backup (and possibly a complete new copy under staging).
+      Creating a "new" table here would silently mask total data loss —
+      raise loudly with recovery instructions instead.
+    - primary present + backup present: crash between the second rename
+      and the backup delete. The swap COMPLETED; the backup is a stale
+      pre-swap copy — finish the protocol by deleting it.
+    """
+    primary_exists = fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+    for suffix in _BACKUP_SUFFIXES:
+        b_path = jvm.org.apache.hadoop.fs.Path(f"{path}{suffix}")
+        if not fs.exists(b_path):
+            continue
+        if primary_exists:
+            # completed swap, stale backup: finish the crashed protocol
+            fs.delete(b_path, True)
+        else:
+            raise IOError(
+                f"stale swap backup detected: {path} is missing but "
+                f"{path}{suffix} exists — a directory swap crashed mid-way. "
+                f"Restore it (rename {path}{suffix} back to {path}) before "
+                "writing; refusing to create a fresh table over lost data"
+            )
+
+
+def _swap_directories(fs, jvm, path: str, staging: str, backup: str, op: str) -> None:
+    """The shared staged-swap tail: primary -> backup, staging -> primary,
+    delete backup; rollback on failure. Crash leaves either the old table,
+    or the new table (with a stale backup the next writer cleans via
+    _recover_stale_swap), or the old table under ``backup`` — never a half
+    table."""
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    s_path = jvm.org.apache.hadoop.fs.Path(staging)
+    b_path = jvm.org.apache.hadoop.fs.Path(backup)
+    if not fs.rename(hpath, b_path):
+        raise IOError(f"{op} swap failed: could not move {path} aside")
+    if not fs.rename(s_path, hpath):
+        if not fs.rename(b_path, hpath):  # roll back
+            raise IOError(
+                f"{op} swap failed AND rollback failed: original data is "
+                f"intact under {backup}; restore it manually"
+            )
+        raise IOError(f"{op} swap failed: could not move {staging} into place")
+    fs.delete(b_path, True)
 
 
 def write_overwrite(
@@ -112,10 +201,13 @@ def write_append_idempotent(
     spark: SparkSession = df.sparkSession
     fresh = df.dropDuplicates(keys)
     # Does the target exist yet? (filesystem metadata check — a read attempt
-    # would work but logs a scary handled-exception stack trace)
+    # would work but logs a scary handled-exception stack trace). A missing
+    # path with a swap backup present is a crashed merge/compact — refuse
+    # to treat it as first-write (that would mask the lost table).
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    _recover_stale_swap(spark, fs, jvm, path)
     existing_keys = (
         _read_target(spark, path, df, [c for c in (partition_by or []) if c in keys])
         .select(*keys)
@@ -133,15 +225,20 @@ def write_append_idempotent(
     # Appending nothing must not create table state: an empty write would
     # still materialize the directory, falsely signalling "this domain has
     # data" to consumers gating on table existence (pipeline.py's unified
-    # DAG gate).
-    if fresh.isEmpty():
-        return
-    if sort_by:
-        fresh = fresh.sortWithinPartitions(*sort_by)
-    writer = fresh.write.mode("append")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    # DAG gate). The anti-join is persisted so the emptiness probe and the
+    # write execute it ONCE, not twice (it scans the whole existing key
+    # column — at 100 TB recomputing it doubles the advertised cost).
+    cached = fresh.persist()
+    try:
+        if cached.isEmpty():
+            return
+        out = cached.sortWithinPartitions(*sort_by) if sort_by else cached
+        writer = out.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    finally:
+        cached.unpersist()
 
 
 def merge_upsert(
@@ -180,8 +277,11 @@ def merge_upsert(
 
     Source batches must be key-unique (multiple updates for one key is the
     ambiguity Delta's MERGE rejects); pass ``dedup_order_by`` for
-    latest-wins resolution instead of the error. Partition values must be
-    non-null (validated on the source; don't write null-partitioned targets).
+    latest-wins resolution instead of the error. SOURCE partition values
+    must be non-null (validated); a TARGET holding NULL partitions (other
+    writers can produce them) still merges correctly — matched rows in the
+    NULL partition are rewritten (null-safe slice) and an emptied NULL
+    partition's ``__HIVE_DEFAULT_PARTITION__`` directory is deleted.
 
     Unpartitioned target: full rewrite through a staged directory swap
     (crash leaves either the old table, or the new table, or the old table
@@ -230,6 +330,9 @@ def merge_upsert(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # A missing path with a swap backup present is a crashed merge/compact:
+    # creating a "new" table here would silently mask the lost history.
+    _recover_stale_swap(spark, fs, jvm, path)
     if not fs.exists(hpath):
         write_overwrite(fresh, path, partition_by=partition_by, sort_by=sort_by)
         return {"created": True, "affected_partitions": 0, "emptied_partitions": 0}
@@ -247,18 +350,7 @@ def merge_upsert(
             out = out.sortWithinPartitions(*sort_by)
         staging, backup = f"{path}__merging", f"{path}__premerge"
         out.write.mode("overwrite").parquet(staging)
-        s_path = jvm.org.apache.hadoop.fs.Path(staging)
-        b_path = jvm.org.apache.hadoop.fs.Path(backup)
-        if not fs.rename(hpath, b_path):
-            raise IOError(f"merge swap failed: could not move {path} aside")
-        if not fs.rename(s_path, hpath):
-            if not fs.rename(b_path, hpath):
-                raise IOError(
-                    f"merge swap failed AND rollback failed: original data is "
-                    f"intact under {backup}; restore it manually"
-                )
-            raise IOError(f"merge swap failed: could not move {staging} into place")
-        fs.delete(b_path, True)
+        _swap_directories(fs, jvm, path, staging, backup, "merge")
         return {"created": False, "affected_partitions": 0, "emptied_partitions": 0}
 
     tgt_a = tgt.alias("_tgt")
@@ -280,8 +372,12 @@ def merge_upsert(
         form is a thousands-deep expression tree that blows up Catalyst
         analysis, so switch to a broadcast LEFT SEMI join on the partition
         columns — Spark's dynamic partition pruning covers the file skip,
-        and the join predicate stays O(1) deep. Partition values are
-        validated non-null, so plain equi-join semantics are exact.
+        and the join predicate stays O(1) deep. SOURCE partition values
+        are validated non-null, but a TARGET written by other writers may
+        hold NULL partitions whose keys this merge matches — the semi-join
+        condition is null-safe so those rows are rewritten (a plain
+        equi-join would silently strand the matched old row as a
+        duplicate).
         """
         if len(affected) <= AFFECTED_LITERAL_MAX:
             return frame.filter(
@@ -298,8 +394,12 @@ def merge_upsert(
             )
         aff_df = spark.createDataFrame(
             [tuple(t) for t in sorted(affected, key=repr)], fresh.select(*pcols).schema
+        ).alias("_aff")
+        cond = reduce(
+            lambda a, b: a & b,
+            [frame[c].eqNullSafe(F.col(f"_aff.{c}")) for c in pcols],
         )
-        return frame.join(F.broadcast(aff_df), on=pcols, how="left_semi")
+        return frame.join(F.broadcast(aff_df), on=cond, how="left_semi")
 
     tgt_slice = _part_slice(tgt).alias("_tgt")
     kept = tgt_slice.join(src_keys, on=_key_cond(tgt_slice), how="left_anti")
@@ -385,21 +485,16 @@ def compact_parquet(
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(conf)
+    _recover_stale_swap(spark, fs, jvm, path)
     total_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
 
     staging = f"{path}__compacting"
     backup = f"{path}__precompact"
     if partition_types:
-        conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        old = spark.conf.get(conf_key)
-        spark.conf.set(conf_key, "false")
-        try:
-            df = spark.read.parquet(path)
-        finally:
-            spark.conf.set(conf_key, old)
         from pyspark.sql import functions as F
 
+        df = _read_no_partition_inference(spark, path)
         for c, dt in partition_types.items():
             df = df.withColumn(c, F.col(c).cast(dt))
     else:
@@ -411,16 +506,5 @@ def compact_parquet(
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(staging)
-    s_path = jvm.org.apache.hadoop.fs.Path(staging)
-    b_path = jvm.org.apache.hadoop.fs.Path(backup)
-    if not fs.rename(hpath, b_path):
-        raise IOError(f"compaction swap failed: could not move {path} aside")
-    if not fs.rename(s_path, hpath):
-        if not fs.rename(b_path, hpath):  # roll back
-            raise IOError(
-                f"compaction swap failed AND rollback failed: original data "
-                f"is intact under {backup}; restore it manually"
-            )
-        raise IOError(f"compaction swap failed: could not move {staging} into place")
-    fs.delete(b_path, True)
+    _swap_directories(fs, jvm, path, staging, backup, "compaction")
     return n_files

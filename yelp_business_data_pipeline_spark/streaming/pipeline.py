@@ -49,10 +49,19 @@ def stream_domain_etl(
     keys: list[str],
     max_files_per_trigger: int | None = None,
     on_batch_complete: Callable[[int], None] | None = None,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ):
     """Stream JSON files from ``source_dir`` through ``etl_fn`` into an
     idempotent-append parquet sink. Returns the started query (AvailableNow:
     drains everything currently present, then stops).
+
+    ``partition_by``/``sort_by`` MUST match the layout the batch path uses
+    for the same table (pipeline.run_batch partitions business by state
+    and review by review_year by default): a stream appending
+    unpartitioned files into a partitioned table root corrupts partition
+    discovery for every subsequent reader — run_streaming passes the
+    batch layout through.
 
     ``on_batch_complete(epoch_id)`` runs after each batch's sink write,
     before Spark commits the batch to the checkpoint — the audit/metrics
@@ -69,7 +78,13 @@ def stream_domain_etl(
     raw = reader.json(source_dir)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        write_append_idempotent(etl_fn(batch_df), out_path, keys=keys)
+        write_append_idempotent(
+            etl_fn(batch_df),
+            out_path,
+            keys=keys,
+            partition_by=partition_by,
+            sort_by=sort_by,
+        )
         if on_batch_complete is not None:
             on_batch_complete(epoch_id)
 
@@ -133,15 +148,29 @@ def stream_cdc_upsert(
     raw = reader.json(source_dir)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from functools import reduce
+
+        from ..sources.writers import _read_target
+
         src = batch_df
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(out_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(hpath):
-            existing = spark.read.parquet(out_path)
-            stored = existing.join(
-                src.select(*keys).dropDuplicates(list(keys)), on=list(keys), how="left_semi"
+            # _read_target, not a raw read: directory-name type inference
+            # would re-type numeric-looking string partition values ('01'
+            # -> 1) and silently re-home their rows on the next merge.
+            existing = _read_target(spark, out_path, src, list(partition_by or []))
+            # null-safe key match, like merge_upsert's own joins: a
+            # null-keyed stored row must still enter out-of-order
+            # arbitration, or an older change in the batch regresses it.
+            batch_keys = src.select(*keys).dropDuplicates(list(keys)).alias("_bk")
+            ex = existing.alias("_ex")
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"_ex.{k}").eqNullSafe(F.col(f"_bk.{k}")) for k in keys],
             )
+            stored = ex.join(batch_keys, on=cond, how="left_semi")
             src = src.unionByName(stored)
         merge_upsert(
             src,
