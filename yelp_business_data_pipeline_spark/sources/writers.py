@@ -306,6 +306,31 @@ def merge_upsert(
         fresh = (
             fresh.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
         )
+    # the source batch feeds four actions (validation, emptiness, key
+    # extraction, the rewrite union): persist once so an expensive caller
+    # lineage (a CDC batch unioned with stored rows) executes once
+    fresh = fresh.persist()
+    try:
+        return _merge_upsert_body(
+            spark, fresh, path, keys, pcols, partition_by, sort_by
+        )
+    finally:
+        fresh.unpersist()
+
+
+def _merge_upsert_body(
+    spark: SparkSession,
+    fresh: DataFrame,
+    path: str,
+    keys: list[str],
+    pcols: list[str],
+    partition_by: list[str] | None,
+    sort_by: list[str] | None,
+) -> dict:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     checks = fresh.select(*keys, *pcols).groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.max(F.col(c).isNull().cast("int")).alias(f"_null_{c}") for c in pcols],
