@@ -59,3 +59,83 @@ def test_heavy_hitters_superset_guarantee(spark, sf_dir):
 
     verified = {r.tok for r in verified_heavy_hitters(d, "text", 0.01).collect()}
     assert verified == exact  # candidates + exact count = exact answer
+
+
+class TestQuantileSketches:
+    @staticmethod
+    def _ops():
+        from yelp_business_data_pipeline_spark.operators.sketches import (
+            grouped_quantile_sketches,
+            merge_quantile_sketches,
+            quantile_from_sketch,
+        )
+
+        return grouped_quantile_sketches, merge_quantile_sketches, quantile_from_sketch
+
+    def test_merge_equals_global_and_error_bound(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        build, merge, est = self._ops()
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = o.approxQuantile("o_totalprice", [i / 16 for i in range(1, 16)], 0.01)
+        # per-priority sketches (the rollup rows), merged back to global
+        per = build(o, ["o_orderpriority"], "o_totalprice", edges)
+        merged = merge(per)
+        for q in (0.1, 0.5, 0.9):
+            got = merged.select(est(edges, q).alias("e")).collect()[0].e
+            exact = o.selectExpr(f"percentile(o_totalprice, {q}) AS p").collect()[0].p
+            # error bound: the width of the bin holding the quantile; with
+            # ~equi-depth edges each bin holds ~1/16 of mass — assert
+            # against the generous global bound max_gap
+            import numpy as np
+            lo, hi = (
+                o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+            )
+            all_edges = [lo] + list(edges) + [hi]
+            max_gap = max(b - a for a, b in zip(all_edges, all_edges[1:]))
+            assert abs(got - exact) <= max_gap, (q, got, exact, max_gap)
+
+    def test_merge_is_partitioning_invariant(self, spark, sf_dir):
+        build, merge, est = self._ops()
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        edges = o.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
+        # two different groupings of the same rows must merge to the SAME
+        # sketch (integer bin sums are exact aggregation)
+        a = merge(build(o, ["o_orderpriority"], "o_totalprice", edges))
+        b = merge(build(o, ["o_orderstatus"], "o_totalprice", edges))
+        ra, rb = a.collect()[0], b.collect()[0]
+        assert list(ra.bin_counts) == list(rb.bin_counts)
+        assert (ra.v_min, ra.v_max, ra.n_vals) == (rb.v_min, rb.v_max, rb.n_vals)
+
+    def test_parquet_roundtrip_and_coarser_regroup(self, spark, sf_dir, tmp_path):
+        import pyspark.sql.functions as F
+
+        build, merge, est = self._ops()
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+            "yr", F.year("o_orderdate")
+        )
+        edges = o.approxQuantile("o_totalprice", [0.2, 0.4, 0.6, 0.8], 0.01)
+        rollup = build(o, ["yr", "o_orderpriority"], "o_totalprice", edges)
+        p = str(tmp_path / "rollup")
+        rollup.write.parquet(p)  # store now ...
+        stored = spark.read.parquet(p)  # ... merge months later
+        per_year = merge(stored, ["yr"])
+        med = per_year.select("yr", est(edges, 0.5).alias("m")).collect()
+        exact = {
+            r.yr: r.m
+            for r in o.groupBy("yr").agg(
+                F.expr("percentile(o_totalprice, 0.5)").alias("m")
+            ).collect()
+        }
+        for r in med:
+            assert abs(r.m - exact[r.yr]) / exact[r.yr] < 0.35, (r.yr, r.m, exact[r.yr])
+
+    def test_validation(self, spark):
+        build, merge, est = self._ops()
+        df = spark.createDataFrame([(1, 1.0)], "g long, v double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="strictly increasing"):
+            build(df, ["g"], "v", [1.0, 1.0, 2.0])
+        with _pytest.raises(ValueError, match="q must be"):
+            est([1.0], 1.5)

@@ -51,6 +51,14 @@ from .similarity import (
     embedding_near_dup_pairs,
     lsh_ann_topk,
 )
+from .sketches import (
+    grouped_distinct_sketches,
+    grouped_quantile_sketches,
+    merge_distinct_estimate,
+    merge_quantile_sketches,
+    quantile_from_sketch,
+    verified_heavy_hitters,
+)
 from .skew import salted_aggregate, salted_join
 from .pagerank import pagerank
 from .timeseries import (
@@ -117,6 +125,12 @@ __all__ = [
     "weighted_sample",
     "retention_matrix",
     "gapfill_locf",
+    "grouped_distinct_sketches",
+    "grouped_quantile_sketches",
+    "merge_distinct_estimate",
+    "merge_quantile_sketches",
+    "quantile_from_sketch",
+    "verified_heavy_hitters",
     "GRAIN_STEPS",
     "k_core",
     "lang_id",

@@ -86,3 +86,138 @@ def verified_heavy_hitters(
         .withColumn("freq", F.col("n") / F.lit(float(total)))
         .filter(F.col("freq") > support)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches (histogram rollups)
+# ---------------------------------------------------------------------------
+
+
+def grouped_quantile_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    bin_edges: list[float],
+) -> DataFrame:
+    """One mergeable QUANTILE sketch per group: a fixed-edge histogram —
+    the percentile counterpart of :func:`grouped_distinct_sketches`.
+    ``percentile_approx`` alone can't do rollups (its result is a number,
+    not mergeable state); a bin-count array over SHARED edges is the
+    simplest state whose element-wise sum is exact aggregation, so
+    "store per day, merge per quarter" works without re-scanning raw
+    data, and the merged estimate's error is bounded by the bin width
+    regardless of how many sketches merged.
+
+    ``bin_edges`` (strictly increasing) define len+1 bins:
+    (-inf, e0], (e0, e1], ..., (e_last, inf). Derive them once from a
+    representative sample (``df.approxQuantile`` — roughly equi-depth
+    edges give near-constant relative error); every sketch that will
+    ever merge MUST share the same edges (enforced by :func:`
+    merge_quantile_sketches` carrying them through).
+
+    Per group: ``bin_counts`` (len(edges)+1 longs), ``v_min``/``v_max``
+    (exact, for outer-bin interpolation), ``n_vals``. NULL values are
+    ignored (SQL aggregate convention). One aggregate, map-side partial:
+    the bin index is a per-row JVM HOF over the broadcast edge array.
+    """
+    if sorted(bin_edges) != list(bin_edges) or len(set(bin_edges)) != len(bin_edges):
+        raise ValueError("grouped_quantile_sketches: bin_edges must be strictly increasing")
+    v = F.col(value_col).cast("double")
+    edges_arr = F.array(*[F.lit(float(e)) for e in bin_edges])
+    # bin index = number of edges strictly below v  (v <= e  ->  earlier bin)
+    idx = F.size(F.filter(edges_arr, lambda e: e < v))
+    n_bins = len(bin_edges) + 1
+    return df.filter(v.isNotNull()).groupBy(*group_cols).agg(
+        F.array(
+            *[F.sum((idx == i).cast("long")).alias(f"_b{i}") for i in range(n_bins)]
+        ).alias("bin_counts"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        F.count(v).alias("n_vals"),
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    counts_col: str = "bin_counts",
+) -> DataFrame:
+    """Merge sketch rows (optionally re-grouped to a coarser grain):
+    element-wise bin-count sums + exact min/max/n — no raw data touched.
+    The merge is EXACT (integer sums), so estimate(merge(sketches)) ==
+    estimate(sketch of the concatenated raw data), pinned in pytest."""
+    # the merge needs the static array width (one sum-expression per bin);
+    # grouped_quantile_sketches writes fixed-width arrays, so one row's
+    # size is every row's size
+    head = sketches.select(F.size(counts_col).alias("w")).first()
+    if head is None:
+        return sketches.limit(0)
+    width = head.w
+    merged_counts = F.array(
+        *[
+            F.sum(F.element_at(F.col(counts_col), i + 1)).alias(f"_m{i}")
+            for i in range(width)
+        ]
+    ).alias("bin_counts")
+    aggs = [
+        merged_counts,
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+        F.sum("n_vals").alias("n_vals"),
+    ]
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(*aggs)
+    return sketches.agg(*aggs)
+
+
+def quantile_from_sketch(
+    bin_edges: list[float],
+    q: float,
+    counts_col: str = "bin_counts",
+) -> Column:
+    """Column expression estimating the q-quantile from a sketch row
+    (``bin_counts`` + ``v_min``/``v_max``): locate the bin holding rank
+    ceil(q*n) by a HOF fold over the counts, then interpolate linearly
+    inside it. Outer (unbounded) bins interpolate against the stored
+    exact min/max, so the estimate always lies within [v_min, v_max];
+    the error bound is the width of the bin containing the quantile.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile_from_sketch: q must be in [0, 1], got {q}")
+    counts = F.col(counts_col)
+    n = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.greatest(F.ceil(F.lit(float(q)) * n), F.lit(1)).cast("long")
+    # fold: locate the first bin where the running sum reaches the target
+    # rank; carry (cum, idx, cum_before, pos) through the scan
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("idx"),
+        F.lit(0).cast("long").alias("before"),
+        F.lit(0).alias("pos"),
+    )
+
+    def _step(acc, x):
+        new_cum = acc.cum + x
+        hit = (acc.idx < 0) & (new_cum >= target)
+        return F.struct(
+            new_cum.alias("cum"),
+            F.when(hit, acc.pos).otherwise(acc.idx).alias("idx"),
+            F.when(hit, acc.cum).otherwise(acc.before).alias("before"),
+            (acc.pos + 1).alias("pos"),
+        )
+
+    st = F.aggregate(counts, zero, _step)
+    idx = st.idx
+    n_bins = F.size(counts)
+    edges_arr = F.array(*[F.lit(float(e)) for e in bin_edges])
+    lo = F.when(idx <= 0, F.col("v_min")).otherwise(
+        F.element_at(edges_arr, idx)  # 1-based: edge idx-1 in 0-based = element_at(idx)
+    )
+    hi = F.when(idx >= n_bins - 1, F.col("v_max")).otherwise(
+        F.element_at(edges_arr, idx + 1)
+    )
+    in_bin = F.element_at(counts, idx + 1).cast("double")
+    frac = (target - st.before).cast("double") / F.greatest(in_bin, F.lit(1.0))
+    est = lo + (hi - lo) * frac
+    # clamp: outer-bin edges can sit outside [v_min, v_max]
+    return F.least(F.greatest(est, F.col("v_min")), F.col("v_max"))
