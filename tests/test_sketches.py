@@ -80,7 +80,7 @@ class TestQuantileSketches:
         edges = o.approxQuantile("o_totalprice", [i / 16 for i in range(1, 16)], 0.01)
         # per-priority sketches (the rollup rows), merged back to global
         per = build(o, ["o_orderpriority"], "o_totalprice", edges)
-        merged = merge(per)
+        merged = merge(per, edges)
         for q in (0.1, 0.5, 0.9):
             got = merged.select(est(edges, q).alias("e")).collect()[0].e
             exact = o.selectExpr(f"percentile(o_totalprice, {q}) AS p").collect()[0].p
@@ -101,8 +101,8 @@ class TestQuantileSketches:
         edges = o.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
         # two different groupings of the same rows must merge to the SAME
         # sketch (integer bin sums are exact aggregation)
-        a = merge(build(o, ["o_orderpriority"], "o_totalprice", edges))
-        b = merge(build(o, ["o_orderstatus"], "o_totalprice", edges))
+        a = merge(build(o, ["o_orderpriority"], "o_totalprice", edges), edges)
+        b = merge(build(o, ["o_orderstatus"], "o_totalprice", edges), edges)
         ra, rb = a.collect()[0], b.collect()[0]
         assert list(ra.bin_counts) == list(rb.bin_counts)
         assert (ra.v_min, ra.v_max, ra.n_vals) == (rb.v_min, rb.v_max, rb.n_vals)
@@ -119,7 +119,7 @@ class TestQuantileSketches:
         p = str(tmp_path / "rollup")
         rollup.write.parquet(p)  # store now ...
         stored = spark.read.parquet(p)  # ... merge months later
-        per_year = merge(stored, ["yr"])
+        per_year = merge(stored, edges, ["yr"])
         med = per_year.select("yr", est(edges, 0.5).alias("m")).collect()
         exact = {
             r.yr: r.m
@@ -139,3 +139,19 @@ class TestQuantileSketches:
             build(df, ["g"], "v", [1.0, 1.0, 2.0])
         with _pytest.raises(ValueError, match="q must be"):
             est([1.0], 1.5)
+
+    def test_nan_values_ignored_and_width_guard(self, spark):
+        import pytest as _pytest
+
+        build, merge, est = self._ops()
+        df = spark.createDataFrame(
+            [(1, 1.0), (1, 2.0), (1, float("nan")), (1, 3.0)], "g long, v double"
+        )
+        sk = build(df, ["g"], "v", [1.5, 2.5]).collect()[0]
+        assert sk.n_vals == 3 and sk.v_max == 3.0  # NaN dropped, not poisoning
+        # mismatched edges must fail loudly, not interpolate silently
+        built = build(df, ["g"], "v", [1.5, 2.5])
+        with _pytest.raises(Exception, match="width"):
+            merge(built, [1.0, 2.0, 3.0]).collect()
+        with _pytest.raises(Exception, match="width"):
+            merge(built, [1.5, 2.5]).select(est([1.5], 0.5).alias("e")).collect()

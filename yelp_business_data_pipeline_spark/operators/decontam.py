@@ -56,10 +56,10 @@ def ngram_contamination(
     corpus is never shuffled, only its (id, shingle) stream aggregated on
     the already-partitioned id."""
     t_sh = doc_shingles(train, id_col, text_col, n)
-    b_sh = (
-        doc_shingles(bench, id_col, text_col, n)
-        .select(F.col(id_col).alias("_bench_id"), "shingle")
-        .distinct()
+    # doc_shingles emits array_distinct per doc, so (id, shingle) pairs are
+    # already unique — no extra distinct shuffle on the bench side
+    b_sh = doc_shingles(bench, id_col, text_col, n).select(
+        F.col(id_col).alias("_bench_id"), "shingle"
     )
     return (
         t_sh.join(F.broadcast(b_sh), "shingle")
@@ -79,6 +79,12 @@ def decontaminate(
     n: int = 5,
 ) -> DataFrame:
     """Drop contaminated docs: left-anti join of the corpus against the
-    contamination report's ids (broadcast, corpus stays unshuffled)."""
+    contamination report's ids. The BENCH side of the report is broadcast
+    (small by construction), but the HIT set is bounded only by the
+    corpus — a boilerplate-heavy benchmark can contaminate a large
+    fraction of a billion-doc corpus, so the anti-join is left unhinted
+    and AQE picks broadcast vs shuffle from the hit set's actual size
+    (a forced broadcast would die on the 8 GB limit exactly when
+    contamination is worst)."""
     hits = ngram_contamination(train, bench, id_col, text_col, n).select(id_col)
-    return train.join(F.broadcast(hits), id_col, "left_anti")
+    return train.join(hits, id_col, "left_anti")

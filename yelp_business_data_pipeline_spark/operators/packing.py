@@ -46,6 +46,8 @@ def pack_concat_split(
     uses ``div`` (exact on int64 — `/` would round through double).
     DuckDB twin: ``(cum - tok) // capacity`` / ``(cum - 1) // capacity``.
     """
+    if capacity <= 0:
+        raise ValueError(f"pack_concat_split: capacity must be positive, got {capacity}")
     if order_by is None:
         order_by = [F.col("doc_id")]
     w = (
@@ -88,14 +90,17 @@ def pack_next_fit(
     token_col: str,
     capacity: int,
     stream: str = "source",
-    order_col: str = "doc_id",
+    order_col: str | list[str] = "doc_id",
 ) -> DataFrame:
     """Greedy next-fit packing per stream via ``applyInPandas``.
 
     Output: (stream, id, token, bin_id) — bin ids are dense per stream and
-    deterministic under ``order_col``. Each group is one stream; at scale
-    the stream key is the shard id, so group size stays bounded by shard
-    size, not corpus size (no skew beyond the sharding scheme)."""
+    deterministic under ``order_col`` — pass a LIST for compound keys when
+    a single column has ties (the module contract: orders must carry a
+    full tie-break, or bin assignment varies with Arrow batch arrival
+    order). Each group is one stream; at scale the stream key is the
+    shard id, so group size stays bounded by shard size, not corpus size
+    (no skew beyond the sharding scheme)."""
     schema = T.StructType(
         [
             df.schema[stream],
@@ -104,10 +109,13 @@ def pack_next_fit(
             T.StructField("bin_id", T.LongType(), False),
         ]
     )
+    if capacity <= 0:
+        raise ValueError(f"pack_next_fit: capacity must be positive, got {capacity}")
     cap = int(capacity)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
         bins = next_fit_reference([int(t) for t in pdf[token_col]], cap)
         return pd.DataFrame(
             {
@@ -119,8 +127,9 @@ def pack_next_fit(
         )
 
     cols = [stream, id_col, token_col]
-    if order_col not in cols:
-        cols.append(order_col)
+    for oc in order_cols:
+        if oc not in cols:
+            cols.append(oc)
     return (
         df.filter(F.col(token_col) > 0)
         .select(*cols)

@@ -112,50 +112,73 @@ def grouped_quantile_sketches(
     (-inf, e0], (e0, e1], ..., (e_last, inf). Derive them once from a
     representative sample (``df.approxQuantile`` — roughly equi-depth
     edges give near-constant relative error); every sketch that will
-    ever merge MUST share the same edges (enforced by :func:`
-    merge_quantile_sketches` carrying them through).
+    ever merge MUST share the same edges — the caller's contract, guarded
+    at the edges: :func:`merge_quantile_sketches` and
+    :func:`quantile_from_sketch` both take the edges and assert the
+    stored array width matches, so a mismatched edge list fails loudly
+    instead of interpolating against the wrong boundaries.
 
     Per group: ``bin_counts`` (len(edges)+1 longs), ``v_min``/``v_max``
-    (exact, for outer-bin interpolation), ``n_vals``. NULL values are
-    ignored (SQL aggregate convention). One aggregate, map-side partial:
-    the bin index is a per-row JVM HOF over the broadcast edge array.
+    (exact, for outer-bin interpolation), ``n_vals``. NULL *and NaN*
+    values are ignored (a NaN would land in the last bin under Spark's
+    NaN ordering and poison v_max and every upper-quantile estimate).
+    One aggregate, map-side partial; the bin index is computed ONCE per
+    row in a projection (an O(edges) HOF — inlining it into each of the
+    n_bins sum aggregates would be O(edges^2) per row).
     """
     if sorted(bin_edges) != list(bin_edges) or len(set(bin_edges)) != len(bin_edges):
         raise ValueError("grouped_quantile_sketches: bin_edges must be strictly increasing")
     v = F.col(value_col).cast("double")
     edges_arr = F.array(*[F.lit(float(e)) for e in bin_edges])
-    # bin index = number of edges strictly below v  (v <= e  ->  earlier bin)
-    idx = F.size(F.filter(edges_arr, lambda e: e < v))
     n_bins = len(bin_edges) + 1
-    return df.filter(v.isNotNull()).groupBy(*group_cols).agg(
+    prepared = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *group_cols,
+        v.alias("_v"),
+        # bin index = number of edges strictly below v (v <= e -> earlier bin)
+        F.size(F.filter(edges_arr, lambda e: e < v)).alias("_idx"),
+    )
+    return prepared.groupBy(*group_cols).agg(
         F.array(
-            *[F.sum((idx == i).cast("long")).alias(f"_b{i}") for i in range(n_bins)]
+            *[
+                F.sum((F.col("_idx") == i).cast("long")).alias(f"_b{i}")
+                for i in range(n_bins)
+            ]
         ).alias("bin_counts"),
-        F.min(v).alias("v_min"),
-        F.max(v).alias("v_max"),
-        F.count(v).alias("n_vals"),
+        F.min("_v").alias("v_min"),
+        F.max("_v").alias("v_max"),
+        F.count("_v").alias("n_vals"),
     )
 
 
 def merge_quantile_sketches(
     sketches: DataFrame,
+    bin_edges: list[float],
     group_cols: list[str] | None = None,
     counts_col: str = "bin_counts",
 ) -> DataFrame:
     """Merge sketch rows (optionally re-grouped to a coarser grain):
     element-wise bin-count sums + exact min/max/n — no raw data touched.
     The merge is EXACT (integer sums), so estimate(merge(sketches)) ==
-    estimate(sketch of the concatenated raw data), pinned in pytest."""
-    # the merge needs the static array width (one sum-expression per bin);
-    # grouped_quantile_sketches writes fixed-width arrays, so one row's
-    # size is every row's size
-    head = sketches.select(F.size(counts_col).alias("w")).first()
-    if head is None:
-        return sketches.limit(0)
-    width = head.w
+    estimate(sketch of the concatenated raw data), pinned in pytest.
+
+    ``bin_edges`` must be the edges the sketches were BUILT with: the
+    width is taken from them (a pure transformation — no eager job just
+    to probe an array length) and every row's stored width is asserted
+    against it, so merging sketches built with different edges fails
+    loudly instead of silently summing misaligned bins."""
+    width = len(bin_edges) + 1
+    size_ok = F.assert_true(
+        F.size(F.col(counts_col)) == F.lit(width),
+        F.lit(
+            f"merge_quantile_sketches: sketch width != len(bin_edges)+1={width}; "
+            "sketches must merge with the edges they were built with"
+        ),
+    )
     merged_counts = F.array(
         *[
-            F.sum(F.element_at(F.col(counts_col), i + 1)).alias(f"_m{i}")
+            F.sum(
+                F.when(size_ok.isNull(), F.element_at(F.col(counts_col), i + 1))
+            ).alias(f"_m{i}")
             for i in range(width)
         ]
     ).alias("bin_counts")
@@ -185,6 +208,15 @@ def quantile_from_sketch(
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile_from_sketch: q must be in [0, 1], got {q}")
     counts = F.col(counts_col)
+    # loud width guard: estimating with edges the sketch was not built
+    # with would silently interpolate against wrong boundaries
+    _guard = F.assert_true(
+        F.size(counts) == F.lit(len(bin_edges) + 1),
+        F.lit(
+            f"quantile_from_sketch: sketch width != len(bin_edges)+1="
+            f"{len(bin_edges) + 1}; use the edges the sketch was built with"
+        ),
+    )
     n = F.aggregate(counts, F.lit(0).cast("long"), lambda a, x: a + x)
     target = F.greatest(F.ceil(F.lit(float(q)) * n), F.lit(1)).cast("long")
     # fold: locate the first bin where the running sum reaches the target
@@ -219,5 +251,7 @@ def quantile_from_sketch(
     in_bin = F.element_at(counts, idx + 1).cast("double")
     frac = (target - st.before).cast("double") / F.greatest(in_bin, F.lit(1.0))
     est = lo + (hi - lo) * frac
-    # clamp: outer-bin edges can sit outside [v_min, v_max]
-    return F.least(F.greatest(est, F.col("v_min")), F.col("v_max"))
+    # clamp: outer-bin edges can sit outside [v_min, v_max]; the guard
+    # rides along (assert_true yields NULL when the width matches)
+    clamped = F.least(F.greatest(est, F.col("v_min")), F.col("v_max"))
+    return F.when(_guard.isNull(), clamped)
