@@ -157,3 +157,52 @@ def test_asof_nearest_preserves_null_and_duplicate_left_rows(spark):
     # nearest semantics: t=10 is 2 from both 8 and 12 -> backward (8) wins ties
     near = {r.tag: r.asof_rid for r in asof_join_nearest(left, right, ["k"], "t", "t", ["rid"]).collect()}
     assert near["a"] == 100 and near["c"] == 300
+
+
+def test_duplicate_right_ts_without_tiebreak_is_deterministic(spark):
+    """Without right_tiebreak, ties on (key, ts) break on a payload
+    content hash — the same row wins regardless of partitioning."""
+    from yelp_business_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    rows = [(1, 5, "a"), (1, 5, "b"), (1, 5, "c")]
+    picks = set()
+    for parts in (1, 3, 7):
+        right = spark.createDataFrame(rows, "k long, t long, v string").repartition(parts)
+        r = asof_join_backward(left, right, ["k"], "t", "t", ["v"]).collect()[0]
+        picks.add(r.asof_v)
+    assert len(picks) == 1, picks
+
+
+def test_output_collision_raises(spark):
+    from yelp_business_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, asof_v string")
+    right = spark.createDataFrame([(1, 5, "a")], "k long, t long, v string")
+    with pytest.raises(ValueError, match="already exist"):
+        asof_join_backward(left, right, ["k"], "t", "t", ["v"])
+
+
+def test_range_join_guards(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.asof import time_bucket_range_join
+
+    left = spark.createDataFrame([(1, 0)], "k long, tl long")
+    right = spark.createDataFrame([(1, 200)], "k long, tr long")
+    # bucket < max_gap would silently drop pairs -> loud executor assert
+    with pytest.raises(Exception, match="bucket"):
+        time_bucket_range_join(
+            left, right, ["k"], "tl", "tr", max_gap=F.lit(300), bucket=F.lit(60)
+        ).collect()
+    # shared non-key column names are ambiguous -> loud upfront error
+    right2 = spark.createDataFrame([(1, 200)], "k long, tl long")
+    with pytest.raises(ValueError, match="share non-key columns"):
+        time_bucket_range_join(
+            left, right2, ["k"], "tl", "tl", max_gap=F.lit(300), bucket=F.lit(300)
+        )
+    # the valid configuration still finds the pair
+    ok = time_bucket_range_join(
+        left, right, ["k"], "tl", "tr", max_gap=F.lit(300), bucket=F.lit(300)
+    )
+    assert ok.count() == 1

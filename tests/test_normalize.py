@@ -81,3 +81,14 @@ def test_normalization_unifies_dedup_fingerprints(spark):
         .count()
     )
     assert raw_fps == 2 and norm_fps == 1
+
+
+def test_separator_controls_become_spaces_not_deleted(spark):
+    # CR-only line endings and form feeds encode word boundaries: deleting
+    # them merged the words ('foo\rbar' -> 'foobar'); they must map to
+    # spaces before the collapse.
+    assert _one(spark, "foo\rbar", clean_control_chars(F.col("text"))) == "foo bar"
+    assert _one(spark, "page1\x0cpage2", clean_control_chars(F.col("text"))) == "page1 page2"
+    assert _one(spark, "a\x0bb", clean_control_chars(F.col("text"))) == "a b"
+    # non-separator controls still delete outright
+    assert _one(spark, "a\x00b", clean_control_chars(F.col("text"))) == "ab"

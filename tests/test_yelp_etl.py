@@ -372,3 +372,25 @@ def test_null_profile_shape(etl, spark):
     prof = null_profile(etl["review"]).collect()[0]
     assert prof["review_id"] == 0
     assert prof["sentiment_score"] == 0
+
+
+def test_null_profile_empty_frame_counts_zero(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.cleaning import null_profile
+
+    df = spark.createDataFrame([(1, "a")], "a long, b string").filter(F.lit(False))
+    row = null_profile(df).collect()[0]
+    assert row.a == 0 and row.b == 0  # zeros, not NULLs
+
+
+def test_prefix_rename_collision_raises(spark):
+    import pytest as _pytest
+
+    from yelp_business_data_pipeline_spark.operators.cleaning import (
+        prefix_overlapping_columns,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "name long, review_name long")
+    with _pytest.raises(ValueError, match="collides"):
+        prefix_overlapping_columns(df, ["name"], "review_")

@@ -61,13 +61,34 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction}")
-    if right_tiebreak is not None:
-        w_dedup = Window.partitionBy(*on, right_ts).orderBy(F.desc(right_tiebreak))
-        right = (
-            right.withColumn("_rn", F.row_number().over(w_dedup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+    internal = {"_t", "_side", "_carry", "_cb", "_cf", "_picked", "_rn"}
+    clashes = internal & set(left.columns) | internal & set(right.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_join: input columns {sorted(clashes)} collide with the "
+            "operator's internal names; rename them first"
         )
+    overwritten = {f"asof_{c}" for c in payload_cols} & set(left.columns)
+    if overwritten:
+        raise ValueError(
+            f"asof_join: output columns {sorted(overwritten)} already exist "
+            "on the left input (e.g. from a previous as-of join); rename "
+            "them first — silently overwriting would lose that join"
+        )
+    if right_tiebreak is not None:
+        tie_order = F.desc(right_tiebreak)
+    else:
+        # the docstring PROMISES determinism: without a caller tie-break,
+        # duplicate right timestamps would let last() pick whichever row
+        # the shuffle placed last — break ties on a content hash of the
+        # payload instead (stable across runs and partitionings)
+        tie_order = F.desc(F.xxhash64(F.struct(*[F.col(c) for c in payload_cols])))
+    w_dedup = Window.partitionBy(*on, right_ts).orderBy(tie_order)
+    right = (
+        right.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     right = right.filter(F.col(right_ts).isNotNull())
 
     # Carry struct always includes the matched right timestamp (_rt) so
@@ -121,8 +142,15 @@ def asof_join(
     elif direction == "forward":
         picked = F.col("_cf")
     else:
-        b_gap = F.col(left_ts).cast("double") - F.col("_cb").getField("_rt").cast("double")
-        f_gap = F.col("_cf").getField("_rt").cast("double") - F.col(left_ts).cast("double")
+        # cast through timestamp first: a DateType (or long-seconds) ts
+        # casts to double as NULL / wrong under a direct cast, which would
+        # silently make `nearest` forward-preferring — timestamp -> double
+        # is the chain every temporal type supports
+        def _seconds(c):
+            return c.cast("timestamp").cast("double")
+
+        b_gap = _seconds(F.col(left_ts)) - _seconds(F.col("_cb").getField("_rt"))
+        f_gap = _seconds(F.col("_cf").getField("_rt")) - _seconds(F.col(left_ts))
         use_back = F.col("_cf").isNull() | (F.col("_cb").isNotNull() & (b_gap <= f_gap))
         picked = F.when(use_back, F.col("_cb")).otherwise(F.col("_cf"))
     out = out.withColumn("_picked", picked)
@@ -183,7 +211,21 @@ def time_bucket_range_join(
     each side joins on (keys, time_bucket) for the bucket and its neighbor,
     then the exact predicate filters. Turns an O(n*m) theta join into an
     equi-join Catalyst can shuffle/broadcast normally — the standard
-    interval-join decomposition."""
+    interval-join decomposition.
+
+    Preconditions, guarded loudly: ``bucket >= max_gap`` (only the +-1
+    neighbor buckets join, so a smaller bucket would silently DROP
+    matching pairs at distance > bucket) — enforced with an executor-side
+    assert since both are Columns; and the two inputs must not share
+    column names beyond ``on`` (the join output would be ambiguous) —
+    enforced up front."""
+    shared = (set(left.columns) & set(right.columns)) - set(on)
+    if shared:
+        raise ValueError(
+            f"time_bucket_range_join: inputs share non-key columns "
+            f"{sorted(shared)} (including identical ts names); rename one "
+            "side first — the join output would be ambiguous"
+        )
     lb = left.withColumn("_b", (F.col(left_ts).cast("long") / bucket).cast("long"))
     rb = right.withColumn("_b0", (F.col(right_ts).cast("long") / bucket).cast("long"))
     rx = rb.withColumn("_b", F.explode(F.array(F.col("_b0") - 1, F.col("_b0"), F.col("_b0") + 1))).drop(
@@ -191,4 +233,11 @@ def time_bucket_range_join(
     )
     joined = lb.join(rx, [*on, "_b"])
     gap = F.abs(F.col(left_ts).cast("long") - F.col(right_ts).cast("long"))
-    return joined.filter(gap <= max_gap).drop("_b")
+    bucket_ok = F.assert_true(
+        bucket >= max_gap,
+        F.lit(
+            "time_bucket_range_join: bucket < max_gap would silently drop "
+            "pairs at distance > bucket; use bucket >= max_gap"
+        ),
+    )
+    return joined.filter(bucket_ok.isNull() & (gap <= max_gap)).drop("_b")

@@ -22,8 +22,11 @@ def null_profile(df: DataFrame, columns: Iterable[str] | None = None) -> DataFra
     is a full scan but zero shuffle beyond the single-row final agg.
     """
     cols = list(columns) if columns is not None else df.columns
+    # count(when(...)) not sum(when(...)): count is 0 over zero rows where
+    # sum is NULL — an empty frame must profile as "no nulls", not as a
+    # row of NULLs a caller's `== 0` check silently mishandles.
     return df.agg(
-        *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in cols]
+        *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in cols]
     )
 
 
@@ -43,9 +46,11 @@ def duplicate_keys(df: DataFrame, keys: Iterable[str]) -> DataFrame:
 def assert_unique_keys(df: DataFrame, keys: Iterable[str]) -> None:
     """Raise if ``keys`` are not unique — D2 uniqueness constraint
     (reference ``neo4j_load/graph.cypher:11-19``)."""
+    keys = list(keys)  # materialize once: a generator would be exhausted
+    # by duplicate_keys, leaving the error message with an empty list
     dupes = duplicate_keys(df, keys).limit(1).count()
     if dupes:
-        raise ValueError(f"duplicate keys found for {list(keys)}")
+        raise ValueError(f"duplicate keys found for {keys}")
 
 
 def prefix_overlapping_columns(
@@ -61,4 +66,22 @@ def prefix_overlapping_columns(
     other = set(other_columns)
     keep = set(keep)
     mapping = {c: f"{prefix}{c}" for c in df.columns if c in other and c not in keep}
+    # the rename must RESOLVE conflicts, never mint new ones: a prefixed
+    # name colliding with an existing column of this frame (or with a
+    # column of the other side) would reintroduce the exact ambiguity
+    # this utility exists to remove — fail loudly instead.
+    untouched = [c for c in df.columns if c not in mapping]
+    for old, new in mapping.items():
+        if new in untouched or new in mapping:
+            raise ValueError(
+                f"prefix_overlapping_columns: renaming {old!r} -> {new!r} "
+                f"collides with an existing column of this frame; pick a "
+                "different prefix"
+            )
+        if new in other:
+            raise ValueError(
+                f"prefix_overlapping_columns: renamed {old!r} -> {new!r} "
+                f"still collides with the other side's columns; pick a "
+                "different prefix"
+            )
     return df.withColumnsRenamed(mapping)

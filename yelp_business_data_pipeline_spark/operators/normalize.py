@@ -33,20 +33,32 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-#: Control chars (keep \t \n), zero-width + BOM + soft hyphen.
-_CTRL_PATTERN = "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F\\u200B-\\u200D\\u2060\\uFEFF\\u00AD]"
+#: Control chars deleted outright (keep \t \n; VT/FF/CR are SEPARATORS,
+#: handled below), zero-width + BOM + soft hyphen.
+_CTRL_PATTERN = "[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F\\u200B-\\u200D\\u2060\\uFEFF\\u00AD]"
+#: Vertical tab / form feed / carriage return: line-break-class controls —
+#: deleting them would MERGE the words they separate ('foo\rbar' ->
+#: 'foobar'); they become spaces first, then collapse normally.
+_SEPARATOR_CTRL_PATTERN = "[\\x0B\\x0C\\x0D]"
 
 
 def clean_control_chars(text: Column, collapse_ws: bool = True) -> Column:
     """Strip control/zero-width characters; optionally collapse runs of
-    whitespace to single spaces and trim. Pure JVM expressions."""
-    out = F.regexp_replace(text, _CTRL_PATTERN, "")
+    whitespace to single spaces and trim. Pure JVM expressions.
+    Separator-class controls (CR, form feed, vertical tab) map to spaces
+    rather than vanishing, so CR-only line endings and page breaks keep
+    the word boundary they encode."""
+    out = F.regexp_replace(text, _SEPARATOR_CTRL_PATTERN, " ")
+    out = F.regexp_replace(out, _CTRL_PATTERN, "")
     if collapse_ws:
-        out = F.trim(F.regexp_replace(out, "[ \\t\\n\\r]+", " "))
+        out = F.trim(F.regexp_replace(out, "[ \\t\\n]+", " "))
     return out
 
 
 def _make_normalizer(form: str):
+    # NOT cached: a pandas_udf binds to the ACTIVE session at creation, so
+    # a cross-session cache would hand out UDFs referencing a stopped
+    # session; per-call creation costs microseconds and is always correct.
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"unknown normalization form: {form}")
 
