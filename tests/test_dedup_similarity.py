@@ -608,3 +608,64 @@ def test_lsh_bucket_cap_threads_through(spark):
     with pytest.raises(Exception, match="max_bucket=10"):
         minhash_lsh_candidates(df, "id", "s", max_bucket=10).collect()
     assert minhash_lsh_candidates(df, "id", "s", max_bucket=40).count() == 40 * 39 // 2
+
+
+def test_arrow_and_cp_paths_tolerate_null_vectors(spark):
+    """Regression: NULL embeddings crashed the Arrow kernels (np.array on
+    a None row) while the JVM paths tolerated them — all paths must skip
+    NULL vectors identically."""
+    from yelp_business_data_pipeline_spark.operators.similarity import (
+        arrow_cosine_topk,
+        cosine_topk,
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "c_id long, v array<double>")
+    queries = spark.createDataFrame([(10, [1.0, 0.0]), (11, None)],
+                                    "q_id long, v array<double>")
+    jvm = cosine_topk(queries.filter("v IS NOT NULL"), corpus, "q_id", "c_id", "v", k=2)
+    arrow = arrow_cosine_topk(queries, corpus, "q_id", "c_id", "v", k=2)
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
+    # cross-polytope near-dup on the same data must not crash either
+    nd = embedding_near_dup_pairs(
+        corpus, "c_id", "v", dim=2, threshold=0.5, family="crosspolytope",
+        n_tables=4,
+    )
+    assert nd.count() >= 0
+
+
+def test_arrow_cosine_zero_norm_ranks_last_like_jvm(spark):
+    from yelp_business_data_pipeline_spark.operators.similarity import (
+        arrow_cosine_topk,
+        cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "c_id long, v array<double>",
+    )
+    queries = spark.createDataFrame([(10, [1.0, 0.0])], "q_id long, v array<double>")
+    jvm = sorted(map(tuple, cosine_topk(queries, corpus, "q_id", "c_id", "v", k=3).collect()))
+    arrow = sorted(map(tuple, arrow_cosine_topk(queries, corpus, "q_id", "c_id", "v", k=3).collect()))
+    assert jvm == arrow
+    # the zero-norm vector is ranked LAST with a NULL cosine, never first
+    by_rank = {r[2]: (r[1], r[3]) for r in arrow}
+    assert by_rank[3][0] == 2 and by_rank[3][1] is None
+
+
+def test_string_ids_on_cross_polytope_path(spark):
+    from yelp_business_data_pipeline_spark.operators.similarity import (
+        cross_polytope_ann_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"c{i}", [float(i), 1.0]) for i in range(1, 30)],
+        "c_id string, v array<double>",
+    )
+    queries = spark.createDataFrame([("q1", [5.0, 1.0])], "q_id string, v array<double>")
+    got = cross_polytope_ann_topk(
+        queries, corpus, dim=2, query_id="q_id", corpus_id="c_id",
+        vec_col="v", k=3, n_tables=8,
+    ).collect()
+    assert len(got) > 0 and all(isinstance(r[1], str) for r in got)

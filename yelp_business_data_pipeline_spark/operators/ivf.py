@@ -105,7 +105,20 @@ def train_ivf_centroids(
     first_dim = corpus.select(F.size(vec_col).alias("d")).filter("d IS NOT NULL").first()
     dim = int(first_dim["d"]) if first_dim is not None else 1
     cap = _train_sample_cap(n_lists, dim, sample_n, sample_bytes)
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(cap).collect()
+    # NULL vectors can't train (np.array would raise on the None row);
+    # ivf_index drops them at assignment for the same reason
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "train_ivf_centroids: no non-null vectors to train the "
+            "quantizer on — the corpus is empty or every embedding is NULL"
+        )
     x = np.array([r[1] for r in rows], dtype=np.float64)
     n_lists = min(n_lists, len(x))
     cent = x[:n_lists].copy()

@@ -22,8 +22,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import portable_hash
-
 
 def as_double_vec(col: Column) -> Column:
     return col.cast("array<double>")
@@ -59,7 +57,11 @@ def cosine_topk(
         F.col(corpus_id), F.col(vec_col).alias("_cv"), l2_norm(F.col(vec_col)).alias("_cn")
     )
     pairs = c.crossJoin(F.broadcast(q))
-    cos = F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    # try_divide: a zero-norm vector has no defined cosine — NULL ranks
+    # last under F.desc (ANSI divide would abort the whole job instead)
+    cos = F.round(
+        F.try_divide(dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")), 6
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
         pairs.withColumn("cosine", cos)
@@ -94,11 +96,7 @@ def lsh_buckets_multi(vec: Column, dim: int, n_planes: int, n_tables: int) -> Co
         b = F.lit(0)
         for p in range(n_planes):
             w = hyperplane(dim, t * n_planes + p)
-            proj = F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(x) for x in w]), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+            proj = dot(vec, F.array(*[F.lit(x) for x in w]))
             b = b + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         buckets.append(b)
     return F.array(*buckets)
@@ -213,7 +211,9 @@ def cp_bucket_rows(
 
     out_schema = T.StructType(
         [
-            T.StructField("_cp_id", T.LongType()),
+            # propagate the caller's id type (string business_ids must
+            # work here exactly as they do on the JVM paths)
+            T.StructField("_cp_id", df.schema[id_col].dataType),
             T.StructField("_table", T.IntegerType()),
             T.StructField("_bucket", T.LongType()),
         ]
@@ -221,6 +221,9 @@ def cp_bucket_rows(
 
     def _bucketize(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vectors bucket nowhere
+            if pdf.empty:
+                continue
             m = np.array(list(pdf[vec_col]), dtype=np.float64)
             cb = _cp_buckets(m, rot, n_tables, dim, top=1)[:, :, 0]  # (n, L)
             yield pd.DataFrame(
@@ -265,6 +268,10 @@ def cross_polytope_candidates(
     import numpy as np
     import pandas as pd
 
+    # a table has exactly 2*dim polytope vertices from dim coordinates:
+    # more probes than coordinates would silently shrink the argsort
+    # slice and desync the probe-frame reshape
+    n_probes = min(n_probes, dim)
     rot = cross_polytope_rotations(n_tables, dim)
 
     q_rows = queries.select(query_id, vec_col).collect()  # small by contract
@@ -313,7 +320,9 @@ def cross_polytope_ann_topk(
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qv"), l2_norm(F.col(vec_col)).alias("_qn")
     )
-    cos = F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    cos = F.round(
+        F.try_divide(dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")), 6
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
         cand.join(c, corpus_id)
@@ -386,11 +395,21 @@ def embedding_near_dup_pairs(
             F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
             "_table", "_bucket",
         )
+        cos_expr = F.round(
+            F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 6
+        )
+        # score BEFORE the cross-table pair dedup (the lsh_ann_topk
+        # pattern): the dedup shuffle then carries 3 scalar columns per
+        # pair instead of two full vectors — orders of magnitude less
+        # I/O at embedding dims; the cosine is identical per (a, b), so
+        # deduping after scoring changes nothing semantically
         pairs = (
             a.join(b, ["_table", "_bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos_expr.alias("cosine"))
             .dropDuplicates(["id_a", "id_b"])
         )
+        return pairs.filter(F.col("cosine") >= threshold)
     else:
         if not force_exact:
             # cheap count (id column only) before committing to O(n^2)
@@ -409,7 +428,9 @@ def embedding_near_dup_pairs(
             F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
         )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    cos = F.round(
+        F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")), 6
+    )
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
@@ -478,37 +499,70 @@ def arrow_cosine_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(query_id, vec_col).collect()  # query side is small by contract
+    # NULL query vectors have no neighbors; small-by-contract collect
+    q_rows = queries.select(query_id, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    ).collect()
+    out_schema = T.StructType(
+        [
+            # propagate the callers' id types (string ids must work here
+            # exactly as on the JVM path)
+            T.StructField("q_id_", queries.schema[query_id].dataType),
+            T.StructField("c_id_", corpus.schema[corpus_id].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    if not q_rows:
+        scored_empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return scored_empty.select(
+            F.col("q_id_").alias(query_id),
+            F.col("c_id_").alias(corpus_id),
+            F.lit(0).cast("int").alias("rnk"),
+            "cosine",
+        ).limit(0)
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("q_id_", T.LongType()),
-            T.StructField("c_id_", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
-
     def _score(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vectors score nowhere
+            if pdf.empty:
+                continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_ids = pdf[corpus_id].to_numpy()
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # (batch, nq)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # (batch, nq)
+            # ROUNDED ranking key with NaN (zero-norm) sunk to -inf: the
+            # JVM twin ranks by round(cosine, 6) with NULL-cosine rows
+            # last and asc(id) ties — an unrounded argpartition could
+            # discard the lower-id member of a rounding tie at a batch
+            # boundary, and numpy NaN would otherwise float to the top
+            rounded = np.round(sims, 6)
+            key = np.where(np.isnan(rounded), -np.inf, rounded)
             nq = sims.shape[1]
             take = min(k, sims.shape[0])
-            # partial top-k per query within the batch
-            idx = np.argpartition(-sims, take - 1, axis=0)[:take]
-            rows = {
-                "q_id_": np.repeat(q_ids, take),
-                "c_id_": np.concatenate([c_ids[idx[:, j]] for j in range(nq)]),
-                "cosine": np.concatenate(
-                    [np.round(sims[idx[:, j], j], 6) for j in range(nq)]
-                ),
-            }
-            yield pd.DataFrame(rows)
+            out_q, out_c, out_s = [], [], []
+            for j in range(nq):
+                order = np.lexsort((c_ids, -key[:, j]))[:take]
+                out_q.append(np.repeat(q_ids[j], take))
+                out_c.append(c_ids[order])
+                out_s.append(rounded[order, j])
+            cos_vals = np.concatenate(out_s)
+            yield pd.DataFrame(
+                {
+                    "q_id_": np.concatenate(out_q),
+                    "c_id_": np.concatenate(out_c),
+                    # NaN -> pandas NA -> Arrow null: matches the JVM
+                    # twin's NULL cosine for zero-norm vectors (ranked
+                    # last by F.desc, never falsely first)
+                    "cosine": pd.array(
+                        np.where(np.isnan(cos_vals), None, cos_vals),
+                        dtype="Float64",
+                    ),
+                }
+            )
 
     scored = corpus.select(corpus_id, vec_col).mapInPandas(_score, schema=out_schema)
     w = Window.partitionBy("q_id_").orderBy(F.desc("cosine"), F.asc("c_id_"))
