@@ -669,3 +669,20 @@ def test_string_ids_on_cross_polytope_path(spark):
         vec_col="v", k=3, n_tables=8,
     ).collect()
     assert len(got) > 0 and all(isinstance(r[1], str) for r in got)
+
+
+def test_lang_id_null_text_is_null(spark):
+    from yelp_business_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, None), (2, "the of and is")], "id long, text string")
+    got = {r.id: r.lang for r in df.select("id", tx.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] is None and got[2] == "en"
+
+
+def test_unigram_scores_empty_corpus_returns_empty(spark):
+    from yelp_business_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string").filter(F.lit(False))
+    out = tx.unigram_logprob_scores(df, "doc_id", "text")
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "n_tokens", "mean_logprob"}

@@ -92,3 +92,45 @@ def test_resize_images_contract(spark):
     assert r1.media_meta.n_bytes == 8
     assert r1.payload == bytes([7, 8, 9, 7, 8, 9, 7, 8])  # deterministic stub
     assert out[2].payload == b"" and out[2].media_meta.n_bytes == 0
+
+
+def test_sample_frames_null_duration_and_tail_coverage(spark):
+    """Regression: NULL duration_ms arrived in pandas as NaN and crashed
+    int(); frame windows now tile the WHOLE payload (the floor-step form
+    dropped the tail bytes)."""
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        media_meta_expr,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"0123456789"))], "media_id long, payload binary")
+    df = df.withColumn("media_meta", media_meta_expr(F.col("payload"), "video", "mp4"))
+    frames = sample_frames(df, n_frames=4).collect()  # duration_ms is NULL
+    assert len(frames) == 4
+    joined = b"".join(bytes(r.frame_payload) for r in sorted(frames, key=lambda r: r.frame_idx))
+    assert joined == b"0123456789"  # no tail byte dropped
+
+
+def test_resize_images_null_meta_tolerated(spark):
+    from yelp_business_data_pipeline_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xy"), None)],
+        "media_id long, payload binary, media_meta struct<modality:string,format:string,width:int,height:int,duration_ms:bigint,n_bytes:bigint,content_hash:string>",
+    )
+    out = resize_images(df, 4, 4).collect()[0]
+    assert out.media_meta.n_bytes == 16 and out.media_meta.modality == "unknown"
+
+
+def test_unknown_modality_raises_strictly(spark):
+    import pytest as _pytest
+
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        media_meta_expr,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    df = df.withColumn("media_meta", media_meta_expr(F.col("payload"), "hologram", "hx"))
+    with _pytest.raises(Exception, match="no decoder for modality"):
+        extract_media_features(df).collect()

@@ -132,9 +132,16 @@ def vader_sentiment_udf():
     """
     from vaderSentiment.vaderSentiment import SentimentIntensityAnalyzer  # noqa: F401
 
+    # one analyzer per WORKER, built lazily on first batch: constructing it
+    # per batch would re-read and re-parse the 7.5k-entry lexicon file for
+    # every Arrow batch (~1000 redundant loads on a 10M-row corpus)
+    _cache: list = []
+
     @F.pandas_udf("double")
     def _score(texts: pd.Series) -> pd.Series:
-        analyzer = SentimentIntensityAnalyzer()
+        if not _cache:
+            _cache.append(SentimentIntensityAnalyzer())
+        analyzer = _cache[0]
         return texts.map(lambda t: analyzer.polarity_scores(t)["compound"] if t else 0.0)
 
     return _score

@@ -117,11 +117,20 @@ def extract_media_features(
     )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _one(m, b):
+            if m is None:
+                return None  # no meta, no modality: nothing to decode
+            if m not in use:
+                # strict mode (module contract): an unknown modality is a
+                # wiring error, not silent NULL features downstream
+                raise NotImplementedError(
+                    f"extract_media_features: no decoder for modality {m!r}; "
+                    f"known: {sorted(use)}"
+                )
+            return use[m](b)
+
         for pdf in batches:
-            feats = [
-                use[m](b) if m in use else None
-                for m, b in zip(pdf["modality"], pdf["payload"])
-            ]
+            feats = [_one(m, b) for m, b in zip(pdf["modality"], pdf["payload"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -164,12 +173,20 @@ def sample_frames(
     def _slice_frames(blob: bytes | None, duration_ms) -> list[tuple[int, int, bytes]]:
         if not blob:
             return []
-        step = max(1, len(blob) // n_frames)
-        dur = int(duration_ms) if duration_ms is not None else 0
+        # pandas delivers a nullable long column as float64: a NULL
+        # duration arrives as NaN, and int(NaN) raises — pd.isna covers
+        # both None and NaN
+        dur = 0 if pd.isna(duration_ms) else int(duration_ms)
+        n = min(n_frames, len(blob))
         out = []
-        for i in range(min(n_frames, len(blob))):
-            ts = (dur * i) // n_frames if dur else 0
-            out.append((i, ts, blob[i * step : (i + 1) * step]))
+        for i in range(n):
+            # proportional boundaries: frames tile the WHOLE payload
+            # (floor-step dropped the tail) and timestamps space over the
+            # actual frame count, spanning the clip
+            lo = (len(blob) * i) // n
+            hi = (len(blob) * (i + 1)) // n
+            ts = (dur * i) // n if dur else 0
+            out.append((i, ts, blob[lo:hi]))
         return out
 
     src = df.select(
@@ -222,13 +239,18 @@ def resize_images(
                     reps = (target // len(blob)) + 1
                     new = (bytes(blob) * reps)[:target]
                 payloads.append(new)
+                # a NULL meta struct must not abort the stage (the sibling
+                # operators tolerate missing meta fields): carry a meta
+                # with modality 'unknown' instead (the schema declares
+                # modality non-nullable — every written meta names one)
+                meta = meta if meta is not None else {}
                 metas.append(
                     {
-                        "modality": meta["modality"],
-                        "format": meta["format"],
+                        "modality": meta.get("modality") or "unknown",
+                        "format": meta.get("format"),
                         "width": width,
                         "height": height,
-                        "duration_ms": meta["duration_ms"],
+                        "duration_ms": meta.get("duration_ms"),
                         "n_bytes": len(new),
                         "content_hash": hashlib.md5(new).hexdigest(),
                     }

@@ -98,7 +98,9 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 def lang_id(text: Column) -> Column:
     """Argmax-stopword-hits language guess, deterministic tie order
-    en > fr > de > es."""
+    en > fr > de > es. NULL text identifies as NULL — without the guard
+    every NULL comparison would fall through the when-chain to the final
+    otherwise and silently label null documents with the LAST language."""
     hits = {lang: stopword_hits(text, STOPWORDS[lang]) for lang in LANG_ORDER}
     expr = F.lit(LANG_ORDER[-1])
     # Build the when-chain back to front so earlier languages win ties.
@@ -109,7 +111,7 @@ def lang_id(text: Column) -> Column:
             c = hits[lang] >= hits[other]
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    return F.when(text.isNotNull(), expr)
 
 
 def unigram_logprob_scores(df, id_col: str, text_col: str):
@@ -133,6 +135,15 @@ def unigram_logprob_scores(df, id_col: str, text_col: str):
         totals = lm.agg(
             F.sum("n_tok").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
         ).collect()[0]
+        if totals.n_total is None:
+            # empty corpus (or all-null/empty text): no LM exists — return
+            # the empty result frame instead of a driver TypeError
+            return (
+                df.select(F.col(id_col))
+                .limit(0)
+                .withColumn("n_tokens", F.lit(0).cast("bigint"))
+                .withColumn("mean_logprob", F.lit(None).cast("double"))
+            )
         denom = float(totals.n_total + totals.n_vocab)  # add-one smoothing
         scored = toks.join(lm, "tok", "left").withColumn(
             "_lp", F.log10((F.coalesce(F.col("n_tok"), F.lit(0)) + 1) / F.lit(denom))
@@ -191,7 +202,11 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+    # separators between digits: up to two of space/dash/paren (real
+    # formats pair them, ') '), or a single dot — but never dot-space, so
+    # two unrelated numbers at a sentence boundary ('12345678. 87654321')
+    # are no longer glued into one giant match
+    ("phone", r"\+?[0-9](?:(?:[()\- ]{0,2}|\.)[0-9]){7,}", "<PHONE>"),
 )
 
 
