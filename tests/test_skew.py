@@ -103,3 +103,41 @@ def test_fof_motif_survives_celebrity_vertex(spark):
     for x, y in sample:
         if (x, y) not in direct and abs(x - y) > 2:
             assert (x, y) in got_pairs, (x, y)
+
+
+def test_salted_join_rejects_outer_directions_and_salt_collision(spark):
+    import pytest as _pytest
+
+    from yelp_business_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("hot", 1)], "k string, v long")
+    small = spark.createDataFrame([("hot", 1.5)], "k string, w double")
+    with _pytest.raises(ValueError, match="not supported"):
+        salted_join(big, small, "k", how="right")
+    with _pytest.raises(ValueError, match="not supported"):
+        salted_join(big, small, "k", how="full")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(big.withColumn("_salt", big.v), small, "k")
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("hot", 1), ("hot", 2)], "k string, v long").withColumn(
+        "m", F.create_map(F.lit("a"), F.col("v"))
+    )
+    small = spark.createDataFrame([("hot", 1.5)], "k string, w double")
+    got = salted_join(big, small, "k", n_salts=4)
+    assert got.count() == 2  # map column no longer breaks the salt hash
+
+
+def test_salted_aggregate_rejects_unsupported_fn(spark):
+    import pytest as _pytest
+
+    from yelp_business_data_pipeline_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, x double")
+    with _pytest.raises(ValueError, match="sum\\+count"):
+        salted_aggregate(df, ["k"], {"m": ("avg", "x")})

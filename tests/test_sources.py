@@ -114,3 +114,31 @@ def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
     assert got == want
     plan = back.filter("k = 3")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), EqualTo(k,3)]" in plan
+
+
+def test_corrupt_dropping_reader_survives_count_and_inference_drops(spark, tmp_path):
+    """Regression: the filter-on-corrupt-column form crashed count() under
+    column pruning; DROPMALFORMED must count cleanly, and inference mode
+    must honor keep_corrupt=False."""
+    from pyspark.sql import types as T
+
+    from yelp_business_data_pipeline_spark.sources.readers import read_json_lines
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.json").write_text('{"id": 1, "v": "x"}\n{broken\n{"id": 2, "v": "y"}\n')
+    schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.StringType())])
+    df = read_json_lines(spark, str(p), schema)
+    assert df.count() == 2  # the old formulation raised here
+    assert "_corrupt_record" not in df.columns
+    inferred = read_json_lines(spark, str(p), None)
+    assert inferred.count() == 2
+    assert "_corrupt_record" not in inferred.columns
+    # quarantine queries on the PERMISSIVE capture path need the cache
+    # step Spark's own docs prescribe (corrupt-only projections are
+    # disallowed on the raw scan)
+    kept = read_json_lines(spark, str(p), schema, keep_corrupt=True).cache()
+    try:
+        assert kept.filter("_corrupt_record IS NOT NULL").count() == 1
+    finally:
+        kept.unpersist()

@@ -63,6 +63,11 @@ def pagerank(
     vector is a broadcast-joined indicator column, never a driver-side
     rank collect — the seed set can itself be large.
     """
+    # pure-python argument checks FIRST: failing after the edge/vertex
+    # materialization jobs would waste minutes of cluster work on a typo
+    if check_every < 1:
+        raise ValueError(f"pagerank: check_every must be >= 1, got {check_every}")
+
     def _cp(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if checkpoint else df
 
@@ -100,8 +105,6 @@ def pagerank(
     # teleport is already checkpointed; the rename needs no second copy
     ranks = teleport.select("id", F.col("t").alias("rank"))
 
-    if check_every < 1:
-        raise ValueError(f"pagerank: check_every must be >= 1, got {check_every}")
     if stats is None:
         stats = {}
     stats["iterations"] = 0

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Aggregates with a merge function: (partial_expr, merge_fn).
 _ALGEBRAIC = {
@@ -55,11 +56,22 @@ def salted_aggregate(
     spread over ``n_salts`` reducers; phase 2 merges the (keys x n_salts)
     partials, which is tiny by construction.
     """
+    if "_salt" in df.columns:
+        raise ValueError(
+            "salted_aggregate: input already has a '_salt' column — the "
+            "operator would silently overwrite it; rename it first"
+        )
     salt_cols = [F.col(c) for c in (salt_on or [])]
     salted = df.withColumn("_salt", salt_expr(n_salts, *salt_cols))
     partial_exprs = []
     merge_exprs = []
     for out_name, (fn_name, in_col) in aggs.items():
+        if fn_name not in _ALGEBRAIC:
+            raise ValueError(
+                f"salted_aggregate: unsupported aggregate {fn_name!r} — the "
+                f"two-phase merge supports {sorted(_ALGEBRAIC)}; express avg "
+                "as sum+count and divide after the merge"
+            )
         partial_fn, merge_fn = _ALGEBRAIC[fn_name]
         partial_exprs.append(partial_fn(F.col(in_col)).alias(f"_p_{out_name}"))
         merge_exprs.append(merge_fn(F.col(f"_p_{out_name}")).alias(out_name))
@@ -77,14 +89,36 @@ def salted_join(
     """Skew-proof equi-join: salt the big side, replicate the small side.
 
     The big side's salt must depend on something other than the join key
-    (here: a uniform hash of the full row via monotonically varying
-    partition+offset would be nondeterministic, so we hash all non-key
-    columns) — every big row keeps exactly one salt; every small row is
-    replicated to all salts, so each (key, salt) bucket joins correctly.
-    Cost: small side x n_salts; use broadcast() instead whenever it fits.
+    (here: a uniform hash of the big row's HASHABLE non-key columns —
+    map-typed columns are excluded, since xxhash64 rejects maps and the
+    salt needs only per-row variation, not every byte) — every big row
+    keeps exactly one salt; every small row is replicated to all salts,
+    so each (key, salt) bucket joins correctly. Cost: small side x
+    n_salts; use broadcast() instead whenever it fits.
+
+    Only ``inner`` and ``left`` joins are supported: with ``right`` or
+    ``full``, small-side replicas whose (key, salt) bucket has no big row
+    survive the outer join as n_salts duplicate/phantom rows — exact
+    semantics under salting require dedup machinery this rewrite does not
+    carry, so the unsupported directions raise instead of corrupting.
     """
-    non_key = [c for c in big.columns if c != key]
-    big_s = big.withColumn("_salt", salt_expr(n_salts, *[F.col(c) for c in non_key]))
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join: how={how!r} is not supported — right/full outer "
+            "would keep each unmatched small-side replica as a phantom row; "
+            "swap the sides (left) or use a plain join for those directions"
+        )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "salted_join: an input already has a '_salt' column — the "
+            "operator would silently overwrite and then drop it; rename it"
+        )
+    hashable = [
+        f.name
+        for f in big.schema.fields
+        if f.name != key and not isinstance(f.dataType, T.MapType)
+    ]
+    big_s = big.withColumn("_salt", salt_expr(n_salts, *[F.col(c) for c in hashable]))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))

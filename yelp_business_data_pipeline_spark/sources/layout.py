@@ -53,6 +53,10 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
     ncols = len(cols)
     if ncols == 0:
         raise ValueError("zorder_key needs at least one column")
+    if bits < 1:
+        # bits=0 would emit a constant key: the sort consumer silently
+        # gets an unclustered layout with zero pruning benefit
+        raise ValueError(f"zorder_key: bits must be >= 1, got {bits}")
     if ncols * bits > 63:
         raise ValueError(f"{ncols} cols x {bits} bits exceeds a signed long")
     limit = 1 << bits

@@ -25,25 +25,47 @@ def read_json_lines(
 ) -> DataFrame:
     """Read a JSON-lines folder/file/glob.
 
-    With an explicit ``schema`` (the production path), a ``_corrupt_record``
-    column collects unparseable lines; by default those rows are dropped and
-    the column removed. ``schema=None`` falls back to inference (dev mode —
-    costs an extra sampling scan; never on the 100 TB path).
+    With an explicit ``schema`` (the production path):
+
+    - ``keep_corrupt=True``: PERMISSIVE mode, unparseable lines captured
+      in a ``_corrupt_record`` column for quarantine/audit pipelines.
+      NB per Spark's documented contract, a query projecting ONLY the
+      corrupt column (e.g. ``filter(corrupt).count()``) must cache the
+      parsed frame first.
+    - ``keep_corrupt=False`` (default): DROPMALFORMED mode — corrupt rows
+      are dropped by the READER itself. This is deliberate: the
+      filter-on-corrupt-column formulation breaks under column pruning
+      (Spark forbids queries referencing ONLY the internal corrupt
+      column, so a plain ``count()`` on the result would raise
+      UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN unless the
+      frame is cached first); DROPMALFORMED has no such footgun and
+      skips the corrupt-column bookkeeping entirely.
+
+    ``schema=None`` falls back to inference (dev mode — costs an extra
+    sampling scan; never on the 100 TB path) with the same corrupt-row
+    contract: dropped unless ``keep_corrupt``.
     """
     if schema is None:
-        return spark.read.json(path)
+        reader = spark.read
+        if not keep_corrupt:
+            reader = reader.option("mode", "DROPMALFORMED")
+        df = reader.json(path)
+        if keep_corrupt or CORRUPT_COL not in df.columns:
+            return df
+        # DROPMALFORMED drops the rows, but inference may still have put
+        # the corrupt column into the sampled schema — remove the husk
+        return df.drop(CORRUPT_COL)
+    if not keep_corrupt:
+        return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
     full = schema
     if CORRUPT_COL not in schema.fieldNames():
         full = T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)])
-    df = (
+    return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
-    if keep_corrupt:
-        return df
-    return df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
