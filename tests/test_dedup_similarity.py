@@ -686,3 +686,23 @@ def test_unigram_scores_empty_corpus_returns_empty(spark):
     out = tx.unigram_logprob_scores(df, "doc_id", "text")
     assert out.count() == 0
     assert set(out.columns) == {"doc_id", "n_tokens", "mean_logprob"}
+
+
+def test_winnowing_xxhash64_large_kgram_falls_back(spark):
+    """Regression: k-grams >= 29 ASCII bytes hit the 32-byte stripe
+    boundary and crashed xxh64_rows; the scalar fallback must keep the
+    kernel value-equal to the relational JVM form."""
+    from yelp_business_data_pipeline_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog repeatedly"),
+         (2, "the quick brown fox jumps over the lazy dog differently")],
+        "doc_id long, text string",
+    )
+    arrow = tx.winnowing_fingerprints_arrow(
+        df, "doc_id", "text", k=30, window=3, hash_impl="xxhash64"
+    )
+    rel = tx.winnowing_fingerprints_long(
+        df, "doc_id", "text", k=30, window=3, hash_impl="xxhash64"
+    )
+    assert sorted(map(tuple, arrow.collect())) == sorted(map(tuple, rel.collect()))

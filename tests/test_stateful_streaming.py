@@ -70,3 +70,16 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     got2 = _drain(spark, src, ckpt, out)
     assert got2[7].n_events == 3 and got2[7].value_sum == 13.0 and got2[7].last_event_id == 4
     assert got2[8].n_events == 1  # untouched user's state preserved
+
+
+def test_stateful_profile_rounding_not_batch_dependent(spark, tmp_path):
+    """Regression: round() was persisted into state each micro-batch, so
+    value_sum depended on trigger/file layout. Two sub-rounding events
+    split across two files (maxFilesPerTrigger=1) must sum like one."""
+    src = str(tmp_path / "ev")
+    _write_batch(spark, src, [(1, "2024-01-01 00:00:00", 7, "click", 0.0000004)])
+    _write_batch(spark, src, [(2, "2024-01-01 00:00:01", 7, "click", 0.0000004)])
+    got = _drain(spark, src, str(tmp_path / "ckpt"), str(tmp_path / "updates"))
+    final = got[7]
+    assert final.n_events == 2
+    assert final.value_sum == round(8e-07, 6)  # NOT 0.0 (per-batch rounding)

@@ -97,13 +97,21 @@ def _rotl_u64(x: np.ndarray, r: int) -> np.ndarray:
 def xxh64_rows(mat: np.ndarray, seed: int = SPARK_SEED) -> np.ndarray:
     """Vectorized XXH64 over fixed-length rows; returns UNSIGNED uint64.
 
-    ``mat`` is (n, L) uint8 with L < 32 (each row skips the stripe loop —
-    the salt+k-gram shape). For the signed Spark value view as int64;
-    for ``portable_hash``'s pmod-2^32 fold mask with ``0xFFFFFFFF``.
+    ``mat`` is (n, L) uint8. The vectorized kernel covers L < 32 (rows
+    skip the stripe loop — the salt+k-gram shape); longer rows fall back
+    to the scalar implementation per row (bit-identical, just slower) so
+    a caller choosing a large k-gram gets a slow path, never a
+    data-dependent executor crash. For the signed Spark value view as
+    int64; for ``portable_hash``'s pmod-2^32 fold mask with
+    ``0xFFFFFFFF``.
     """
     n, L = mat.shape
     if L >= 32:
-        raise ValueError(f"xxh64_rows handles L < 32 only, got {L}")
+        # xxh64 returns Spark's SIGNED int64 view; mask to the unsigned
+        # range explicitly (numpy is deprecating the implicit wrap)
+        return np.array(
+            [xxh64(mat[i].tobytes(), seed) & _M for i in range(n)], dtype=np.uint64
+        )
     P1, P2, P3, P4 = (np.uint64(_P1), np.uint64(_P2), np.uint64(_P3), np.uint64(_P4))
     h = np.full(n, (seed + _P5 + L) & _M, dtype=np.uint64)
     p = 0

@@ -56,5 +56,7 @@ def save_bucketed(
 
 
 def refresh(spark: SparkSession, name: str) -> None:
-    """Post-write metadata refresh (the Glue-crawler-rerun analog, St2)."""
-    spark.sql(f"REFRESH TABLE {name}")
+    """Post-write metadata refresh (the Glue-crawler-rerun analog, St2).
+    Uses the catalog API rather than string-built SQL so identifiers
+    needing quoting (dashes, reserved words) don't raise ParseException."""
+    spark.catalog.refreshTable(name)

@@ -36,9 +36,20 @@ def _update_user_profile(
     n, vsum, last_id = state.get if state.exists else (0, 0.0, -1)
     for pdf in batches:
         n += len(pdf)
+        # value arrives nullable: sum() skips NaN, which is the SQL
+        # aggregate convention
         vsum += float(pdf["value"].sum())
-        last_id = max(last_id, int(pdf["event_id"].max()))
-    state.update((n, round(vsum, 6), last_id))
+        # nullable long arrives as float64 with NaN: dropna first (a
+        # chunk of only-null ids crashed int(NaN)); the float64 id
+        # round-trip is exact up to 2^53 — generated event ids are far
+        # below that
+        ids = pdf["event_id"].dropna()
+        if len(ids):
+            last_id = max(last_id, int(ids.max()))
+    # state carries the RAW sum: persisting round(vsum) each micro-batch
+    # made value_sum depend on trigger/file layout (repeated-rounding
+    # drift); rounding belongs only in the emitted row
+    state.update((n, vsum, last_id))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
