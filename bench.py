@@ -57,17 +57,27 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "query_pack_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "query_pack_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Truncation-proofing (BENCH_r04's `parsed` came back null because a
+    # bounded tail-capture cut the head of this line): keep the line as
+    # compact as possible (no spaces, 2-decimal per-query values — the
+    # summary `value` keeps 4), persist a full-precision copy next to the
+    # script, and print the line LAST so a tail capture always holds its
+    # end... and its head, now that it is ~40% shorter.
+    compact = dict(payload, queries={k: round(v, 2) for k, v in timings.items()})
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh)
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

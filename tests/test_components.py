@@ -273,3 +273,86 @@ def test_star_algorithm_on_string_ids(spark):
         for r in connected_components(pairs, algorithm="star").collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+
+def test_hashmin_check_every_matches_eager(spark):
+    """Batched convergence (check_every=k) returns the identical label map
+    as the eager per-round check, across window sizes that do and do not
+    divide the true round count — including k > rounds-to-converge, where
+    the final fixed-point probe must arbitrate instead of raising."""
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(12)],
+        [(100, 7), (100, 8), (100, 9)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        eager = {
+            r.id: r.comp for r in connected_components(df, check_every=1).collect()
+        }
+        for k in (3, 4, 50):
+            got = {
+                r.id: r.comp
+                for r in connected_components(df, check_every=k).collect()
+            }
+            assert got == eager, (edges, k)
+    with pytest.raises(ValueError, match="check_every"):
+        connected_components(
+            spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"), check_every=0
+        )
+
+
+def test_precontract_matches_plain_and_union_find(spark):
+    """Two-phase CC (per-partition union-find pre-contraction, then global
+    rounds) computes the identical (id, comp) map as the plain algorithms
+    and the Python oracle — across partition layouts (the contraction runs
+    per partition, so the split must not matter), both algorithms, chains,
+    self-loops, and string ids."""
+    import random
+
+    rng = random.Random(11)
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(60)],  # chain: exactly what contraction collapses
+        [(5, 5), (6, 7)],  # self-loop survivor
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(80)],
+    ]
+    for edges in cases:
+        oracle = _union_find_oracle([(a, b) for a, b in edges])
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        for n_parts in (1, 7):
+            d = df.repartition(n_parts)
+            for algo in ("hashmin", "star"):
+                got = {
+                    r.id: r.comp
+                    for r in connected_components(
+                        d, algorithm=algo, precontract=True, max_iter=60
+                    ).collect()
+                }
+                assert got == oracle, (algo, n_parts, edges[:5])
+
+
+def test_precontract_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("e", "d"), ("f", "f")], "doc_a string, doc_b string"
+    )
+    got = {
+        r.id: r.comp
+        for r in connected_components(pairs, algorithm="star", precontract=True).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+
+
+def test_precontract_single_partition_converges_in_one_round(spark):
+    """With every edge in one partition, the contraction alone produces the
+    final depth-1 star forest — the global phase should see an already-
+    converged edge set (this is the property that cuts rounds at scale)."""
+    edges = [(i, i + 1) for i in range(200)]  # diameter-199 chain
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long").coalesce(1)
+    # hashmin with a tiny round budget: only possible because contraction
+    # already flattened the chain (plain hashmin provably needs ~199 rounds)
+    got = {
+        r.id: r.comp
+        for r in connected_components(df, precontract=True, max_iter=3).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 201

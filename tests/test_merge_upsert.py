@@ -496,3 +496,31 @@ def test_boolean_partition_emptied_directory_deleted(spark, tmp_path):
     got = sorted((r.id, r.v, str(r.p)) for r in spark.read.parquet(path).collect())
     assert got == [(1, "a2", "false"), (2, "b", "false")]
     assert not _os.path.exists(f"{path}/p=true")
+
+
+def test_fractional_timestamp_partition_emptied_directory_deleted(spark, tmp_path):
+    """ADVICE r4: Python isoformat pads fractional seconds to 6 digits
+    ('.123000') while Spark trims trailing zeros ('.123') — the emptied-
+    partition delete must render the Spark way or it silently misses the
+    directory and leaves stale rows."""
+    import datetime as dt
+    import os as _os
+
+    path = str(tmp_path / "t")
+    ts = dt.datetime(2024, 3, 1, 10, 30, 0, 123000)
+    df = spark.createDataFrame(
+        [(1, "a", ts), (2, "b", dt.datetime(2024, 3, 2))], "id long, v string, p timestamp"
+    )
+    merge_upsert(df, path, keys=["id"], partition_by=["p"])
+    frac_dirs = [d for d in _os.listdir(path) if "10%3A30" in d]
+    assert len(frac_dirs) == 1 and frac_dirs[0].endswith(".123"), frac_dirs
+    # re-home key 1 out of the fractional-seconds partition: it must empty
+    merge_upsert(
+        spark.createDataFrame(
+            [(1, "a2", dt.datetime(2024, 3, 2))], "id long, v string, p timestamp"
+        ),
+        path, keys=["id"], partition_by=["p"],
+    )
+    assert not any("10%3A30" in d for d in _os.listdir(path))
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a2"), (2, "b")]

@@ -157,3 +157,35 @@ def test_pq_string_ids_work_end_to_end(spark):
     assert all(isinstance(r.q_id, str) and isinstance(r.c_id, str) for r in got)
     # a query identical to a corpus vector finds itself first
     assert all(r.c_id == r.q_id for r in got if r.rnk == 1)
+
+
+def test_pq_fused_matches_two_stage(qc):
+    """The fused encode+ADC kernel (codes=None / pq_adc_topk_fused) must
+    return the IDENTICAL rows as pq_encode |> pq_adc_topk — same argmin,
+    same LUT, same rounded lexsort partial top-k — across every rank, id,
+    and distance. The fusion is a Python-boundary optimization, not an
+    algorithm change."""
+    from yelp_business_data_pipeline_spark.operators.pq import pq_adc_topk_fused
+
+    q, c = qc
+    books = train_pq_codebooks(c, "c_id", "v", m=8, n_codes=16, iters=3)
+    codes = pq_encode(c, books, "c_id", "v")
+    staged = sorted(
+        (r.q_id, r.rnk, r.c_id, r.adc_dist)
+        for r in pq_adc_topk(q, codes, books, k=12).collect()
+    )
+    fused = sorted(
+        (r.q_id, r.rnk, r.c_id, r.adc_dist)
+        for r in pq_adc_topk_fused(q, c, books, k=12).collect()
+    )
+    assert fused == staged
+    # and through the public rerank entrypoint: codes=None == codes path
+    via_codes = sorted(
+        (r.q_id, r.rnk, r.c_id, r.cosine)
+        for r in pq_ann_topk(q, codes, c, books, k=5, rerank=30).collect()
+    )
+    via_fused = sorted(
+        (r.q_id, r.rnk, r.c_id, r.cosine)
+        for r in pq_ann_topk(q, None, c, books, k=5, rerank=30).collect()
+    )
+    assert via_fused == via_codes

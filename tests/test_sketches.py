@@ -155,3 +155,23 @@ class TestQuantileSketches:
             merge(built, [1.0, 2.0, 3.0]).collect()
         with _pytest.raises(Exception, match="width"):
             merge(built, [1.5, 2.5]).select(est([1.5], 0.5).alias("e")).collect()
+
+
+def test_quantile_from_sketch_all_zero_counts_is_null(spark):
+    """ADVICE r4: an all-zero bin_counts row (n=0 — hand-built, not
+    producible by the builders) left the fold index at -1 and hit
+    element_at(..., 0), which Spark always rejects. It must yield a NULL
+    estimate, not a crash."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.sketches import (
+        quantile_from_sketch,
+    )
+
+    edges = [0.0, 1.0, 2.0]
+    row = spark.createDataFrame(
+        [([0, 0, 0, 0], 0.0, 0.0, 0)],
+        "bin_counts array<long>, v_min double, v_max double, n_vals long",
+    )
+    got = row.select(quantile_from_sketch(edges, 0.5).alias("q")).first()
+    assert got.q is None

@@ -141,3 +141,21 @@ def test_salted_aggregate_rejects_unsupported_fn(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, x double")
     with _pytest.raises(ValueError, match="sum\\+count"):
         salted_aggregate(df, ["k"], {"m": ("avg", "x")})
+
+
+def test_salted_join_tolerates_nested_map_columns(spark):
+    """ADVICE r4: xxhash64 rejects maps NESTED inside structs/arrays too —
+    the hashable-column walk must exclude struct<m: map<...>> and
+    array<map<...>> columns, not just top-level MapType."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.skew import salted_join
+
+    big = (
+        spark.createDataFrame([("hot", 1), ("hot", 2)], "k string, v long")
+        .withColumn("s", F.struct(F.create_map(F.lit("a"), F.col("v")).alias("m")))
+        .withColumn("am", F.array(F.create_map(F.lit("b"), F.col("v"))))
+    )
+    small = spark.createDataFrame([("hot", 1.5)], "k string, w double")
+    got = salted_join(big, small, "k", n_salts=4)
+    assert got.count() == 2

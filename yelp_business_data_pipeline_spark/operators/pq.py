@@ -157,6 +157,42 @@ def pq_encode(
     return corpus.select(id_col, vec_col).mapInPandas(_encode, schema=schema)
 
 
+def _query_lut(queries: DataFrame, tens, query_id: str, vec_col: str):
+    """(q_ids, lut): per-query LUT of squared subspace distances,
+    (nq, m, n_codes) — queries are small by contract (collected)."""
+    import numpy as np
+
+    m, n_codes, sub = tens.shape
+    q_rows = queries.select(query_id, vec_col).collect()  # small by contract
+    if not q_rows:
+        raise ValueError("pq_adc_topk: empty query set — nothing to search for")
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    lut = np.empty((len(q_ids), m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = q_mat[:, j * sub : (j + 1) * sub]  # (nq, sub)
+        lut[:, j, :] = (
+            (qs * qs).sum(1)[:, None]
+            + (tens[j] * tens[j]).sum(1)[None, :]
+            - 2.0 * (qs @ tens[j].T)
+        )
+    return q_ids, lut
+
+
+def _adc_rank(scored: DataFrame, query_id: str, corpus_id: str, k: int) -> DataFrame:
+    w = Window.partitionBy("q_id_").orderBy(F.asc("adc_dist"), F.asc("c_id_"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("q_id_").alias(query_id),
+            F.col("c_id_").alias(corpus_id),
+            "rnk",
+            "adc_dist",
+        )
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -174,20 +210,7 @@ def pq_adc_topk(
 
     tens = _codebook_tensor(codebooks)
     m, n_codes, sub = tens.shape
-    q_rows = queries.select(query_id, vec_col).collect()  # small by contract
-    if not q_rows:
-        raise ValueError("pq_adc_topk: empty query set — nothing to search for")
-    q_ids = np.array([r[0] for r in q_rows])
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    # per-query LUT: (nq, m, n_codes) squared subspace distances
-    lut = np.empty((len(q_ids), m, n_codes), dtype=np.float64)
-    for j in range(m):
-        qs = q_mat[:, j * sub : (j + 1) * sub]  # (nq, sub)
-        lut[:, j, :] = (
-            (qs * qs).sum(1)[:, None]
-            + (tens[j] * tens[j]).sum(1)[None, :]
-            - 2.0 * (qs @ tens[j].T)
-        )
+    q_ids, lut = _query_lut(queries, tens, query_id, vec_col)
 
     # id columns keep their source dtypes (string business keys work, not
     # only long vec_ids) — hardcoding LongType made Arrow reject any other
@@ -228,22 +251,79 @@ def pq_adc_topk(
             )
 
     scored = codes.select(corpus_id, "codes").mapInPandas(_score, schema=out_schema)
-    w = Window.partitionBy("q_id_").orderBy(F.asc("adc_dist"), F.asc("c_id_"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            F.col("q_id_").alias(query_id),
-            F.col("c_id_").alias(corpus_id),
-            "rnk",
-            "adc_dist",
-        )
+    return _adc_rank(scored, query_id, corpus_id, k)
+
+
+def pq_adc_topk_fused(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec_col: str = "v",
+    k: int = 10,
+) -> DataFrame:
+    """Encode + ADC fused into ONE Arrow pass over the raw corpus vectors:
+    each batch is argmin-encoded against the codebook tensor and
+    immediately LUT-scored, so the corpus crosses the JVM<->Python
+    boundary once instead of twice (encode kernel -> exchange -> score
+    kernel). Bit-identical to ``pq_encode`` |> ``pq_adc_topk`` by
+    construction — the same argmin, the same LUT, the same rounded
+    lexsort partial top-k (equality pinned in tests/test_pq.py).
+
+    Use when codes are NOT pre-materialized (ad-hoc search over a vector
+    table). When a persisted codes table exists — the 100 TB steady state,
+    where the whole point of PQ is scanning 16x-smaller codes — use
+    ``pq_adc_topk`` on the codes directly."""
+    import numpy as np
+    import pandas as pd
+
+    tens = _codebook_tensor(codebooks)
+    m, n_codes, sub = tens.shape
+    c_sq = (tens * tens).sum(2)  # (m, k) — for the encode argmin
+    q_ids, lut = _query_lut(queries, tens, query_id, vec_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id_", queries.schema[query_id].dataType),
+            T.StructField("c_id_", corpus.schema[corpus_id].dataType),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
     )
+
+    def _encode_score(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, dim)
+            c_ids = pdf[corpus_id].to_numpy()
+            dists = np.zeros((len(q_ids), len(x)))
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d = (xs * xs).sum(1)[:, None] + c_sq[j][None, :] - 2.0 * (xs @ tens[j].T)
+                dists += lut[:, j, d.argmin(1)]
+            dists = np.round(dists, 6)
+            take = min(k, dists.shape[1])
+            order = np.lexsort((np.broadcast_to(c_ids, dists.shape), dists), axis=1)
+            idx = order[:, :take]
+            yield pd.DataFrame(
+                {
+                    "q_id_": np.repeat(q_ids, take),
+                    "c_id_": c_ids[idx].ravel(),
+                    "adc_dist": np.take_along_axis(dists, idx, 1).ravel(),
+                }
+            )
+
+    scored = corpus.select(corpus_id, vec_col).mapInPandas(
+        _encode_score, schema=out_schema
+    )
+    return _adc_rank(scored, query_id, corpus_id, k)
 
 
 def pq_ann_topk(
     queries: DataFrame,
-    codes: DataFrame,
+    codes: DataFrame | None,
     corpus: DataFrame,
     codebooks: DataFrame,
     query_id: str = "q_id",
@@ -257,12 +337,21 @@ def pq_ann_topk(
     rerank x n_queries vectors — never the corpus). Returns
     (q_id, c_id, rnk, cosine) like the exact path, so recall is directly
     comparable. The standard two-stage PQ recipe: codes answer "who is
-    close", the shortlist join answers "exactly how close"."""
+    close", the shortlist join answers "exactly how close".
+
+    ``codes=None`` takes the FUSED path: encode + ADC in one Arrow pass
+    over ``corpus`` (``pq_adc_topk_fused``) — for ad-hoc searches with no
+    persisted codes table; identical results either way (pinned)."""
     from .similarity import dot, l2_norm
 
-    shortlist = pq_adc_topk(
-        queries, codes, codebooks, query_id, corpus_id, vec_col, k=rerank
-    ).select(query_id, corpus_id)
+    if codes is None:
+        shortlist = pq_adc_topk_fused(
+            queries, corpus, codebooks, query_id, corpus_id, vec_col, k=rerank
+        ).select(query_id, corpus_id)
+    else:
+        shortlist = pq_adc_topk(
+            queries, codes, codebooks, query_id, corpus_id, vec_col, k=rerank
+        ).select(query_id, corpus_id)
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qv"), l2_norm(F.col(vec_col)).alias("_qn")
     )

@@ -254,4 +254,7 @@ def quantile_from_sketch(
     # clamp: outer-bin edges can sit outside [v_min, v_max]; the guard
     # rides along (assert_true yields NULL when the width matches)
     clamped = F.least(F.greatest(est, F.col("v_min")), F.col("v_max"))
-    return F.when(_guard.isNull(), clamped)
+    # all-zero counts (n == 0, unreachable from this module's builders but
+    # legal in a hand-built row) leave idx at -1 and element_at(..., 0)
+    # always raises in Spark — short-circuit to a NULL estimate instead.
+    return F.when(_guard.isNull() & (n > 0), clamped)

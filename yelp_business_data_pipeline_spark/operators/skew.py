@@ -113,10 +113,22 @@ def salted_join(
             "salted_join: an input already has a '_salt' column — the "
             "operator would silently overwrite and then drop it; rename it"
         )
+    def _contains_map(dt: T.DataType) -> bool:
+        # xxhash64 rejects MapType anywhere in the tree, not just at the
+        # top level — a struct<m: map<...>> or array<map<...>> column
+        # would still fail analysis, so walk the nested types too.
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _contains_map(dt.elementType)
+        return False
+
     hashable = [
         f.name
         for f in big.schema.fields
-        if f.name != key and not isinstance(f.dataType, T.MapType)
+        if f.name != key and not _contains_map(f.dataType)
     ]
     big_s = big.withColumn("_salt", salt_expr(n_salts, *[F.col(c) for c in hashable]))
     small_s = small.withColumn(

@@ -926,13 +926,19 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "weighted_sample_orders",
     f"""
-    WITH e AS (
+    WITH h AS (
       SELECT o_orderkey, o_orderpriority, o_totalprice,
-             -ln({_sql_hash("CAST(o_orderkey AS VARCHAR)", "ws:")} / 4294967296.0)
-               / o_totalprice AS race
+             {_sql_hash("CAST(o_orderkey AS VARCHAR)", "ws:")} AS hv
       FROM orders
       WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
         AND o_totalprice > 0
+    ), e AS (
+      -- hv = 0 would make ln() raise in DuckDB (Out of Range); the engine
+      -- maps a zero draw to +inf (sorts last) — mirror that exactly.
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CASE WHEN hv = 0 THEN CAST('infinity' AS DOUBLE)
+                  ELSE -ln(hv / 4294967296.0) / o_totalprice END AS race
+      FROM h
     )
     SELECT o_orderkey, o_orderpriority, o_totalprice,
            CAST(ROW_NUMBER() OVER (
@@ -1309,10 +1315,13 @@ def winnowing_fingerprints_xxhash64(spark: SparkSession, sf_dir: str) -> DataFra
     "comparison. Measured frontier on this isotropic corpus: m=16/k=64/"
     "R=100 recall 1.00 at 5% coverage (sf0.1); m=8/k=32 needs 20% "
     "coverage for 0.96 — subspace count is the recall lever, exactly the "
-    "PQ paper's result.",
+    "PQ paper's result. codes=None fuses encode+ADC into ONE Arrow pass "
+    "(the ad-hoc-search shape benched here: no persisted codes table, so "
+    "crossing the Python boundary twice was pure overhead; fused==two-"
+    "stage pinned in tests/test_pq.py).",
 )
 def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pq import pq_ann_topk, pq_encode, train_pq_codebooks
+    from ..operators.pq import pq_ann_topk, train_pq_codebooks
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", sim.as_double_vec(F.col("embedding")).alias("v0")
@@ -1328,8 +1337,7 @@ def pq_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "v")
     c = e.filter(F.col("vec_id") >= 5).select(F.col("vec_id").alias("c_id"), "v")
     books = train_pq_codebooks(c, "c_id", "v", m=16, n_codes=64, iters=5)
-    codes = pq_encode(c, books, "c_id", "v")
-    return pq_ann_topk(q, codes, c, books, "q_id", "c_id", "v", k=10, rerank=100)
+    return pq_ann_topk(q, None, c, books, "q_id", "c_id", "v", k=10, rerank=100)
 
 
 def _friend_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1384,15 +1392,23 @@ def pagerank_friend_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the nation chains have diameter ~n_customers/50, so hash-min label "
     "propagation (O(diameter) rounds — hundreds at sf0.1) is the wrong "
     "algorithm here; star contraction converges in O(log^2 n) round-pairs "
-    "(~5 at sf0.1), each a groupBy+join on the same key. Star==hashmin== "
-    "python-union-find equality pinned in tests/test_components.py. One "
-    "component per represented nation.",
+    "(~5 at sf0.1), each a groupBy+join on the same key. precontract=True "
+    "prepends a per-partition union-find Arrow pass (two-phase CC): each "
+    "partition's edges collapse to depth-1 star forests with ZERO shuffle, "
+    "so the global rounds start from an already-flattened edge set — at "
+    "cluster scale this is the difference between shuffling the raw edge "
+    "multiset and shuffling ~one edge per vertex. Star==hashmin==python-"
+    "union-find equality (incl. precontract, across partition layouts) "
+    "pinned in tests/test_components.py. One component per represented "
+    "nation.",
 )
 def connected_components_friend_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     fwd = _friend_edges(spark, sf_dir)
-    comps = connected_components(fwd, src="src", dst="dst", max_iter=40, algorithm="star")
+    comps = connected_components(
+        fwd, src="src", dst="dst", max_iter=40, algorithm="star", precontract=True
+    )
     return comps.groupBy(F.col("comp").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members")
     )

@@ -57,8 +57,16 @@ def _escape_partition_value(spark: SparkSession, v) -> str:
         return HIVE_DEFAULT_PARTITION
     if isinstance(v, bool):
         rendered = "true" if v else "false"
-    elif isinstance(v, (_dt.date, _dt.datetime)):
-        rendered = v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    elif isinstance(v, _dt.datetime):
+        # Spark's timestampToString trims trailing zeros from the
+        # fractional-seconds part ('.123000' -> '.123', '.000000' -> '');
+        # Python isoformat pads to 6 digits — normalize or the
+        # emptied-partition delete targets a directory that doesn't exist.
+        rendered = v.isoformat(sep=" ")
+        if "." in rendered:
+            rendered = rendered.rstrip("0").rstrip(".")
+    elif isinstance(v, _dt.date):
+        rendered = v.isoformat()
     else:
         rendered = str(v)
     return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
