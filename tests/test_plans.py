@@ -228,7 +228,13 @@ def test_triangle_bench_query_matches_chain_model(spark, sf_dir):
     contributes exactly max(0, L-2) triangles."""
     from pyspark.sql import functions as F
 
-    got = QUERIES["triangle_count_friend_graph"].spark(spark, sf_dir).collect()[0].n_triangles
+    got = (
+        QUERIES["triangle_count_friend_graph"]
+        .spark(spark, sf_dir)
+        .filter(F.col("scope") == "global")
+        .collect()[0]
+        .n_triangles
+    )
     sizes = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .groupBy("c_nationkey")

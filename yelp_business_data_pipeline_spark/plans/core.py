@@ -553,9 +553,40 @@ def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_panel",
     """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 7 != 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 != 0
+    ), j AS (
+      SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+             o.o_totalprice AS op, n.o_totalprice AS np,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ), diffs AS (
+      SELECT COALESCE(ok, nk) AS o_orderkey,
+             CASE WHEN ok IS NULL THEN 'added'
+                  WHEN nk IS NULL THEN 'removed'
+                  WHEN (op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns)
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                   AND ((op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns))
+                  THEN concat_ws(',',
+                         CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END,
+                         CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END)
+                  ELSE '' END AS changed_cols
+      FROM j
+      WHERE NOT (ok IS NOT NULL AND nk IS NOT NULL
+                 AND NOT ((op IS DISTINCT FROM np) OR (os IS DISTINCT FROM ns)))
+    )
     SELECT 'latest' AS op, o_custkey AS key_a, o_orderkey AS key_b,
            CAST(o_orderdate AS DATE) AS latest_order_date,
-           CAST(NULL AS BIGINT) AS n
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS detail
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -564,18 +595,29 @@ def duplicate_key_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1
     UNION ALL
     SELECT 'dup_keys' AS op, l_orderkey AS key_a, CAST(NULL AS BIGINT) AS key_b,
-           CAST(NULL AS DATE) AS latest_order_date, COUNT(*) AS n
+           CAST(NULL AS DATE) AS latest_order_date, COUNT(*) AS n,
+           CAST(NULL AS VARCHAR) AS detail
     FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    UNION ALL
+    SELECT 'snapshot_diff' AS op, o_orderkey AS key_a,
+           CAST(NULL AS BIGINT) AS key_b, CAST(NULL AS DATE) AS latest_order_date,
+           CAST(NULL AS BIGINT) AS n,
+           change_type || CASE WHEN changed_cols != ''
+                               THEN ':' || changed_cols ELSE '' END AS detail
+    FROM diffs
     """,
-    doc="Dedup panel, op-tagged: D1 deterministic dedup-keep-latest "
-    "(tie-broken row_number, reference MERGE insert-if-absent "
-    "graph.cypher:24ff — ``latest`` branch) and A3/D2 duplicate-PK "
-    "detection (groupBy(pk).count().filter(n > 1), reference "
-    "neo4j_test.cypher:2-5 — ``dup_keys`` branch). Merged from the "
-    "round-1 ``dedup_orders_latest`` + ``duplicate_key_detection`` "
-    "registrations to keep every oracle-backed query inside the driver's "
-    "50-slot gate while freeing a slot for item_cooccurrence_pairs — "
-    "both plans survive verbatim as the panel's branches.",
+    doc="Dedup / change-tracking panel, op-tagged: D1 deterministic "
+    "dedup-keep-latest (tie-broken row_number, reference MERGE "
+    "insert-if-absent graph.cypher:24ff — ``latest`` branch), A3/D2 "
+    "duplicate-PK detection (groupBy(pk).count().filter(n > 1), reference "
+    "neo4j_test.cypher:2-5 — ``dup_keys`` branch), and snapshot diff / "
+    "CDC reconciliation (operators/diff.py:table_diff, the complement of "
+    "sources.writers.merge_upsert: two deterministic orders snapshots "
+    "diffed into added/removed/changed with the exact differing columns "
+    "via ONE full-outer sort-merge join, null-safe comparisons, output "
+    "scaling with churn — ``snapshot_diff`` branch; merged here in round "
+    "5 to free an oracle slot for triangle_count_friend_graph). All "
+    "branch plans survive verbatim inside the union.",
 )
 def dedup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = dedup_orders_latest(spark, sf_dir).select(
@@ -584,6 +626,7 @@ def dedup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("key_b"),
         "latest_order_date",
         F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("string").alias("detail"),
     )
     dups = duplicate_key_detection(spark, sf_dir).select(
         F.lit("dup_keys").alias("op"),
@@ -591,8 +634,24 @@ def dedup_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("key_b"),
         F.lit(None).cast("date").alias("latest_order_date"),
         "n",
+        F.lit(None).cast("string").alias("detail"),
     )
-    return latest.unionAll(dups)
+    from .extensions import snapshot_diff_orders
+
+    diff = snapshot_diff_orders(spark, sf_dir).select(
+        F.lit("snapshot_diff").alias("op"),
+        F.col("o_orderkey").alias("key_a"),
+        F.lit(None).cast("bigint").alias("key_b"),
+        F.lit(None).cast("date").alias("latest_order_date"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.concat(
+            F.col("change_type"),
+            F.when(
+                F.col("changed_cols") != "", F.concat(F.lit(":"), F.col("changed_cols"))
+            ).otherwise(F.lit("")),
+        ).alias("detail"),
+    )
+    return latest.unionAll(dups).unionAll(diff)
 
 
 @query(
