@@ -250,11 +250,16 @@ def test_funnel_retention_plan_shapes(spark, sf_dir):
     reuse ONE user-key hash partitioning — exactly 2 Exchanges total (the
     user shuffle + the final 1-row aggregate), no Python eval. retention:
     cohort sizes join is a broadcast; no cartesian, no Python eval."""
-    p = plan_str(QUERIES["funnel_conversion_events"].spark(spark, sf_dir), "simple")
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        funnel_conversion_events,
+        retention_cohorts_events,
+    )
+
+    p = plan_str(funnel_conversion_events(spark, sf_dir), "simple")
     assert p.count("Exchange") == 2, p
     assert "EvalPython" not in p and "CartesianProduct" not in p
 
-    p2 = plan_str(QUERIES["retention_cohorts_events"].spark(spark, sf_dir), "simple")
+    p2 = plan_str(retention_cohorts_events(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in p2, p2
     assert "EvalPython" not in p2 and "CartesianProduct" not in p2
 

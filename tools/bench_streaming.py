@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Streaming throughput tracker (VERDICT r4 item 6).
+
+The streaming stack (streaming/pipeline.py:stream_domain_etl /
+stream_cdc_upsert — the Spark-native form of the reference's Lambda
+ingest, ``lambda/trigeer_ETL_Pipeline.py:59-88``) is correctness-tested
+but was never benched. This script measures an AvailableNow drain of N
+synthetic JSON files through BOTH paths and prints ONE JSON line:
+
+    {"metric": "streaming_throughput", "domain_etl_rows_per_s": ...,
+     "cdc_upsert_rows_per_s": ..., "rows": R, "files": N, "batches": B}
+
+Workload shape (deterministic, no RNG):
+- domain ETL: N files x M review-shaped JSON rows, maxFilesPerTrigger
+  bounds each micro-batch (several batches, like the per-S3-object
+  Lambda firing), foreachBatch -> sentiment-scored review ETL ->
+  idempotent append.
+- CDC upsert: same rows recast as change records (seq = running change
+  number, ~25% of keys updated by a later file), merged latest-wins
+  into a keyed table via merge_upsert per batch.
+
+Timing EXCLUDES session startup and source-file generation; one warmup
+drain of a single small file amortizes the first-query planner/sink
+costs the way bench.py's warmup does. Numbers land in BASELINE.md with
+a noise band (min/max of 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yelp_business_data_pipeline_spark.operators import review_etl
+from yelp_business_data_pipeline_spark.schemas import REVIEW_RAW_SCHEMA
+from yelp_business_data_pipeline_spark.session import get_spark
+from yelp_business_data_pipeline_spark.streaming import (
+    stream_cdc_upsert,
+    stream_domain_etl,
+)
+
+N_FILES = int(os.environ.get("STREAM_BENCH_FILES", "12"))
+ROWS_PER_FILE = int(os.environ.get("STREAM_BENCH_ROWS", "5000"))
+FILES_PER_TRIGGER = 3
+REPEATS = 3
+
+_WORDS = ("great", "awful", "fine", "terrible", "amazing", "slow", "friendly")
+
+
+def _review(i: int) -> dict:
+    return {
+        "review_id": f"r{i}",
+        "user_id": f"u{i % 997}",
+        "business_id": f"b{i % 251}",
+        "stars": float(1 + i % 5),
+        "useful": i % 7,
+        "funny": i % 3,
+        "cool": i % 5,
+        "text": f"{_WORDS[i % 7]} service and {_WORDS[(i + 3) % 7]} food visit {i}",
+        "date": f"2021-{1 + i % 12:02d}-{1 + i % 28:02d} 10:30:00",
+    }
+
+
+def _write_source(src_dir: str) -> int:
+    """N files; later files UPDATE ~25% of earlier keys (CDC realism:
+    review ids recur with a higher seq). Returns total rows written."""
+    total = 0
+    for f in range(N_FILES):
+        rows = []
+        for j in range(ROWS_PER_FILE):
+            i = f * ROWS_PER_FILE + j
+            r = _review(i if (f == 0 or j % 4) else i - ROWS_PER_FILE)  # 25% re-keys
+            r["seq"] = total + j  # change order for CDC arbitration
+            rows.append(json.dumps(r))
+        with open(os.path.join(src_dir, f"part-{f:04d}.json"), "w") as fh:
+            fh.write("\n".join(rows))
+        total += ROWS_PER_FILE
+    return total
+
+
+def _drain_domain(spark, src, base) -> tuple[float, int]:
+    batches: list[int] = []
+    t0 = time.perf_counter()
+    q = stream_domain_etl(
+        spark,
+        src,
+        REVIEW_RAW_SCHEMA,
+        review_etl,
+        os.path.join(base, "out_domain"),
+        os.path.join(base, "ckpt_domain"),
+        keys=["review_id"],
+        max_files_per_trigger=FILES_PER_TRIGGER,
+        on_batch_complete=lambda e: batches.append(e),
+    )
+    q.awaitTermination()
+    return time.perf_counter() - t0, len(batches)
+
+
+def _drain_cdc(spark, src, base) -> tuple[float, int]:
+    from pyspark.sql import types as T
+
+    cdc_schema = T.StructType(REVIEW_RAW_SCHEMA.fields + [T.StructField("seq", T.LongType())])
+    batches: list[int] = []
+    t0 = time.perf_counter()
+    q = stream_cdc_upsert(
+        spark,
+        src,
+        cdc_schema,
+        os.path.join(base, "out_cdc"),
+        os.path.join(base, "ckpt_cdc"),
+        keys=["review_id"],
+        order_by=["seq"],
+        max_files_per_trigger=FILES_PER_TRIGGER,
+        on_batch_complete=lambda e: batches.append(e),
+    )
+    q.awaitTermination()
+    return time.perf_counter() - t0, len(batches)
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench-streaming")
+    base_root = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        src = os.path.join(base_root, "incoming")
+        os.makedirs(src)
+        total_rows = _write_source(src)
+
+        # warmup: one-file drain builds the Python worker pool + sink plans
+        warm = os.path.join(base_root, "warm_src")
+        os.makedirs(warm)
+        with open(os.path.join(warm, "w.json"), "w") as fh:
+            fh.write(json.dumps(dict(_review(0), seq=0)))
+        _drain_domain(spark, warm, os.path.join(base_root, "warm_d"))
+        _drain_cdc(spark, warm, os.path.join(base_root, "warm_c"))
+
+        dom, cdc = [], []
+        n_batches = 0
+        for rep in range(REPEATS):
+            base = os.path.join(base_root, f"rep{rep}")
+            os.makedirs(base)
+            dt, nb = _drain_domain(spark, src, base)
+            dom.append(total_rows / dt)
+            ct, _ = _drain_cdc(spark, src, base)
+            cdc.append(total_rows / ct)
+            n_batches = nb
+        result = {
+            "metric": "streaming_throughput",
+            "unit": "rows/s",
+            "rows": total_rows,
+            "files": N_FILES,
+            "batches": n_batches,
+            "domain_etl_rows_per_s": round(sorted(dom)[len(dom) // 2]),
+            "domain_etl_band": [round(min(dom)), round(max(dom))],
+            "cdc_upsert_rows_per_s": round(sorted(cdc)[len(cdc) // 2]),
+            "cdc_upsert_band": [round(min(cdc)), round(max(cdc))],
+        }
+        print(json.dumps(result, separators=(",", ":")))
+    finally:
+        shutil.rmtree(base_root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

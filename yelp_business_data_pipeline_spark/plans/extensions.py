@@ -1040,7 +1040,7 @@ def item_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "funnel_conversion_events",
+    "event_lifecycle_panel",
     """
     WITH e AS (
       SELECT user_id, event_type, ts FROM events WHERE user_id IS NOT NULL
@@ -1065,37 +1065,13 @@ def item_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (SELECT COUNT(*) FROM t0) AS n0,
              (SELECT COUNT(*) FROM t1) AS n1,
              (SELECT COUNT(*) FROM t2) AS n2
-    )
-    SELECT 1 AS step, 'signup' AS step_name, n0 AS n_users,
-           CASE WHEN n0 > 0 THEN round(n0 / n0, 6) END AS pct_of_first FROM n
-    UNION ALL
-    SELECT 2, 'view', n1, CASE WHEN n0 > 0 THEN round(n1 / n0, 6) END FROM n
-    UNION ALL
-    SELECT 3, 'purchase', n2, CASE WHEN n0 > 0 THEN round(n2 / n0, 6) END FROM n
-    """,
-    doc="Ordered funnel signup->view->purchase within 7 days over events: "
-    "k chained min-when window expressions over ONE partitionBy(user_id) "
-    "window (k changes expression count, not shuffle count), a per-user "
-    "collapse, then a 1-row aggregate exploded to k step rows. Strictly- "
-    "after semantics (simultaneous events never advance a funnel) pinned "
-    "against an independent python model in tests/test_funnel.py; the "
-    "oracle expresses the same chained mins as per-step join CTEs.",
-)
-def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.funnel import funnel_conversion
-
-    return funnel_conversion(
-        tbl(spark, sf_dir, "events"),
-        ["signup", "view", "purchase"],
-        within="7 days",
-    )
-
-
-@query(
-    "retention_cohorts_events",
-    """
-    WITH e AS (
-      SELECT user_id, ts FROM events WHERE user_id IS NOT NULL
+    ), funnel AS (
+      SELECT 1 AS step, 'signup' AS step_name, n0 AS n,
+             CASE WHEN n0 > 0 THEN round(n0 / n0, 6) END AS pct FROM n
+      UNION ALL
+      SELECT 2, 'view', n1, CASE WHEN n0 > 0 THEN round(n1 / n0, 6) END FROM n
+      UNION ALL
+      SELECT 3, 'purchase', n2, CASE WHEN n0 > 0 THEN round(n2 / n0, 6) END FROM n
     ), f AS (
       SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
       FROM e GROUP BY user_id
@@ -1110,23 +1086,167 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sz AS (
       SELECT cohort_week, COUNT(*) AS cohort_size FROM f GROUP BY 1
     )
-    SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
-           round(c.n_active / s.cohort_size, 6) AS retention_pct
+    SELECT 'funnel' AS op, step, step_name,
+           CAST(NULL AS DATE) AS cohort_week, CAST(NULL AS INTEGER) AS week_offset,
+           n, CAST(NULL AS BIGINT) AS denom, pct
+    FROM funnel
+    UNION ALL
+    SELECT 'retention' AS op, CAST(NULL AS INTEGER) AS step,
+           CAST(NULL AS VARCHAR) AS step_name, c.cohort_week, c.week_offset,
+           c.n_active AS n, s.cohort_size AS denom,
+           round(c.n_active / s.cohort_size, 6) AS pct
     FROM cnt c JOIN sz s ON c.cohort_week = s.cohort_week
     """,
-    doc="Weekly cohort retention over events: per-user first-activity week "
-    "(groupBy user), user-keyed join back (AQE co-partitions with the "
-    "groupBy), collapse to (cohort, offset, user) grain BEFORE the wide "
-    "count so the shuffle carries one row per active user-week, broadcast "
-    "cohort sizes. Diagonal invariant (offset-0 count == cohort size) and "
-    "full python-model equality pinned in tests/test_funnel.py. Week "
-    "offsets are whole 7-day periods between week-truncated dates (both "
-    "Mondays, so the difference is always an exact multiple of 7).",
+    doc="Event-lifecycle panel, op-tagged (merged round 5 from the round-4 "
+    "standalone funnel_conversion_events + retention_cohorts_events to "
+    "free an oracle slot for yelp_unified_panel; both plans survive "
+    "verbatim as branches). funnel: ordered signup->view->purchase "
+    "within 7 days — k chained min-when window expressions over ONE "
+    "partitionBy(user_id) window, a per-user collapse, then a 1-row "
+    "aggregate exploded to k step rows; strictly-after semantics pinned "
+    "against a python model in tests/test_funnel.py. retention: weekly "
+    "cohorts — per-user first-activity week, user-keyed join back, "
+    "collapse to (cohort, offset, user) grain BEFORE the wide count, "
+    "broadcast cohort sizes; diagonal invariant pinned. Week offsets are "
+    "whole 7-day periods between week-truncated dates.",
 )
+def event_lifecycle_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fun = funnel_conversion_events(spark, sf_dir).select(
+        F.lit("funnel").alias("op"),
+        "step",
+        "step_name",
+        F.lit(None).cast("date").alias("cohort_week"),
+        F.lit(None).cast("int").alias("week_offset"),
+        F.col("n_users").alias("n"),
+        F.lit(None).cast("bigint").alias("denom"),
+        F.col("pct_of_first").alias("pct"),
+    )
+    ret = retention_cohorts_events(spark, sf_dir).select(
+        F.lit("retention").alias("op"),
+        F.lit(None).cast("int").alias("step"),
+        F.lit(None).cast("string").alias("step_name"),
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").alias("n"),
+        F.col("cohort_size").alias("denom"),
+        F.col("retention_pct").alias("pct"),
+    )
+    return fun.unionAll(ret)
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel branch builder (oracle-gated inside event_lifecycle_panel)."""
+    from ..operators.funnel import funnel_conversion
+
+    return funnel_conversion(
+        tbl(spark, sf_dir, "events"),
+        ["signup", "view", "purchase"],
+        within="7 days",
+    )
+
+
 def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention branch builder (oracle-gated inside event_lifecycle_panel)."""
     from ..operators.funnel import retention_matrix
 
     return retention_matrix(tbl(spark, sf_dir, "events"), max_offset=26)
+
+
+def _yelp_oracle_sql() -> str:
+    from .yelp_fixture import yelp_oracle_sql
+
+    return yelp_oracle_sql()
+
+
+@query(
+    "yelp_unified_panel",
+    _yelp_oracle_sql(),
+    doc="End-to-end Yelp-semantics oracle (VERDICT r4 item 7): the full "
+    "reference pipeline — business_etl (from_json raw parse, try_cast "
+    "attribute flags with null-on-'None', hours overnight wrap + "
+    "close==open edge, trim->split->explode->trim category grain, "
+    "Business_ETL.py:61-150), review_etl (engagement sum, lexicon "
+    "sentiment + +-0.05 labels, Review_ETL.py:60-85), user_etl (elite "
+    "count, friends explode_outer, User_ETL.py:70-95), and the unified "
+    "star join with prefix renames and its row-multiplying grain "
+    "(join/unified_data_analytics.py:23-47) — over deterministic "
+    "Yelp-shaped literal rows (plans/yelp_fixture.py), aggregated to an "
+    "op-tagged panel: per-(state, category) business stats (hour sums "
+    "are exact binary quarters by fixture design, decimal-summed) and "
+    "per-state unified stats (row counts at the multiplied grain, "
+    "engagement, positive-label and elite-row counts, business-stars "
+    "sum). The DuckDB twin re-derives EVERYTHING from the same VALUES "
+    "rows — both engines parse, flatten, wrap, explode, score, join, "
+    "and aggregate independently.",
+)
+def yelp_unified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.business import business_etl
+    from ..operators.review import review_etl
+    from ..operators.unified import unified_analytics
+    from ..operators.user import user_etl
+    from ..schemas import BUSINESS_RAW_SCHEMA, REVIEW_RAW_SCHEMA, USER_RAW_SCHEMA
+    from .yelp_fixture import fixture_json_lines
+
+    bl, rl, ul = fixture_json_lines()
+
+    def parse(lines: list[str], schema) -> DataFrame:
+        raw = spark.createDataFrame([(ln,) for ln in lines], "value string")
+        return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+    biz = business_etl(parse(bl, BUSINESS_RAW_SCHEMA))
+    rev = review_etl(parse(rl, REVIEW_RAW_SCHEMA))
+    usr = user_etl(parse(ul, USER_RAW_SCHEMA))
+
+    nulls = {
+        "engagement_sum": F.lit(None).cast("bigint"),
+        "n_positive": F.lit(None).cast("bigint"),
+        "n_elite": F.lit(None).cast("bigint"),
+        "bstars_sum": F.lit(None).cast("double"),
+    }
+    business_branch = (
+        biz.groupBy("state", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("weekly_open_hours").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("hours_sum"),
+            F.sum("days_open").cast("bigint").alias("days_open_sum"),
+            F.sum(F.when(F.col("accepts_credit_cards"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_credit"),
+        )
+        .select(
+            F.lit("business").alias("op"), "state", "category", "n",
+            "hours_sum", "days_open_sum", "n_credit",
+            *[v.alias(k) for k, v in nulls.items()],
+        )
+    )
+    uni = unified_analytics(rev, usr, biz)
+    unified_branch = (
+        uni.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("engagement_score").cast("bigint").alias("engagement_sum"),
+            F.sum(F.when(F.col("sentiment_label") == "positive", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+            F.sum(F.when(F.col("elite_years_count") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_elite"),
+            F.sum(F.col("business_stars").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("bstars_sum"),
+        )
+        .select(
+            F.lit("unified").alias("op"), "state",
+            F.lit(None).cast("string").alias("category"), "n",
+            F.lit(None).cast("double").alias("hours_sum"),
+            F.lit(None).cast("bigint").alias("days_open_sum"),
+            F.lit(None).cast("bigint").alias("n_credit"),
+            "engagement_sum", "n_positive", "n_elite", "bstars_sum",
+        )
+    )
+    return business_branch.unionAll(unified_branch)
 
 
 # ---------------------------------------------------------------------------
