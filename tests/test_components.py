@@ -356,3 +356,29 @@ def test_precontract_single_partition_converges_in_one_round(spark):
         for r in connected_components(df, precontract=True, max_iter=3).collect()
     }
     assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_precontract_preserves_null_endpoint_vertices(spark):
+    """Finding from the round-5 review: null-endpoint edges must flow
+    through the contraction UNCHANGED (they are passed through, not
+    dropped), so the flag stays a pure optimization — a vertex paired
+    only with NULL gets the same (v, v) output either way."""
+    pairs = spark.createDataFrame(
+        [(1, None), (None, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    for algo in ("hashmin", "star"):
+        plain = {
+            (r.id, r.comp)
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        pre = {
+            (r.id, r.comp)
+            for r in connected_components(pairs, algorithm=algo, precontract=True).collect()
+        }
+        assert pre == plain, (algo, plain, pre)
+
+
+def test_check_every_validated_on_star_path(spark):
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="check_every"):
+        connected_components(pairs, algorithm="star", check_every=0)

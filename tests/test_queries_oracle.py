@@ -103,3 +103,16 @@ def test_null_profile_operator_equals_quality_profile_total_row(spark, sf_dir):
     row = total[0]
     for c in cols:
         assert op[c] == row[f"null_{c.removeprefix('o_')}"], c
+
+
+def test_oracle_slot_layout_invariant():
+    """The driver's CORRECTNESS gate records the FIRST 50 registry
+    entries; an oracle-backed query registered after slot 50 would
+    silently lose its gate (no error — it just runs rows-only). Pin the
+    layout: the first 50 entries are exactly the oracle-backed set and
+    everything after is rows-only by design."""
+    names = list(QUERIES)
+    flags = [QUERIES[n].oracle is not None for n in names]
+    assert all(flags[:50]), [n for n, f in zip(names[:50], flags[:50]) if not f]
+    assert not any(flags[50:]), [n for n, f in zip(names[50:], flags[50:]) if f]
+    assert sum(flags) == 50

@@ -472,3 +472,38 @@ class TestEwmaByKey:
         assert utc == ny
         # and the 1h-apart decay really happened (halflife 1h -> weight 0.5)
         assert round(min(e for _, e in utc), 6) == round(0.5 * 10 / 1.5, 6)
+
+
+def test_ewma_state_carries_across_arrow_batches(spark):
+    """The applyInPandas -> mapInPandas rewrite carries (num, den,
+    prev_t) across Arrow batch boundaries; force a single key to span
+    MANY batches (maxRecordsPerBatch=7) and pin against the O(n^2)
+    direct formula — a per-batch state reset would be wildly wrong."""
+    import math
+    from datetime import datetime, timezone
+
+    from yelp_business_data_pipeline_spark.operators.timeseries import ewma_by_key
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "7")
+    try:
+        hl = 1800.0
+        rows = [("a", i * 600, float((i * 37) % 23 - 11)) for i in range(60)]
+        rows += [("b", i * 900, float(i % 5)) for i in range(40)]
+        data = [
+            (k, datetime.fromtimestamp(t, tz=timezone.utc), v) for k, t, v in rows
+        ]
+        df = spark.createDataFrame(data, "k string, ts timestamp, v double").coalesce(1)
+        got = {
+            (r.k, r.ts.timestamp()): r.ewma
+            for r in ewma_by_key(df, "k", "ts", "v", hl).collect()
+        }
+        assert len(got) == 100
+        for k, t, _ in rows:
+            obs = [(tt, vv) for kk, tt, vv in rows if kk == k and tt <= t]
+            num = sum(0.5 ** ((t - ti) / hl) * vi for ti, vi in obs)
+            den = sum(0.5 ** ((t - ti) / hl) for ti, _ in obs)
+            assert math.isclose(got[(k, float(t))], round(num / den, 6), abs_tol=2e-6), (k, t)
+    finally:
+        spark.conf.set(conf_key, old)

@@ -70,14 +70,14 @@ def connected_components(
     original graph, so the result is identical; the global round count
     drops because every intra-partition path is already depth 1.
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     if precontract:
         pairs = _contract_partitions(pairs, src, dst)
     if algorithm == "star":
         return _cc_star(pairs, src, dst, max_iter, checkpoint)
     if algorithm != "hashmin":
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'hashmin' or 'star'")
-    if check_every < 1:
-        raise ValueError(f"check_every must be >= 1, got {check_every}")
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -146,51 +146,65 @@ def _contract_partitions(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     k star edges of depth 1; the global rounds start from depth 1, not
     depth k).
 
-    The per-partition loop is plain Python over factorized int codes with
-    path halving — ~1-2M edges/s/core; the pass is bandwidth-bound on the
-    Arrow transfer, and each partition's work is independent, so it
-    scales horizontally with executors.
+    The per-partition loop is plain Python with path halving over a
+    value-keyed parent map — ~1M edges/s/core — consuming each Arrow
+    batch INCREMENTALLY: worker memory is O(distinct vertices in the
+    partition), never O(edges) (no batch buffering, no concat copies),
+    so the pass stays stream-shaped at any edges-per-partition. Each
+    partition's work is independent, so it scales horizontally with
+    executors.
+
+    Edges with a NULL endpoint are passed through UNCONTRACTED (union'd
+    back verbatim): the downstream algorithms keep null endpoints as
+    vertices in their own (degenerate) way, and replacing only the
+    clean subgraph by its spanning forest preserves that behavior
+    exactly — the flag stays a pure optimization.
     """
     import pandas as pd
 
     out_schema = pairs.select(F.col(src).alias("hi"), F.col(dst).alias("lo")).schema
 
     def contract(batches):
-        frames = [pdf for pdf in batches if len(pdf)]
-        if not frames:
-            return
-        a = pd.concat([f.iloc[:, 0] for f in frames], ignore_index=True)
-        b = pd.concat([f.iloc[:, 1] for f in frames], ignore_index=True)
-        both = pd.concat([a, b], ignore_index=True)
-        codes, uniques = pd.factorize(both)
-        m = len(a)
-        ca, cb = codes[:m], codes[m:]
-        parent = list(range(len(uniques)))
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             while parent[x] != x:
                 parent[x] = parent[parent[x]]  # path halving
                 x = parent[x]
             return x
 
-        for i in range(m):
-            ra, rb = find(ca[i]), find(cb[i])
-            if ra != rb:
-                parent[ra] = rb
+        dtype = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = pdf.iloc[:, 0].to_numpy()
+            b = pdf.iloc[:, 1].to_numpy()
+            if dtype is None:
+                dtype = pdf.iloc[:, 0].dtype
+            for i in range(len(a)):
+                va, vb = a[i], b[i]
+                if va not in parent:
+                    parent[va] = va
+                if vb not in parent:
+                    parent[vb] = vb
+                ra, rb = find(va), find(vb)
+                if ra != rb:
+                    parent[ra] = rb
+        if not parent:
+            return
         # min member per component is the deterministic local root; emit
         # (member, min) for every non-root member -> a depth-1 star forest
-        roots = [find(i) for i in range(len(uniques))]
-        comp_min: dict[int, object] = {}
-        comp_size: dict[int, int] = {}
-        for i, r in enumerate(roots):
-            v = uniques[i]
+        comp_min: dict = {}
+        comp_size: dict = {}
+        for v in parent:
+            r = find(v)
             cur = comp_min.get(r)
             if cur is None or v < cur:
                 comp_min[r] = v
             comp_size[r] = comp_size.get(r, 0) + 1
         hi_out, lo_out = [], []
-        for i, r in enumerate(roots):
-            v = uniques[i]
+        for v in parent:
+            r = find(v)
             mn = comp_min[r]
             if v != mn:
                 hi_out.append(v)
@@ -203,15 +217,16 @@ def _contract_partitions(pairs: DataFrame, src: str, dst: str) -> DataFrame:
                 lo_out.append(v)
         yield pd.DataFrame(
             {
-                "hi": pd.Series(hi_out, dtype=both.dtype),
-                "lo": pd.Series(lo_out, dtype=both.dtype),
+                "hi": pd.Series(hi_out, dtype=dtype),
+                "lo": pd.Series(lo_out, dtype=dtype),
             }
         )
 
-    edges = pairs.select(F.col(src).alias("hi"), F.col(dst).alias("lo")).filter(
-        F.col("hi").isNotNull() & F.col("lo").isNotNull()
-    )
-    return edges.mapInPandas(contract, schema=out_schema).select(
+    renamed = pairs.select(F.col(src).alias("hi"), F.col(dst).alias("lo"))
+    clean = renamed.filter(F.col("hi").isNotNull() & F.col("lo").isNotNull())
+    dirty = renamed.filter(F.col("hi").isNull() | F.col("lo").isNull())
+    contracted = clean.mapInPandas(contract, schema=out_schema)
+    return contracted.unionAll(dirty).select(
         F.col("hi").alias(src), F.col("lo").alias(dst)
     )
 

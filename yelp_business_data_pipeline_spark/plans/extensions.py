@@ -1152,10 +1152,7 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_matrix(tbl(spark, sf_dir, "events"), max_offset=26)
 
 
-def _yelp_oracle_sql() -> str:
-    from .yelp_fixture import yelp_oracle_sql
-
-    return yelp_oracle_sql()
+from .yelp_fixture import yelp_oracle_sql as _yelp_oracle_sql  # noqa: E402
 
 
 @query(
@@ -1249,14 +1246,6 @@ def yelp_unified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return business_branch.unionAll(unified_branch)
 
 
-# ---------------------------------------------------------------------------
-# Rows-only sketch queries — REGISTERED LAST by design: the driver's
-# CORRECTNESS gate records the first 50 registry entries, so every
-# oracle-backed query must precede these. Their correctness is pytest-pinned
-# (determinism, recall floors, JVM-equivalence) instead of SQL-oracled.
-# ---------------------------------------------------------------------------
-
-
 def _friend_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward edges of the deterministic sparse friendship graph shared
     with friends_of_friends_recommendations (plans/core.py): each customer
@@ -1346,6 +1335,14 @@ def triangle_count_friend_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unionAll(
         dist.select(F.lit("per_vertex_dist").alias("scope"), "n_triangles", "n_vertices")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only sketch queries — REGISTERED LAST by design: the driver's
+# CORRECTNESS gate records the first 50 registry entries, so every
+# oracle-backed query must precede these. Their correctness is pytest-pinned
+# (determinism, recall floors, JVM-equivalence) instead of SQL-oracled.
+# ---------------------------------------------------------------------------
 
 
 @query(
@@ -1689,7 +1686,13 @@ def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ew.withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("o_custkey").orderBy(F.desc("ts"), F.desc("v"))
+                # ewma as the final tiebreaker: two orders with identical
+                # (ts, v) carry DIFFERENT ewma outputs (the prefix differs),
+                # so without it the pick — and the bucket counts — would be
+                # partitioning-dependent
+                Window.partitionBy("o_custkey").orderBy(
+                    F.desc("ts"), F.desc("v"), F.desc("ewma")
+                )
             ),
         )
         .filter(F.col("rn") == 1)
