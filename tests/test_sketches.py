@@ -175,3 +175,102 @@ def test_quantile_from_sketch_all_zero_counts_is_null(spark):
     )
     got = row.select(quantile_from_sketch(edges, 0.5).alias("q")).first()
     assert got.q is None
+
+
+class TestFrequentItemSketches:
+    """Mergeable Misra-Gries heavy-hitter rollups: containment bounds,
+    guaranteed-presence, layout invariance OF THE BOUNDS, exactness when
+    m exceeds the vocabulary, coarser-grain remerge, parquet roundtrip."""
+
+    def _fi(self):
+        from yelp_business_data_pipeline_spark.operators.sketches import (
+            frequent_items_from_sketch,
+            grouped_frequent_sketches,
+            merge_frequent_sketches,
+        )
+
+        return grouped_frequent_sketches, merge_frequent_sketches, frequent_items_from_sketch
+
+    def _zipf_rows(self):
+        # deterministic skew: item_i appears ~N/i times, two groups
+        rows = []
+        for g in ("a", "b"):
+            for i in range(1, 30):
+                rows += [(g, f"item{i}")] * (240 // i)
+        return rows
+
+    def test_exact_when_capacity_exceeds_vocab(self, spark):
+        build, _, explode = self._fi()
+        rows = self._zipf_rows()
+        df = spark.createDataFrame(rows, "g string, item string")
+        sk = build(df, ["g"], "item", m=64)  # vocab is 29 per group
+        got = {
+            (r.g, r.item): (r.count_lower, r.count_upper)
+            for r in explode(sk).collect()
+        }
+        exact = {}
+        for g, it in rows:
+            exact[(g, it)] = exact.get((g, it), 0) + 1
+        for k, n in exact.items():
+            assert got[k] == (n, n), k  # err == 0: counts exact
+
+    def test_bounds_contain_exact_across_layouts(self, spark):
+        build, _, explode = self._fi()
+        rows = self._zipf_rows()
+        exact = {}
+        for g, it in rows:
+            exact[(g, it)] = exact.get((g, it), 0) + 1
+        df = spark.createDataFrame(rows, "g string, item string")
+        for n_parts in (1, 3, 13):
+            sk = build(df.repartition(n_parts), ["g"], "item", m=8)
+            ex = {(r.g, r.item): r for r in explode(sk).collect()}
+            for (g, it), r in ex.items():
+                true = exact.get((g, it), 0)
+                assert r.count_lower <= true <= r.count_upper, (n_parts, g, it)
+            # guaranteed presence: any item with true count > mg_err of its
+            # group's sketch must appear
+            errs = {r.g: r.mg_err for r in sk.collect()}
+            for (g, it), true in exact.items():
+                if true > errs[g]:
+                    assert (g, it) in ex, (n_parts, g, it, true, errs[g])
+
+    def test_merge_to_coarser_grain_keeps_bounds(self, spark):
+        build, merge, explode = self._fi()
+        rows = self._zipf_rows()
+        df = spark.createDataFrame(rows, "g string, item string")
+        per_group = build(df.repartition(5), ["g"], "item", m=8)
+        merged = merge(per_group, group_cols=None, m=8)  # global grain
+        exact: dict = {}
+        for _, it in rows:
+            exact[it] = exact.get(it, 0) + 1
+        got = {r.item: r for r in explode(merged).collect()}
+        for it, r in got.items():
+            assert r.count_lower <= exact.get(it, 0) <= r.count_upper, it
+        assert merged.collect()[0].n_rows == len(rows)
+        # the #1 heavy item is far above any achievable err: must survive
+        assert "item1" in got and got["item1"].count_lower > 0
+
+    def test_parquet_roundtrip_and_remerge(self, spark, tmp_path):
+        build, merge, explode = self._fi()
+        df = spark.createDataFrame(self._zipf_rows(), "g string, item string")
+        path = str(tmp_path / "fi_sketches")
+        build(df, ["g"], "item", m=16).write.parquet(path)
+        stored = spark.read.parquet(path)
+        merged = merge(stored, group_cols=None, m=16)
+        got = {r.item: r.count_lower for r in explode(merged).collect()}
+        assert got["item1"] >= 2 * (240 // 1) - merged.collect()[0].mg_err
+
+    def test_capacity_validation_and_null_items(self, spark):
+        import pytest as _pytest
+
+        build, merge, _ = self._fi()
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), ("a", "x")], "g string, item string"
+        )
+        with _pytest.raises(ValueError, match="m must be"):
+            build(df, ["g"], "item", m=0)
+        sk = build(df, ["g"], "item", m=4).collect()
+        assert sk[0].items == ["x"] and sk[0].counts == [2]  # NULLs uncounted
+        assert sk[0].n_rows == 2
+        with _pytest.raises(ValueError, match="m must be"):
+            merge(spark.createDataFrame(sk), ["g"], m=0)

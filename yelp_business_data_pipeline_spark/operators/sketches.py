@@ -258,3 +258,202 @@ def quantile_from_sketch(
     # legal in a hand-built row) leave idx at -1 and element_at(..., 0)
     # always raises in Spark — short-circuit to a NULL estimate instead.
     return F.when(_guard.isNull() & (n > 0), clamped)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable frequent-items sketches (heavy-hitter rollups)
+# ---------------------------------------------------------------------------
+
+
+def _mg_reduce(counter: dict, err: int, m: int) -> tuple[dict, int]:
+    """Batch Misra-Gries reduction to <= m counters: subtract the
+    (m+1)-th largest count from everything and drop the non-positive
+    remainder. ``err`` accumulates the total subtracted — the uniform
+    upper-bound slack (true count <= stored count + err for EVERY item,
+    present or evicted)."""
+    if len(counter) > m:
+        d = sorted(counter.values(), reverse=True)[m]
+        counter = {k: c - d for k, c in counter.items() if c - d > 0}
+        err += d
+    return counter, err
+
+
+def _merge_summaries(rows, m: int):
+    """Merge (items, counts, mg_err, n_rows) summary rows: counter-wise
+    add, then one MG reduction. Bound composes: err_out <= sum(err_in)
+    + the merge reduction's own subtraction."""
+    counter: dict = {}
+    err = 0
+    n = 0
+    for items, counts, e, nr in rows:
+        for it, c in zip(items, counts):
+            counter[it] = counter.get(it, 0) + int(c)
+        err += int(e)
+        n += int(nr)
+    counter, err = _mg_reduce(counter, err, m)
+    return counter, err, n
+
+
+def _summary_sort(counter: dict) -> list:
+    # deterministic row content: count desc, then item asc
+    return sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def grouped_frequent_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """One mergeable FREQUENT-ITEMS sketch per group — the heavy-hitter
+    member of the rollup trio (distinct = HLL, percentile = shared-edge
+    histogram, heavy hitters = this). Misra-Gries summaries (Misra &
+    Gries 1982; the merge analysis is Agarwal et al. 2013, "Mergeable
+    Summaries"): at most ``m`` (item, count) counters per group plus a
+    scalar ``mg_err`` such that for EVERY item
+
+        stored_count <= true_count <= stored_count + mg_err
+
+    (absent items have stored_count 0), and any item with true count
+    > n/(m+1) is guaranteed present. Unlike ``DataFrame.stat.freqItems``
+    (a one-shot answer), these rows are STATE: store one per day/source
+    in parquet, merge months later with :func:`merge_frequent_sketches`
+    — no raw re-scan. The classic application at 100 TB: hot-key
+    detection feeding ``skew.salted_join``'s salt-count choice without a
+    full groupBy of the fact table.
+
+    Scale shape: one streaming mapInPandas pass builds per-(partition,
+    group) partial summaries — worker memory O(groups x 2m), never
+    O(rows) — then the per-group merge handles only summary rows
+    (groups x partitions x m, corpus-independent). NULL items are not
+    counted (no identity); NULL group keys form their own group as
+    usual. Output: group cols + (items array, counts array, mg_err,
+    n_rows), counts descending with item tiebreak — deterministic for a
+    given partition layout (summaries themselves are layout-DEPENDENT;
+    only the bounds are layout-free, and the tests pin exactly that).
+    """
+    import pandas as pd
+
+    if m < 1:
+        raise ValueError(f"grouped_frequent_sketches: m must be >= 1, got {m}")
+    fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    item_type = df.schema[item_col].dataType.simpleString()
+    out_schema = (
+        f"{fields}, items array<{item_type}>, counts array<long>, "
+        "mg_err long, n_rows long"
+    )
+
+    def _partials(batches):
+        state: dict = {}  # group tuple -> [counter, err, n]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf[pdf[item_col].notna()]
+            gvals = [pdf[c].to_numpy() for c in group_cols]
+            ivals = pdf[item_col].to_numpy()
+            for i in range(len(ivals)):
+                g = tuple(gv[i] for gv in gvals)
+                st = state.get(g)
+                if st is None:
+                    st = state[g] = [{}, 0, 0]
+                counter = st[0]
+                it = ivals[i]
+                counter[it] = counter.get(it, 0) + 1
+                st[2] += 1
+                if len(counter) > 2 * m:  # amortized bound: reduce at 2m
+                    st[0], st[1] = _mg_reduce(counter, st[1], m)
+        if not state:
+            return
+        out = {c: [] for c in group_cols}
+        items_c, counts_c, errs, ns = [], [], [], []
+        for g, (counter, err, n) in state.items():
+            counter, err = _mg_reduce(counter, err, m)
+            pairs = _summary_sort(counter)
+            for c, v in zip(group_cols, g):
+                out[c].append(v)
+            items_c.append([p[0] for p in pairs])
+            counts_c.append([p[1] for p in pairs])
+            errs.append(err)
+            ns.append(n)
+        out["items"] = items_c
+        out["counts"] = counts_c
+        out["mg_err"] = errs
+        out["n_rows"] = ns
+        yield pd.DataFrame(out)
+
+    partials = df.select(*group_cols, item_col).mapInPandas(_partials, out_schema)
+    return merge_frequent_sketches(partials, group_cols, m=m)
+
+
+def merge_frequent_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    m: int = 64,
+) -> DataFrame:
+    """Merge sketch rows (optionally re-grouped to a coarser grain — pass
+    the SUBSET of group columns to keep). Counter-wise add + one MG
+    reduction per output group; the err bound composes additively, so
+    "store per day, merge per quarter" keeps the containment guarantee.
+    Summary rows are tiny (<= m counters each), so the grouped-map merge
+    never sees raw data."""
+    import pandas as pd
+
+    if m < 1:
+        raise ValueError(f"merge_frequent_sketches: m must be >= 1, got {m}")
+    keep = list(group_cols or [])
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        counter, err, n = _merge_summaries(
+            zip(pdf["items"], pdf["counts"], pdf["mg_err"], pdf["n_rows"]), m
+        )
+        pairs = _summary_sort(counter)
+        row = {c: [pdf[c].iloc[0]] for c in keep}
+        row["items"] = [[p[0] for p in pairs]]
+        row["counts"] = [[p[1] for p in pairs]]
+        row["mg_err"] = [err]
+        row["n_rows"] = [n]
+        return pd.DataFrame(row)
+
+    fields = ", ".join(
+        f"{c} {sketches.schema[c].dataType.simpleString()}" for c in keep
+    )
+    item_type = sketches.schema["items"].dataType.elementType.simpleString()
+    out_schema = (
+        (f"{fields}, " if fields else "")
+        + f"items array<{item_type}>, counts array<long>, mg_err long, n_rows long"
+    )
+    if keep:
+        return sketches.groupBy(*keep).applyInPandas(_merge, out_schema)
+
+    def _merge_global(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = _merge(pdf)
+        r.insert(0, "_g", [1])
+        return r
+
+    return (
+        sketches.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(_merge_global, f"_g int, {out_schema}")
+        .drop("_g")
+    )
+
+
+def frequent_items_from_sketch(sketches: DataFrame, min_lower: int = 1) -> DataFrame:
+    """Explode sketch rows to (group..., item, count_lower, count_upper)
+    — count_upper = count_lower + mg_err is the containment bound. Filter
+    ``min_lower`` to keep only items with a guaranteed floor (e.g. the
+    hot-key threshold for salting decisions)."""
+    other = [c for c in sketches.columns if c not in ("items", "counts", "mg_err", "n_rows")]
+    z = F.arrays_zip(F.col("items").alias("item"), F.col("counts").alias("cnt"))
+    ex = sketches.select(*other, "mg_err", "n_rows", F.explode(z).alias("p"))
+    return (
+        ex.select(
+            *other,
+            F.col("p.item").alias("item"),
+            F.col("p.cnt").alias("count_lower"),
+            (F.col("p.cnt") + F.col("mg_err")).alias("count_upper"),
+            "n_rows",
+        )
+        .filter(F.col("count_lower") >= F.lit(int(min_lower)))
+    )

@@ -1700,3 +1700,36 @@ def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.groupBy(
         (F.floor(F.col("ewma") / 50000) * 50000).alias("ewma_bucket")
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "heavy_hitters_doc_tokens",
+    None,  # MG summaries are layout-dependent state; the layout-FREE
+    # containment/presence bounds are pinned in tests/test_sketches.py
+    doc="Mergeable heavy-hitter rollup tracker (sketches."
+    "grouped_frequent_sketches — Misra-Gries 1982 / Agarwal et al. 2013 "
+    "'Mergeable Summaries'): per-source token sketches over documents "
+    "(one streaming Arrow pass, worker memory O(groups x 2m), never "
+    "O(rows)), merged to the global grain (summary rows only), exploded "
+    "to (item, count_lower, count_upper). The heavy-hitter member of "
+    "the rollup trio next to the HLL distinct and shared-edge quantile "
+    "sketches: store per day/source in parquet, merge months later, no "
+    "raw re-scan. 100 TB application: hot-key detection feeding "
+    "skew.salted_join's salt count without a full fact-table groupBy. "
+    "Rows-only after slot 50 (sketch contents depend on partition "
+    "layout; only the bounds are layout-free).",
+)
+def heavy_hitters_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        frequent_items_from_sketch,
+        grouped_frequent_sketches,
+        merge_frequent_sketches,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per_source = grouped_frequent_sketches(toks, ["source"], "tok", m=16)
+    merged = merge_frequent_sketches(per_source, group_cols=None, m=16)
+    return frequent_items_from_sketch(merged)
