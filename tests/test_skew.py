@@ -159,3 +159,34 @@ def test_salted_join_tolerates_nested_map_columns(spark):
     small = spark.createDataFrame([("hot", 1.5)], "k string, w double")
     got = salted_join(big, small, "k", n_salts=4)
     assert got.count() == 2
+
+
+def test_detect_hot_keys_finds_exactly_the_heavy_keys(spark):
+    """Sketch-driven hot-key detection: no false positives by
+    construction (lower bound clears the threshold), and the genuinely
+    heavy key is found across partition layouts — without a full
+    groupBy of the fact side."""
+    import pytest as _pytest
+
+    from yelp_business_data_pipeline_spark.operators.skew import detect_hot_keys
+
+    # 10k rows: key 'hot' holds 30%, 'warm' 5%, the rest spread over 6500
+    rows = (
+        [("hot",)] * 3000 + [("warm",)] * 500 + [(f"k{i}",) for i in range(6500)]
+    )
+    df = spark.createDataFrame(rows, "bk string")
+    for n_parts in (1, 8):
+        got = {
+            r.bk: r for r in detect_hot_keys(
+                df.repartition(n_parts), "bk", min_share=0.02, m=200
+            ).collect()
+        }
+        assert "hot" in got, n_parts
+        assert "warm" in got, n_parts  # 5% > 2% + slack (n/(m+1) ~ 0.5%)
+        for k, r in got.items():
+            # guarantee: every returned key's LOWER bound clears the share
+            assert r.count_lower > 0.02 * 10000, (k, r)
+            assert r.share_lower > 0.02
+        assert all(not k.startswith("k") for k in got), got.keys()
+    with _pytest.raises(ValueError, match="min_share"):
+        detect_hot_keys(df, "bk", min_share=0.0)

@@ -341,7 +341,8 @@ def grouped_frequent_sketches(
     )
     item_type = df.schema[item_col].dataType.simpleString()
     out_schema = (
-        f"{fields}, items array<{item_type}>, counts array<long>, "
+        (f"{fields}, " if fields else "")
+        + f"items array<{item_type}>, counts array<long>, "
         "mg_err long, n_rows long"
     )
 

@@ -136,3 +136,52 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     out = big_s.join(small_s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    min_share: float = 0.01,
+    m: int = 256,
+) -> DataFrame:
+    """Keys GUARANTEED to carry more than ``min_share`` of the rows,
+    found without a full groupBy of the (possibly 100 TB) fact table:
+    one streaming Misra-Gries sketch pass (sketches.
+    grouped_frequent_sketches, worker memory O(m)) gives every key a
+    [count_lower, count_upper] containment bound; the returned keys are
+    those whose LOWER bound clears min_share * n_rows — no false
+    positives by construction, and no false negatives for keys above
+    min_share + m-slack (any key with true share > 1/(m+1) + min_share
+    is certainly caught; size m accordingly: m >= ceil(2/min_share)
+    makes the slack at most min_share/2).
+
+    Output: (key-named column, count_lower, count_upper, share_lower) —
+    collect it (bounded by m rows) to size ``n_salts`` for
+    :func:`salted_join` / :func:`salted_aggregate`, or to split the hot
+    slice into its own broadcast-side path. The scale win over
+    ``df.groupBy(key).count()``: no shuffle of the fact table — the
+    only exchange carries <= m counters per partition.
+    """
+    from .sketches import (
+        frequent_items_from_sketch,
+        grouped_frequent_sketches,
+        merge_frequent_sketches,
+    )
+
+    if not 0.0 < min_share < 1.0:
+        raise ValueError(f"detect_hot_keys: min_share must be in (0, 1), got {min_share}")
+    sk = grouped_frequent_sketches(df, [], key, m=m)
+    merged = merge_frequent_sketches(sk, group_cols=None, m=m)
+    items = frequent_items_from_sketch(merged)
+    return (
+        items.filter(
+            F.col("count_lower").cast("double")
+            > F.lit(float(min_share)) * F.col("n_rows")
+        )
+        .select(
+            F.col("item").alias(key),
+            "count_lower",
+            "count_upper",
+            F.round(F.col("count_lower") / F.col("n_rows"), 6).alias("share_lower"),
+        )
+    )
