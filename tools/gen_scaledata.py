@@ -9,11 +9,15 @@ Growth ratios are then measured within this generator's data, so the
 probe isolates scaling behavior instead of confounding it with
 generator drift vs the driver's testdata.
 
-Only the tables the probe queries read are generated (region nation
-customer orders lineitem documents embeddings — no events/part/
-supplier consumers in the probe list).
+All ten tables are generated (events ts spans 2024 with the same
+timestamp shape; part/supplier follow the testdata naming patterns),
+so the FULL oracle pack can also be parity-checked at sf1 — the
+round-5 `tools/check_oracles_sf1.py` run.
 
-numpy PCG64 seed 42; no wall-clock anywhere — byte-identical reruns.
+numpy PCG64 with a per-table child seed ([42, table_idx]) so each
+table's stream is independent of the others — adding or reordering
+tables can never perturb existing ones; no wall-clock anywhere —
+byte-identical reruns.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 LANGS = ["en", "de", "fr", "es", "zh"]
-SOURCES = ["web", "wiki", "code", "forum"]
+SOURCES = [f"src{i}" for i in range(20)]  # testdata naming: srcN
 VOCAB = (
     "spark line column order small sort fast value scan query agg table hash "
     "join part batch vector shuffle plan filter merge group window stream"
@@ -45,7 +49,10 @@ def _ts_days(rng, n, start_day, span_days):
 
 def generate(sf: float, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(42)
+    rngs = iter(np.random.default_rng([42, i]) for i in range(10))
+
+    def _next_rng():
+        return next(rngs)
     n_c = int(150_000 * sf)
     n_o = int(1_500_000 * sf)
     n_l = int(6_000_000 * sf)
@@ -73,6 +80,7 @@ def generate(sf: float, out_dir: str) -> None:
         f"{out_dir}/nation.parquet",
     )
 
+    rng = _next_rng()
     ck = np.arange(n_c, dtype=np.int64)
     pq.write_table(
         pa.table(
@@ -87,6 +95,7 @@ def generate(sf: float, out_dir: str) -> None:
         f"{out_dir}/customer.parquet",
     )
 
+    rng = _next_rng()
     # ~epoch day 9131 = 1995-01-01, 7-year span (the testdata date shape)
     pq.write_table(
         pa.table(
@@ -102,6 +111,7 @@ def generate(sf: float, out_dir: str) -> None:
         f"{out_dir}/orders.parquet",
     )
 
+    rng = _next_rng()
     pq.write_table(
         pa.table(
             {
@@ -121,6 +131,7 @@ def generate(sf: float, out_dir: str) -> None:
         f"{out_dir}/lineitem.parquet",
     )
 
+    rng = _next_rng()
     emb = rng.normal(0.0, 1.0, (n_e, 64)).astype(np.float32)
     pq.write_table(
         pa.table(
@@ -135,6 +146,61 @@ def generate(sf: float, out_dir: str) -> None:
         f"{out_dir}/embeddings.parquet",
     )
 
+    rng = _next_rng()
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": np.arange(max(1, int(10_000 * sf)), dtype=np.int64),
+                "s_name": [f"Supplier#{i:09d}" for i in range(max(1, int(10_000 * sf)))],
+                "s_nationkey": rng.integers(0, 25, max(1, int(10_000 * sf))).astype(np.int32),
+                "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, max(1, int(10_000 * sf))), 2),
+            }
+        ),
+        f"{out_dir}/supplier.parquet",
+    )
+
+    rng = _next_rng()
+    adjs = np.array(["large", "hot", "small", "cold", "smooth", "rough"])
+    nouns = np.array(["ring", "bolt", "nut", "cog", "pin", "washer"])
+    sizes = rng.integers(0, 6, (n_p, 2))
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": np.arange(n_p, dtype=np.int64),
+                "p_name": [f"{adjs[a]} {nouns[b]}" for a, b in sizes],
+                "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_p)],
+                "p_type": np.array(["LARGE", "ECONOMY", "STANDARD", "SMALL", "PROMO"])[
+                    rng.integers(0, 5, n_p)
+                ],
+                "p_size": rng.integers(1, 51, n_p).astype(np.int32),
+                "p_retailprice": np.round(900.0 + 0.1 * np.arange(n_p), 2),
+            }
+        ),
+        f"{out_dir}/part.parquet",
+    )
+
+    rng = _next_rng()
+    n_ev = int(1_000_000 * sf)
+    # 2024 timestamps at microsecond grain over a 30-DAY span (the
+    # testdata shape: sf0.1 events cover 2024-01-01..01-30), sorted
+    ev_us = np.sort(rng.integers(0, 30 * DAY_US, n_ev)) + np.int64(19723) * DAY_US
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": np.arange(n_ev, dtype=np.int64),
+                "ts": ev_us.astype("datetime64[us]"),
+                "user_id": rng.integers(0, max(1, int(n_ev / 66.7)), n_ev).astype(np.int64),
+                "event_type": np.array(
+                    ["view", "click", "signup", "purchase", "error"]
+                )[rng.integers(0, 5, n_ev)],
+                "value": np.round(rng.uniform(0.0, 500.0, n_ev), 2),
+                "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_ev)],
+            }
+        ),
+        f"{out_dir}/events.parquet",
+    )
+
+    rng = _next_rng()
     words = np.array(VOCAB)
     lens = rng.integers(12, 40, n_d)
     picks = rng.integers(0, len(words), int(lens.sum()))
@@ -148,7 +214,7 @@ def generate(sf: float, out_dir: str) -> None:
                 "doc_id": np.arange(n_d, dtype=np.int64),
                 "text": texts,
                 "lang": np.array(LANGS)[rng.integers(0, 5, n_d)],
-                "source": np.array(SOURCES)[rng.integers(0, 4, n_d)],
+                "source": np.array(SOURCES)[rng.integers(0, 20, n_d)],
                 "n_chars": np.array([len(t) for t in texts], np.int64),
             }
         ),

@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 def zscore_by_group_pandas(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Per-group z-score via grouped-map pandas (ddof=0 population std;
-    constant groups -> 0.0)."""
+    constant groups -> 0.0).
+
+    NULL-input caveat (the one observable divergence from the JVM twin):
+    pandas mean/std skip NaN, so non-null rows score identically, but a
+    NULL value row comes back as NaN here vs NULL from the JVM twin —
+    float64 pandas frames cannot round-trip the distinction through
+    Arrow. Filter NULLs first if the difference matters."""
     out_schema = f"{group_col} string, {value_col} double, zscore double"
 
     def _z(pdf: pd.DataFrame) -> pd.DataFrame:

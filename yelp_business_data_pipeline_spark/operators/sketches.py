@@ -323,14 +323,28 @@ def grouped_frequent_sketches(
     full groupBy of the fact table.
 
     Scale shape: one streaming mapInPandas pass builds per-(partition,
-    group) partial summaries — worker memory O(groups x 2m), never
-    O(rows) — then the per-group merge handles only summary rows
-    (groups x partitions x m, corpus-independent). NULL items are not
-    counted (no identity); NULL group keys form their own group as
-    usual. Output: group cols + (items array, counts array, mg_err,
-    n_rows), counts descending with item tiebreak — deterministic for a
-    given partition layout (summaries themselves are layout-DEPENDENT;
-    only the bounds are layout-free, and the tests pin exactly that).
+    group) partial summaries — each Arrow batch is pre-aggregated with a
+    C-speed pandas groupby before touching the Python-level counters
+    (the MG loop then runs over DISTINCT (group, item) pairs per batch,
+    not rows; bulk-adding a count of c is identical to c unit
+    increments, so the bounds are unchanged), worker memory
+    O(groups x 2m), never O(rows) — then the per-group merge handles
+    only summary rows (groups x partitions x m, corpus-independent).
+
+    NULL items are not counted (no identity — filtered JVM-side, which
+    also keeps integral item columns integral through Arrow: a nullable
+    int batch would otherwise arrive as float64 and corrupt ids above
+    2^53). NULL group keys form one group as usual (normalized from the
+    pandas NaN representation — which also means a genuine NaN in a
+    FLOAT group column lands in the NULL group; don't sketch on float
+    group keys). Caveat that remains: a nullable INTEGRAL group column
+    with any null in a batch still transits as float64, so integral
+    group values above 2^53 can lose precision — use string/clean-int
+    group keys at that magnitude. Output: group cols + (items array,
+    counts array, mg_err, n_rows), counts descending with item tiebreak
+    — deterministic for a given partition layout (summaries themselves
+    are layout-DEPENDENT; only the bounds are layout-free, and the
+    tests pin exactly that).
     """
     import pandas as pd
 
@@ -346,23 +360,31 @@ def grouped_frequent_sketches(
         "mg_err long, n_rows long"
     )
 
+    cols = list(group_cols) + [item_col]
+
     def _partials(batches):
         state: dict = {}  # group tuple -> [counter, err, n]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pdf = pdf[pdf[item_col].notna()]
-            gvals = [pdf[c].to_numpy() for c in group_cols]
-            ivals = pdf[item_col].to_numpy()
-            for i in range(len(ivals)):
-                g = tuple(gv[i] for gv in gvals)
+            # C-speed per-batch pre-aggregation: the Python loop below
+            # runs over distinct (group, item) pairs, not rows
+            counted = pdf.groupby(cols, dropna=False, sort=False).size()
+            for key, cnt in counted.items():
+                if len(cols) == 1:
+                    key = (key,)
+                gparts, it = key[:-1], key[-1]
+                # NaN is the pandas rendering of a NULL group key; NaN is
+                # not equal to itself, so normalize to None or every
+                # null-key row would mint its own dict entry (O(rows)
+                # state — the exact blowup this operator exists to avoid)
+                g = tuple(None if pd.isna(x) else x for x in gparts)
                 st = state.get(g)
                 if st is None:
                     st = state[g] = [{}, 0, 0]
                 counter = st[0]
-                it = ivals[i]
-                counter[it] = counter.get(it, 0) + 1
-                st[2] += 1
+                counter[it] = counter.get(it, 0) + int(cnt)
+                st[2] += int(cnt)
                 if len(counter) > 2 * m:  # amortized bound: reduce at 2m
                     st[0], st[1] = _mg_reduce(counter, st[1], m)
         if not state:
@@ -384,7 +406,10 @@ def grouped_frequent_sketches(
         out["n_rows"] = ns
         yield pd.DataFrame(out)
 
-    partials = df.select(*group_cols, item_col).mapInPandas(_partials, out_schema)
+    # NULL items filtered JVM-side: no identity to count, and it keeps
+    # integral item batches integral through Arrow (see docstring)
+    prepared = df.select(*group_cols, item_col).filter(F.col(item_col).isNotNull())
+    partials = prepared.mapInPandas(_partials, out_schema)
     return merge_frequent_sketches(partials, group_cols, m=m)
 
 

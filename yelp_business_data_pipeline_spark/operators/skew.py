@@ -162,16 +162,14 @@ def detect_hot_keys(
     ``df.groupBy(key).count()``: no shuffle of the fact table — the
     only exchange carries <= m counters per partition.
     """
-    from .sketches import (
-        frequent_items_from_sketch,
-        grouped_frequent_sketches,
-        merge_frequent_sketches,
-    )
+    from .sketches import frequent_items_from_sketch, grouped_frequent_sketches
 
     if not 0.0 < min_share < 1.0:
         raise ValueError(f"detect_hot_keys: min_share must be in (0, 1), got {min_share}")
-    sk = grouped_frequent_sketches(df, [], key, m=m)
-    merged = merge_frequent_sketches(sk, group_cols=None, m=m)
+    # group_cols=[] already merges the partials to ONE global sketch row
+    # (grouped_frequent_sketches ends in merge_frequent_sketches) — a
+    # second merge here would be a pure no-op exchange + Python stage
+    merged = grouped_frequent_sketches(df, [], key, m=m)
     items = frequent_items_from_sketch(merged)
     return (
         items.filter(

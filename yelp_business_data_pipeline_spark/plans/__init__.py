@@ -12,9 +12,14 @@ Cross-engine determinism rules used throughout (documented once here):
 - **Money/double sums** go through ``decimal`` (exact, order-insensitive)
   and are presented as ``double``: Spark
   ``F.sum(col.cast("decimal(18,x)")).cast("double")`` == DuckDB
-  ``CAST(SUM(CAST(col AS DECIMAL(18,x))) AS DOUBLE)``. A plain double sum
-  is order-dependent (non-associative FP) and Spark's partial aggregation
-  order is nondeterministic at scale.
+  ``CAST(CAST(SUM(CAST(col AS DECIMAL(18,x))) AS VARCHAR) AS DOUBLE)``. A
+  plain double sum is order-dependent (non-associative FP) and Spark's
+  partial aggregation order is nondeterministic at scale. The VARCHAR hop
+  on the DuckDB side is load-bearing: DuckDB's direct DECIMAL->DOUBLE
+  cast divides the scaled int128 by 10^scale in double arithmetic — TWO
+  roundings, off by one ulp for some values (caught by the round-5 sf1
+  parity sweep at ~6e10 magnitudes); string->double is correctly rounded
+  and matches Spark's (correctly rounded) decimal->double cast exactly.
 - **Integer sums** are cast to BIGINT on the DuckDB side (DuckDB widens to
   HUGEINT, Spark to long).
 - **Top-k / limit / dedup-pick-one** always order by a full tie-breaking

@@ -22,11 +22,11 @@ from .registry import query, tbl
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -161,7 +161,7 @@ def priority_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
            o_orderstatus,
            o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY GROUPING SETS ((order_year, o_orderpriority), (order_year),
@@ -223,7 +223,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "star_join_revenue",
     """
     SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items,
            COUNT(DISTINCT l.l_orderkey) AS n_orders
     FROM lineitem l
@@ -722,7 +722,7 @@ def degree_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_ops_panel",
     """
     SELECT 'type_token' AS op, token, COUNT(*) AS n,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS metric_a,
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS metric_a,
            CAST(NULL AS DOUBLE) AS metric_b
     FROM (SELECT unnest(string_split(p_type, ' ')) AS token, p_retailprice FROM part)
     GROUP BY token
@@ -772,7 +772,7 @@ def string_ops_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) % 10 AS k_mod,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM events GROUP BY 1
     """,
     doc="C4 from_json on a JSON-string column (reference Ambience/BusinessParking "
@@ -802,7 +802,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'large' END AS price_bucket,
            COUNT(*) AS n_orders,
            COUNT(DISTINCT o_custkey) AS n_customers,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_spend
     FROM orders GROUP BY 1, 2, 3
     """,
     doc="C10 date/time functions (reference to_timestamp/to_date "
@@ -842,7 +842,7 @@ def date_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_two_hop_region_customers",
     """
     SELECT r.r_name AS region_name, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS acctbal_sum
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -1054,7 +1054,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), unp AS (
       SELECT metric,
              COUNT(*) AS n,
-             CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+             CAST(CAST(SUM(CAST(val AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS val_sum
       FROM (
         SELECT 'qty' AS metric, l_quantity AS val FROM lineitem
         UNION ALL SELECT 'price', l_extendedprice FROM lineitem
@@ -1109,7 +1109,7 @@ def reshape_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_agg_status_revenue",
     """
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
@@ -1200,7 +1200,7 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority_top10",
     """
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(o.o_orderdate AS DATE) AS order_date
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1243,7 +1243,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     """
     SELECT n.n_name AS nation_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey

@@ -125,13 +125,13 @@ def _sql_simhash(bits: int = 16) -> str:
            CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_tokens) AS BIGINT)::DOUBLE / COUNT(*) AS avg_tokens,
-           round(CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           round(CAST(CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
              AS avg_distinct_ratio,
-           round(CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           round(CAST(CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
              AS avg_stopword_ratio,
-           round(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           round(CAST(CAST(SUM(CAST(punct_ratio AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
              AS avg_punct_ratio,
-           round(CAST(SUM(CAST(top_token_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           round(CAST(CAST(SUM(CAST(top_token_ratio AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
              AS avg_top_token_ratio,
            CAST(COUNT(*) FILTER (distinct_ratio >= 0.3) AS BIGINT) AS n_quality_pass
     FROM q GROUP BY lang
@@ -229,7 +229,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN score <= -0.05 THEN 'negative'
                 ELSE 'neutral' END AS sentiment_label,
            COUNT(*) AS n,
-           CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) AS score_sum
+           CAST(CAST(SUM(CAST(score AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE) AS score_sum
     FROM s GROUP BY 1, 2
     """,
     doc="U1 sentiment semantics (reference Review_ETL.py:73-85: VADER compound "
@@ -628,7 +628,7 @@ def text_fingerprints_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, bucket_day, bucket_hour,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM b
     GROUP BY GROUPING SETS ((event_type, bucket_day), (event_type, bucket_day, bucket_hour))
     """,
@@ -664,7 +664,7 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS value_sum
       FROM events
       WHERE event_id % 97 = 0
       GROUP BY 1, 2

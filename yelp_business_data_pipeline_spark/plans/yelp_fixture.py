@@ -266,7 +266,7 @@ def yelp_oracle_sql() -> str:
       LEFT JOIN pbx px ON pr.business_id = px.business_id
     )
     SELECT 'business' AS op, state, category, COUNT(*) AS n,
-           CAST(SUM(CAST(weekly AS DECIMAL(18,6))) AS DOUBLE) AS hours_sum,
+           CAST(CAST(SUM(CAST(weekly AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS hours_sum,
            CAST(SUM(days_open) AS BIGINT) AS days_open_sum,
            CAST(SUM(CASE WHEN credit THEN 1 ELSE 0 END) AS BIGINT) AS n_credit,
            CAST(NULL AS BIGINT) AS engagement_sum,
@@ -283,6 +283,6 @@ def yelp_oracle_sql() -> str:
            CAST(SUM(engagement_score) AS BIGINT) AS engagement_sum,
            CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
            CAST(SUM(CASE WHEN elite_years_count > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_elite,
-           CAST(SUM(CAST(stars AS DECIMAL(18,6))) AS DOUBLE) AS bstars_sum
+           CAST(CAST(SUM(CAST(stars AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS bstars_sum
     FROM uni GROUP BY 1, 2
     """
