@@ -122,6 +122,44 @@ def _drain_cdc(spark, src, base) -> tuple[float, int]:
     return time.perf_counter() - t0, len(batches)
 
 
+def _drain_windowed(spark, base) -> tuple[float, int]:
+    """Watermarked windowed aggregation drain: N parquet files of events
+    through streaming_event_counts into a memory-free noop-equivalent
+    (foreachBatch count) — the stateful-aggregation path's throughput."""
+    import pyspark.sql.types as T
+
+    from yelp_business_data_pipeline_spark.streaming import streaming_event_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = os.path.join(base, "ev_src")
+    n_rows = N_FILES * ROWS_PER_FILE
+    spark.range(n_rows).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(CAST(1700000000000000 + id * 1000000 AS LONG)) AS ts",
+        "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'view' WHEN 1 THEN 'click' ELSE 'purchase' END AS event_type",
+        "CAST(id % 100 AS DOUBLE) AS value",
+    ).repartition(N_FILES).write.parquet(src)
+    rows_seen: list[int] = []
+    t0 = time.perf_counter()
+    q = (
+        streaming_event_counts(spark, src, schema, window="5 minutes")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, epoch: rows_seen.append(df.count()))
+        .option("checkpointLocation", os.path.join(base, "ev_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.perf_counter() - t0, n_rows
+
+
 def main() -> None:
     spark = get_spark(app_name="bench-streaming")
     base_root = tempfile.mkdtemp(prefix="stream_bench_")
@@ -138,7 +176,7 @@ def main() -> None:
         _drain_domain(spark, warm, os.path.join(base_root, "warm_d"))
         _drain_cdc(spark, warm, os.path.join(base_root, "warm_c"))
 
-        dom, cdc = [], []
+        dom, cdc, win = [], [], []
         n_batches = 0
         for rep in range(REPEATS):
             base = os.path.join(base_root, f"rep{rep}")
@@ -147,6 +185,8 @@ def main() -> None:
             dom.append(total_rows / dt)
             ct, _ = _drain_cdc(spark, src, base)
             cdc.append(total_rows / ct)
+            wt, wn = _drain_windowed(spark, base)
+            win.append(wn / wt)
             n_batches = nb
         result = {
             "metric": "streaming_throughput",
@@ -158,6 +198,8 @@ def main() -> None:
             "domain_etl_band": [round(min(dom)), round(max(dom))],
             "cdc_upsert_rows_per_s": round(sorted(cdc)[len(cdc) // 2]),
             "cdc_upsert_band": [round(min(cdc)), round(max(cdc))],
+            "windowed_agg_rows_per_s": round(sorted(win)[len(win) // 2]),
+            "windowed_agg_band": [round(min(win)), round(max(win))],
         }
         print(json.dumps(result, separators=(",", ":")))
     finally:

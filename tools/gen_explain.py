@@ -171,6 +171,15 @@ COMMENTARY = {
         "with 10k customer keys that per-group overhead measured 28s vs "
         "0.8s for the stream at sf0.1)."
     ),
+    "heavy_hitters_doc_tokens": (
+        "Mergeable Misra-Gries rollup: ONE streaming mapInPandas pass "
+        "builds per-(partition, group) summaries (each Arrow batch "
+        "pre-aggregated by a C-speed pandas groupby before the counter "
+        "loop — distinct pairs, not rows), then the grouped merge and "
+        "the global remerge handle only summary rows. The single real "
+        "exchange carries <= m counters per partition — the property "
+        "that makes hot-key detection affordable on the skewed side."
+    ),
     "yelp_unified_panel": (
         "The reference pipeline end-to-end on literal Yelp-shaped rows: "
         "from_json raw parse, try_cast attribute flags, hours overnight "
