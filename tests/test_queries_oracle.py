@@ -116,3 +116,31 @@ def test_oracle_slot_layout_invariant():
     assert all(flags[:50]), [n for n, f in zip(names[:50], flags[:50]) if not f]
     assert not any(flags[50:]), [n for n, f in zip(names[50:], flags[50:]) if f]
     assert sum(flags) == 50
+
+
+def test_decimal_to_double_varchar_route_is_correctly_rounded():
+    """The determinism rule behind every money-sum oracle (plans/__init__
+    'Money/double sums'): DuckDB's DIRECT decimal->double cast divides
+    the scaled integer by 10^scale in double arithmetic — two roundings,
+    off by one ulp for some values (found by the round-5 sf1 parity
+    sweep at ~6e10: 60524164923.212700 came back one ulp high). The
+    VARCHAR hop is correctly rounded and matches Spark's (correctly
+    rounded) decimal->double cast bit-for-bit. Pin the hop's exactness
+    on the concrete value that exposed the bug."""
+    from decimal import Decimal
+
+    import duckdb
+
+    for s in ("60524164923.212700", "60050209281.870900", "0.100000", "1e12"):
+        want = float(Decimal(s))
+        got = duckdb.sql(
+            f"SELECT CAST(CAST(CAST('{s}' AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE)"
+        ).fetchone()[0]
+        assert got == want, (s, got.hex(), want.hex())
+    # the direct cast's one-ulp miss (the reason the hop exists); if a
+    # future DuckDB fixes it this assert starts failing — the hop then
+    # becomes optional, not wrong
+    direct = duckdb.sql(
+        "SELECT CAST(CAST('60524164923.212700' AS DECIMAL(28,6)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert direct != float(Decimal("60524164923.212700"))
