@@ -56,12 +56,15 @@ def connected_components(
       (the friendship chains here are diameter ~n/2: hash-min would need
       hundreds of rounds at sf0.1 where star needs ~a dozen).
 
-    ``check_every``: convergence is a driver action (a join + count);
-    batching it every k rounds bounds driver round-trips at rounds/k for
-    the cost of at most k-1 wasted rounds — the same discipline pagerank
-    and the star branch use. Valid because min-propagation labels are
-    monotone non-increasing: labels equal across a k-round window proves
-    no label moved anywhere inside it.
+    ``check_every``: convergence is a driver action (a join + count).
+    The schedule is HYBRID: every round through round 4 (the module's
+    documented workload — dup-cluster graphs — converges in 3-5 rounds,
+    and a wasted propagation round costs MORE than the check it would
+    skip), then every ``check_every`` rounds (deep graphs amortize the
+    driver round-trips, the pagerank/star discipline). Batched checks
+    are valid because min-propagation labels are monotone
+    non-increasing: labels equal across a k-round window proves no
+    label moved anywhere inside it.
 
     ``precontract``: run a per-partition union-find pass (Arrow, no
     shuffle) that collapses each partition's edges to (member, local-min)
@@ -118,7 +121,7 @@ def connected_components(
     anchor = labels  # snapshot at the last convergence check
     for rnd in range(1, max_iter + 1):
         labels = _round(labels)
-        if rnd % check_every == 0:
+        if rnd <= 4 or rnd % check_every == 0:
             if _same(labels, anchor):
                 return labels
             anchor = labels

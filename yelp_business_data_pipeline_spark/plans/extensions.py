@@ -1663,13 +1663,17 @@ def link_prediction_friend_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # genuinely sequential — O(n^2) direct-formula model pinned in
     # tests/test_timeseries.py
     doc="Wall-time-decayed EWMA bench tracker (timeseries.ewma_by_key, "
-    "halflife 90 days) over each customer's order history — the "
-    "applyInPandas-by-design sequential operator (each output depends on "
-    "the full decayed prefix; two-accumulator stable recursion). One "
-    "shuffle on the customer key; per-key history fits an Arrow batch at "
-    "any corpus scale because keys partition the data. Output: final "
-    "EWMA per customer bucketed to spend deciles (bounded rows). "
-    "Rows-only after slot 50.",
+    "halflife 90 days) over each customer's order history — genuinely "
+    "sequential (each output depends on the full decayed prefix; "
+    "two-accumulator stable recursion), implemented as ONE repartition "
+    "on the key + a partition-local sort + a single mapInPandas STREAM "
+    "with O(1) carry state across batch and group boundaries — NOT "
+    "applyInPandas: grouped-map builds one pandas frame per key, and "
+    "with many small keys that per-group overhead dominated 35x "
+    "(28s -> 0.8s at sf0.1); the stream also removes any per-key "
+    "history-in-memory constraint. Output: final EWMA per customer "
+    "bucketed to spend deciles (bounded rows, deterministic ewma "
+    "tiebreak). Rows-only after slot 50.",
 )
 def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import ewma_by_key
