@@ -52,14 +52,17 @@ from .similarity import (
     lsh_ann_topk,
 )
 from .sketches import (
+    frequent_items_from_sketch,
     grouped_distinct_sketches,
+    grouped_frequent_sketches,
     grouped_quantile_sketches,
     merge_distinct_estimate,
+    merge_frequent_sketches,
     merge_quantile_sketches,
     quantile_from_sketch,
     verified_heavy_hitters,
 )
-from .skew import salted_aggregate, salted_join
+from .skew import detect_hot_keys, salted_aggregate, salted_join
 from .pagerank import pagerank
 from .timeseries import (
     GRAIN_STEPS,
@@ -125,9 +128,13 @@ __all__ = [
     "weighted_sample",
     "retention_matrix",
     "gapfill_locf",
+    "frequent_items_from_sketch",
     "grouped_distinct_sketches",
+    "grouped_frequent_sketches",
     "grouped_quantile_sketches",
+    "detect_hot_keys",
     "merge_distinct_estimate",
+    "merge_frequent_sketches",
     "merge_quantile_sketches",
     "quantile_from_sketch",
     "verified_heavy_hitters",
