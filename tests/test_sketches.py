@@ -274,3 +274,98 @@ class TestFrequentItemSketches:
         assert sk[0].n_rows == 2
         with _pytest.raises(ValueError, match="m must be"):
             merge(spark.createDataFrame(sk), ["g"], m=0)
+
+
+class TestKmvSketches:
+    """KMV k-minimum-values sketches: exactness below capacity, the
+    EXACT merge closure property, estimator accuracy, set-operation
+    (Jaccard/intersection) estimates, parquet roundtrip."""
+
+    def _mod(self):
+        from yelp_business_data_pipeline_spark.operators import sketches as sk
+
+        return sk
+
+    def test_exact_below_capacity_and_estimate_above(self, spark):
+        sk = self._mod()
+        from pyspark.sql import functions as F
+
+        # 40 distinct values, k=64: sketch never fills -> exact count
+        df = spark.createDataFrame([(i % 40,) for i in range(400)], "v long")
+        s = sk.grouped_kmv_sketches(df, [], "v", k=64)
+        est = s.select(sk.kmv_distinct_estimate(F.col("kmin"), 64).alias("e")).first().e
+        assert est == 40.0
+        assert s.first().n_rows == 400
+        # 5000 distinct, k=256: estimator within 15% (theory: ~1/sqrt(k))
+        df2 = spark.createDataFrame([(i,) for i in range(5000)], "v long")
+        s2 = sk.grouped_kmv_sketches(df2, [], "v", k=256)
+        est2 = s2.select(sk.kmv_distinct_estimate(F.col("kmin"), 256).alias("e")).first().e
+        assert abs(est2 - 5000) / 5000 < 0.15, est2
+
+    def test_merge_closure_is_exact_equality(self, spark):
+        """k smallest of a union of per-grain k-min arrays == the sketch
+        built over the concatenated raw data — EXACT, not approximate."""
+        sk = self._mod()
+        rows = [(f"g{i % 3}", i * 17 % 1000) for i in range(3000)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        per_group = sk.grouped_kmv_sketches(df.repartition(7), ["g"], "v", k=64)
+        merged = sk.merge_kmv_sketches(per_group, group_cols=None, k=64)
+        direct = sk.grouped_kmv_sketches(df, [], "v", k=64)
+        assert merged.first().kmin == direct.first().kmin
+        assert merged.first().n_rows == direct.first().n_rows == 3000
+
+    def test_set_estimates_jaccard_and_intersection(self, spark):
+        sk = self._mod()
+        from pyspark.sql import functions as F
+
+        # A = 0..3999, B = 2000..5999: |A∩B| = 2000, |A∪B| = 6000, J = 1/3
+        rows = [("a", i) for i in range(4000)] + [("b", i) for i in range(2000, 6000)]
+        df = spark.createDataFrame(rows, "s string, v long")
+        sketches = sk.grouped_kmv_sketches(df, ["s"], "v", k=256)
+        a = sketches.filter("s = 'a'").select(F.col("kmin").alias("ka"))
+        b = sketches.filter("s = 'b'").select(F.col("kmin").alias("kb"))
+        est = (
+            a.crossJoin(b)
+            .select(sk.kmv_set_estimates(F.col("ka"), F.col("kb"), 256).alias("e"))
+            .first()
+            .e
+        )
+        assert abs(est.jaccard - 1 / 3) < 0.1, est
+        assert abs(est.union_est - 6000) / 6000 < 0.15, est
+        assert abs(est.intersection_est - 2000) / 2000 < 0.35, est
+
+    def test_parquet_roundtrip_and_regroup(self, spark, tmp_path):
+        sk = self._mod()
+        from pyspark.sql import functions as F
+
+        rows = [(f"d{i % 5}", f"g{i % 2}", i % 700) for i in range(2000)]
+        df = spark.createDataFrame(rows, "day string, g string, v long")
+        path = str(tmp_path / "kmv")
+        sk.grouped_kmv_sketches(df, ["day", "g"], "v", k=64).write.parquet(path)
+        stored = spark.read.parquet(path)
+        coarser = sk.merge_kmv_sketches(stored, ["g"], k=64)
+        direct = sk.grouped_kmv_sketches(df, ["g"], "v", k=64)
+        got = {r.g: (r.kmin, r.n_rows) for r in coarser.collect()}
+        want = {r.g: (r.kmin, r.n_rows) for r in direct.collect()}
+        assert got == want  # closure property survives storage + regroup
+
+    def test_null_values_and_capacity_validation(self, spark):
+        import pytest as _pytest
+
+        sk = self._mod()
+        df = spark.createDataFrame([("a", 1), ("a", None), ("a", 1)], "g string, v long")
+        s = sk.grouped_kmv_sketches(df, ["g"], "v", k=8).collect()
+        assert len(s[0].kmin) == 1 and s[0].n_rows == 2  # NULLs uncounted
+        with _pytest.raises(ValueError, match="k must be"):
+            sk.grouped_kmv_sketches(df, ["g"], "v", k=0)
+        with _pytest.raises(ValueError, match="k must be"):
+            sk.merge_kmv_sketches(spark.createDataFrame(s), ["g"], k=0)
+
+    def test_null_group_keys_form_one_group(self, spark):
+        sk = self._mod()
+        df = spark.createDataFrame(
+            [(None, 1), (None, 2), ("x", 1)], "g string, v long"
+        )
+        rows = {r.g: r for r in sk.grouped_kmv_sketches(df, ["g"], "v", k=8).collect()}
+        assert set(rows) == {None, "x"}
+        assert rows[None].n_rows == 2 and len(rows[None].kmin) == 2

@@ -483,3 +483,196 @@ def frequent_items_from_sketch(sketches: DataFrame, min_lower: int = 1) -> DataF
         )
         .filter(F.col("count_lower") >= F.lit(int(min_lower)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable KMV sketches (distinct + set-operation estimates)
+# ---------------------------------------------------------------------------
+
+
+def grouped_kmv_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """One mergeable KMV (k-minimum-values) sketch per group — the
+    set-operations member of the rollup family (Bar-Yossef et al. 2002;
+    Beyer et al. 2007 "On Synopses for Distinct-Value Estimation"): the
+    k smallest DISTINCT xxhash64 values of the group, shifted to
+    unsigned order. What it adds over the HLL sketches: K-min arrays
+    support INTERSECTION and Jaccard estimates (:func:`kmv_set_estimates`)
+    — HLL unions only.
+
+    The killer algebraic property (pinned in pytest as EXACT equality,
+    not a tolerance): the k smallest of a union of per-grain k-min
+    arrays == the k smallest of the union of the full underlying sets,
+    so :func:`merge_kmv_sketches` rolls per-day sketches up to any
+    coarser grain with zero estimate degradation vs building at that
+    grain directly.
+
+    Scale shape mirrors the MG sketches: one streaming mapInPandas pass
+    holds a bounded max-heap of k hashes per (partition, group) — each
+    Arrow batch pre-deduplicated with C-speed numpy before the heap
+    loop — then the grouped merge sees only k-length arrays. NULL
+    values are ignored (no identity). Output: group cols +
+    (kmin array<long> ascending, n_rows long).
+    """
+    import heapq
+
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"grouped_kmv_sketches: k must be >= 1, got {k}")
+    fields = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    out_schema = (
+        (f"{fields}, " if fields else "") + "kmin array<long>, n_rows long"
+    )
+
+    def _insert(st, h: int) -> None:
+        heap, members = st[0], st[1]
+        if h in members:
+            return
+        if len(heap) < k:
+            heapq.heappush(heap, -h)
+            members.add(h)
+        elif h < -heap[0]:
+            members.discard(-heapq.heapreplace(heap, -h))
+            members.add(h)
+
+    def _partials(batches):
+        # group tuple -> [neg-heap (max-heap of k smallest), member set, n]
+        state: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not group_cols:
+                st = state.get(())
+                if st is None:
+                    st = state[()] = [[], set(), 0]
+                st[2] += len(pdf)
+                # C-speed batch pre-dedup + sort: insertions arrive
+                # ascending, so once one value misses the heap cutoff the
+                # rest of the batch can't enter either
+                for h in np.unique(pdf["_h"].to_numpy()):
+                    hi = int(h)
+                    if len(state[()][0]) >= k and hi >= -state[()][0][0]:
+                        break
+                    _insert(st, hi)
+                continue
+            # per-group row counts BEFORE dedup (n_rows is a row count;
+            # NaN index entries normalized to None like the MG kernel)
+            sizes = pdf.groupby(group_cols, dropna=False, sort=False).size()
+            for gk, cnt in sizes.items():
+                if len(group_cols) == 1:
+                    gk = (gk,)
+                key = tuple(None if pd.isna(x) else x for x in gk)
+                st = state.get(key)
+                if st is None:
+                    st = state[key] = [[], set(), 0]
+                st[2] += int(cnt)
+            # hash dedup per group: the insert loop runs over distinct
+            # (group, hash) pairs, not rows
+            dd = pdf.drop_duplicates(subset=[*group_cols, "_h"])
+            gseries = [dd[c] for c in group_cols]
+            gmask = [s.isna().to_numpy() for s in gseries]
+            garr = [s.to_numpy() for s in gseries]
+            hvals = dd["_h"].to_numpy()
+            for i in range(len(hvals)):
+                key = tuple(
+                    None if gmask[j][i] else garr[j][i]
+                    for j in range(len(group_cols))
+                )
+                _insert(state[key], int(hvals[i]))
+        if not state:
+            return
+        out = {c: [] for c in group_cols}
+        kmins, ns = [], []
+        for g, (heap, _members, n) in state.items():
+            for c, v in zip(group_cols, g):
+                out[c].append(v)
+            kmins.append(sorted(-x for x in heap))
+            ns.append(n)
+        out["kmin"] = kmins
+        out["n_rows"] = ns
+        yield pd.DataFrame(out)
+
+    # unsigned order: xxhash64 is signed int64; XORing the sign bit
+    # (Long.MIN_VALUE) makes the SIGNED long ordering equal the unsigned
+    # hash ordering, so "k smallest" is uniform over the hash space
+    h = F.xxhash64(F.col(value_col)).bitwiseXOR(F.lit(-(2**63)))
+    prepared = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+    )
+    partials = prepared.mapInPandas(_partials, out_schema)
+    return merge_kmv_sketches(partials, group_cols, k=k)
+
+
+def merge_kmv_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    kmin_col: str = "kmin",
+) -> DataFrame:
+    """Merge KMV rows to a coarser grain: distinct-union the arrays, keep
+    the k smallest — EXACTLY the sketch of the concatenated raw data
+    (the KMV closure property; pinned as equality). Pure JVM HOFs over
+    k-length arrays, no Python stage."""
+    if k < 1:
+        raise ValueError(f"merge_kmv_sketches: k must be >= 1, got {k}")
+    keep = list(group_cols or [])
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(kmin_col)))),
+        1,
+        k,
+    ).alias(kmin_col)
+    n = F.sum("n_rows").alias("n_rows")
+    if keep:
+        return sketches.groupBy(*keep).agg(merged, n)
+    return sketches.agg(merged, n)
+
+
+def kmv_distinct_estimate(kmin: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV array: exact |array| when the
+    sketch never filled (fewer than k distinct values seen), else the
+    standard unbiased (k-1) / r estimator with r = the k-th smallest
+    hash as a fraction of the 2^64 hash space."""
+    size = F.size(kmin)
+    kth_unsigned = F.element_at(kmin, k).cast("double") + F.lit(float(2**63))
+    r = kth_unsigned / F.lit(float(2**64))
+    return F.when(size < k, size.cast("double")).otherwise(
+        F.lit(float(k - 1)) / r
+    )
+
+
+def kmv_set_estimates(
+    a: Column,
+    b: Column,
+    k: int,
+) -> Column:
+    """Set-operation estimates from two KMV arrays (same k): struct of
+    ``jaccard``, ``union_est``, ``intersection_est``.
+
+    K = the k smallest of the union (itself a valid KMV of A∪B — the
+    closure property); any element of K that belongs to set A is
+    necessarily in A's array (K's values are <= the union's k-th min,
+    which is <= A's k-th min), so membership tests against the stored
+    arrays are exact. Jaccard ≈ |K ∩ A ∩ B| / |K|; intersection =
+    jaccard x union estimate (Beyer et al. 2007). All HOFs — usable in
+    a plain select over a sketch-join row."""
+    union_arr = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    matches = F.size(
+        F.filter(union_arr, lambda x: F.array_contains(a, x) & F.array_contains(b, x))
+    )
+    ksz = F.size(union_arr)
+    jaccard = matches.cast("double") / ksz.cast("double")
+    union_est = kmv_distinct_estimate(union_arr, k)
+    return F.struct(
+        F.round(jaccard, 6).alias("jaccard"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jaccard * union_est, 4).alias("intersection_est"),
+    )

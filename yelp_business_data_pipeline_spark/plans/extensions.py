@@ -1737,3 +1737,43 @@ def heavy_hitters_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source = grouped_frequent_sketches(toks, ["source"], "tok", m=16)
     merged = merge_frequent_sketches(per_source, group_cols=None, m=16)
     return frequent_items_from_sketch(merged)
+
+
+@query(
+    "kmv_distinct_rollup_orders",
+    None,  # xxhash64-based sketch — engine-specific; the merge-closure
+    # property is pinned in tests/test_sketches.py as EXACT equality
+    doc="KMV (k-minimum-values) distinct rollup tracker (sketches."
+    "grouped_kmv_sketches, Bar-Yossef et al. 2002 / Beyer et al. 2007): "
+    "distinct customers per order priority as mergeable k-min arrays — "
+    "the set-operations member of the sketch family (HLL unions only; "
+    "KMV arrays also answer INTERSECTION and Jaccard via "
+    "kmv_set_estimates). Output: per-priority distinct estimates plus "
+    "the GLOBAL row computed by merging the per-priority sketches — the "
+    "closure property (k smallest of a union of k-min arrays == the "
+    "sketch of the union, EXACTLY) makes the rollup loss-free, pinned "
+    "as equality in pytest. One streaming bounded-heap pass + a "
+    "summary-row merge; rows-only after slot 50 (no xxhash64 in "
+    "DuckDB).",
+)
+def kmv_distinct_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import (
+        grouped_kmv_sketches,
+        kmv_distinct_estimate,
+        merge_kmv_sketches,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    per_prio = grouped_kmv_sketches(o, ["o_orderpriority"], "o_custkey", k=256)
+    per_prio = per_prio.localCheckpoint()  # feeds both branches, tiny (5 rows)
+    est = per_prio.select(
+        "o_orderpriority",
+        F.round(kmv_distinct_estimate(F.col("kmin"), 256), 4).alias("distinct_est"),
+        "n_rows",
+    )
+    merged = merge_kmv_sketches(per_prio, group_cols=None, k=256).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.round(kmv_distinct_estimate(F.col("kmin"), 256), 4).alias("distinct_est"),
+        "n_rows",
+    )
+    return est.unionAll(merged)
