@@ -55,7 +55,11 @@ from .sketches import (
     frequent_items_from_sketch,
     grouped_distinct_sketches,
     grouped_frequent_sketches,
+    grouped_kmv_sketches,
     grouped_quantile_sketches,
+    kmv_distinct_estimate,
+    kmv_set_estimates,
+    merge_kmv_sketches,
     merge_distinct_estimate,
     merge_frequent_sketches,
     merge_quantile_sketches,
@@ -131,6 +135,10 @@ __all__ = [
     "frequent_items_from_sketch",
     "grouped_distinct_sketches",
     "grouped_frequent_sketches",
+    "grouped_kmv_sketches",
+    "kmv_distinct_estimate",
+    "kmv_set_estimates",
+    "merge_kmv_sketches",
     "grouped_quantile_sketches",
     "detect_hot_keys",
     "merge_distinct_estimate",
