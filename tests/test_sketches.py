@@ -369,3 +369,53 @@ class TestKmvSketches:
         rows = {r.g: r for r in sk.grouped_kmv_sketches(df, ["g"], "v", k=8).collect()}
         assert set(rows) == {None, "x"}
         assert rows[None].n_rows == 2 and len(rows[None].kmin) == 2
+
+
+class TestKmvReviewFindings:
+    """Round-5 review regressions: timestamp group keys, k-mismatch
+    guard, empty-input n_rows, empty-set estimates."""
+
+    def _mod(self):
+        from yelp_business_data_pipeline_spark.operators import sketches as sk
+
+        return sk
+
+    def test_timestamp_group_column_works(self, spark):
+        """pandas groupby keys (pd.Timestamp) and numpy values
+        (np.datetime64) hash differently — the dedup loop must key the
+        state dict the same way the sizes loop does, or every timestamp
+        group column crashes with KeyError (reproduced pre-fix)."""
+        import datetime as dt
+
+        sk = self._mod()
+        rows = [
+            (dt.datetime(2020, 1, 1 + (i % 3)), i % 50) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "day timestamp, v long").repartition(3)
+        got = {r.day.day: r for r in sk.grouped_kmv_sketches(df, ["day"], "v", k=32).collect()}
+        assert set(got) == {1, 2, 3}
+        assert all(r.n_rows == 100 for r in got.values())
+        assert all(len(r.kmin) == 32 for r in got.values())
+
+    def test_k_mismatch_fails_loudly(self, spark):
+        import pytest as _pytest
+
+        sk = self._mod()
+        df = spark.createDataFrame([(i % 200,) for i in range(400)], "v long")
+        built = sk.grouped_kmv_sketches(df, [], "v", k=64)
+        with _pytest.raises(Exception, match="different k"):
+            sk.merge_kmv_sketches(built, group_cols=None, k=256).collect()
+
+    def test_empty_input_global_merge_n_rows_zero(self, spark):
+        sk = self._mod()
+        empty = spark.createDataFrame([], "v long")
+        row = sk.grouped_kmv_sketches(empty, [], "v", k=8).first()
+        assert row.kmin == [] and row.n_rows == 0 and row.k == 8
+
+    def test_empty_set_estimates_are_zero_not_nan(self, spark):
+        from pyspark.sql import functions as F
+
+        sk = self._mod()
+        df = spark.createDataFrame([([], [])], "ka array<long>, kb array<long>")
+        est = df.select(sk.kmv_set_estimates(F.col("ka"), F.col("kb"), 8).alias("e")).first().e
+        assert est.jaccard == 0.0 and est.union_est == 0.0 and est.intersection_est == 0.0

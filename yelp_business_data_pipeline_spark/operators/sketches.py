@@ -516,7 +516,10 @@ def grouped_kmv_sketches(
     Arrow batch pre-deduplicated with C-speed numpy before the heap
     loop — then the grouped merge sees only k-length arrays. NULL
     values are ignored (no identity). Output: group cols +
-    (kmin array<long> ascending, n_rows long).
+    (kmin array<long> ascending, k long, n_rows long) — the row carries
+    its build ``k`` so a later merge/estimate with a different capacity
+    fails loudly instead of silently producing a non-KMV array (the
+    quantile family's shared-edges discipline).
     """
     import heapq
 
@@ -529,7 +532,7 @@ def grouped_kmv_sketches(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
     )
     out_schema = (
-        (f"{fields}, " if fields else "") + "kmin array<long>, n_rows long"
+        (f"{fields}, " if fields else "") + "kmin array<long>, k long, n_rows long"
     )
 
     def _insert(st, h: int) -> None:
@@ -577,13 +580,15 @@ def grouped_kmv_sketches(
             # hash dedup per group: the insert loop runs over distinct
             # (group, hash) pairs, not rows
             dd = pdf.drop_duplicates(subset=[*group_cols, "_h"])
-            gseries = [dd[c] for c in group_cols]
-            gmask = [s.isna().to_numpy() for s in gseries]
-            garr = [s.to_numpy() for s in gseries]
+            # .tolist(), NOT .to_numpy(): the state keys were built from
+            # pandas groupby index values (pd.Timestamp for datetime64
+            # columns); numpy scalars (np.datetime64) hash differently
+            # and would KeyError on every timestamp group column
+            glists = [dd[c].tolist() for c in group_cols]
             hvals = dd["_h"].to_numpy()
             for i in range(len(hvals)):
                 key = tuple(
-                    None if gmask[j][i] else garr[j][i]
+                    None if pd.isna(glists[j][i]) else glists[j][i]
                     for j in range(len(group_cols))
                 )
                 _insert(state[key], int(hvals[i]))
@@ -597,6 +602,7 @@ def grouped_kmv_sketches(
             kmins.append(sorted(-x for x in heap))
             ns.append(n)
         out["kmin"] = kmins
+        out["k"] = [k] * len(kmins)
         out["n_rows"] = ns
         yield pd.DataFrame(out)
 
@@ -621,19 +627,34 @@ def merge_kmv_sketches(
     """Merge KMV rows to a coarser grain: distinct-union the arrays, keep
     the k smallest — EXACTLY the sketch of the concatenated raw data
     (the KMV closure property; pinned as equality). Pure JVM HOFs over
-    k-length arrays, no Python stage."""
+    k-length arrays, no Python stage.
+
+    Loud k guard (the quantile family's shared-edges discipline): each
+    input row's stored ``k`` is asserted against the passed ``k`` —
+    merging k=64 sketches under k=256 would keep values beyond each
+    input's 64th min (evicted at build, so NOT union members), silently
+    yielding a non-KMV array and a badly biased estimate."""
     if k < 1:
         raise ValueError(f"merge_kmv_sketches: k must be >= 1, got {k}")
     keep = list(group_cols or [])
+    _guard = F.assert_true(
+        F.col("k") == F.lit(int(k)),
+        F.lit(
+            f"merge_kmv_sketches: sketch built with a different k than the "
+            f"requested {k}; merge with the k the sketches were built with"
+        ),
+    )
+    guarded = F.when(_guard.isNull(), F.col(kmin_col))
     merged = F.slice(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list(kmin_col)))),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(guarded)))),
         1,
         k,
     ).alias(kmin_col)
-    n = F.sum("n_rows").alias("n_rows")
+    kc = F.coalesce(F.max("k"), F.lit(int(k))).alias("k")
+    n = F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows")
     if keep:
-        return sketches.groupBy(*keep).agg(merged, n)
-    return sketches.agg(merged, n)
+        return sketches.groupBy(*keep).agg(merged, kc, n)
+    return sketches.agg(merged, kc, n)
 
 
 def kmv_distinct_estimate(kmin: Column, k: int) -> Column:
@@ -665,12 +686,17 @@ def kmv_set_estimates(
     jaccard x union estimate (Beyer et al. 2007). All HOFs — usable in
     a plain select over a sketch-join row."""
     union_arr = F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
-    matches = F.size(
-        F.filter(union_arr, lambda x: F.array_contains(a, x) & F.array_contains(b, x))
-    )
+    # hash-based set intersection, one pass — not a per-element
+    # array_contains scan (O(k^2) per row); arrays are distinct already
+    matches = F.size(F.array_intersect(F.array_intersect(union_arr, a), b))
     ksz = F.size(union_arr)
-    jaccard = matches.cast("double") / ksz.cast("double")
-    union_est = kmv_distinct_estimate(union_arr, k)
+    # both-empty inputs: Jaccard of two empty sets is 0, never 0/0 NaN
+    jaccard = F.when(
+        ksz > 0, matches.cast("double") / ksz.cast("double")
+    ).otherwise(F.lit(0.0))
+    union_est = F.when(ksz > 0, kmv_distinct_estimate(union_arr, k)).otherwise(
+        F.lit(0.0)
+    )
     return F.struct(
         F.round(jaccard, 6).alias("jaccard"),
         F.round(union_est, 4).alias("union_est"),
