@@ -180,6 +180,14 @@ COMMENTARY = {
         "exchange carries <= m counters per partition — the property "
         "that makes hot-key detection affordable on the skewed side."
     ),
+    "kmv_distinct_rollup_orders": (
+        "KMV set-operation sketches: a bounded-heap streaming pass per "
+        "partition (batches pre-deduplicated C-side), then a pure-HOF "
+        "merge over k-length arrays — EXACT by the KMV closure property "
+        "(k smallest of a union of k-min arrays == the sketch of the "
+        "union), so per-grain sketches roll up loss-free. The global "
+        "row merges five 256-long arrays; no raw re-scan."
+    ),
     "yelp_unified_panel": (
         "The reference pipeline end-to-end on literal Yelp-shaped rows: "
         "from_json raw parse, try_cast attribute flags, hours overnight "
