@@ -1190,6 +1190,11 @@ def yelp_unified_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = spark.createDataFrame([(ln,) for ln in lines], "value string")
         return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
 
+    # NOTE on cost: with ~30 fixture rows this query is ~100% planning +
+    # one-time codegen of the ETL expression trees (14 try_cast flags, 7
+    # hours parsers, the sentiment when-chain) — measured: checkpointing
+    # the parsed frames to deduplicate the trees saves only ~10% while
+    # hiding the genuine ETL plan from EXPLAIN, so the plan stays lazy.
     biz = business_etl(parse(bl, BUSINESS_RAW_SCHEMA))
     rev = review_etl(parse(rl, REVIEW_RAW_SCHEMA))
     usr = user_etl(parse(ul, USER_RAW_SCHEMA))
