@@ -98,6 +98,32 @@ def test_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_undirected_flag_matches_general_path_on_random_graphs(spark):
+    # undirected=True dedups against the last two frontiers only — the
+    # result must be IDENTICAL to the general visited-set path and the
+    # python model on any symmetrized graph (multi-seed included)
+    import random
+
+    rng = random.Random(13)
+    for _ in range(3):
+        n = 30
+        fwd = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+        sym = fwd + [(d, s) for s, d in fwd]
+        seeds = rng.sample(range(n), 2)
+        fast = _run(spark, sym, seeds, undirected=True)
+        assert fast == _run(spark, sym, seeds)
+        assert fast == _model(sym, seeds)
+
+
+def test_undirected_flag_chain_and_adjacent_seeds(spark):
+    fwd = [(i, i + 1) for i in range(8)]
+    sym = fwd + [(d, s) for s, d in fwd]
+    # adjacent seeds: candidates at depth 1 hit the other seed (dist 0) —
+    # the two-frontier window must still suppress the re-discovery
+    got = _run(spark, sym, [3, 4], undirected=True)
+    assert got == _model(sym, [3, 4])
+
+
 def test_exact_max_depth_on_undirected_graph_returns_not_raises(spark):
     # Regression: a symmetrized chain fully explored at exactly max_depth
     # has back-edges from the final frontier into the visited set — that

@@ -12,26 +12,42 @@ Scale design (the 100 TB shape)
 -------------------------------
 Frontier iteration, the textbook BSP/Pregel BFS expressed as DataFrame
 ops: per level ONE equi-join (frontier x edges on the source vertex)
-plus ONE anti-join against the visited set — both keyed on vertex id so
-AQE co-partitions them. The frontier is the only iterated state; at
-every level it holds exactly the newly-discovered vertices, so per-level
-cost is proportional to the frontier's edge fan-out, never the whole
-graph. Lineage is cut per level (``localCheckpoint``, the repo's
-iterative pattern — pagerank/star-CC), and the visited set grows by
-unionAll of checkpointed frontiers (each union member is already
-materialized, so the union never recomputes history). Termination: the
-frontier count (one 1-row aggregate per level, same job as the
-checkpoint read) hits zero, or ``max_depth`` raises loudly.
+plus ONE anti-join against the visited set — both keyed on vertex id.
+The frontier is the only iterated state; at every level it holds exactly
+the newly-discovered vertices, so per-level cost is proportional to the
+frontier's edge fan-out, never the whole graph. The edge frame is
+repartitioned on the source vertex ONCE and checkpointed with its
+partitioning retained (``iterutil.localcheckpoint_partitioned``), so the
+per-level frontier×edges join shuffles only the frontier — the Pregel
+cost model (edges placed once, vertex state moves per superstep).
+Lineage is cut per level (``localCheckpoint``, the repo's iterative
+pattern — pagerank/star-CC), and the visited set grows by unionAll of
+checkpointed frontiers (each union member is already materialized, so
+the union never recomputes history). Termination: the frontier count
+(one 1-row aggregate per level, same job as the checkpoint read) hits
+zero, or ``max_depth`` raises loudly.
 
 Directed by default; pass the symmetrized edge set (union both
 directions) for undirected distance, exactly like the other graph
-operators.
+operators. With ``undirected=True`` the operator additionally exploits
+the undirected BFS invariant — a neighbor of a distance-``d`` vertex has
+distance ``d-1``, ``d`` or ``d+1``, never less — so the per-level
+dedup anti-joins only the last TWO frontiers instead of the whole
+visited set: per-level cost drops from O(|visited|) to O(|frontier|),
+the difference between O(V·depth) and O(V) total shuffle volume on
+deep graphs. (Equality against the general path and a python BFS model
+is pinned in tests/test_bfs.py.) The flag is an assertion about the
+EDGE SET (every edge's reverse is present), not a request: passing it
+for a one-directional edge list silently corrupts distances, exactly
+like passing an unsymmetrized edge set to connected_components.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .iterutil import localcheckpoint_keep_partitioning, localcheckpoint_partitioned
 
 
 def bfs_distances(
@@ -42,6 +58,7 @@ def bfs_distances(
     id_col: str = "id",
     max_depth: int = 30,
     checkpoint: bool = True,
+    undirected: bool = False,
 ) -> DataFrame:
     """(id, dist): minimum hop count from any seed in ``sources`` (a
     one-column DataFrame of vertex ids, dist 0) to every reachable
@@ -54,31 +71,51 @@ def bfs_distances(
     """
 
     def _cp(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if checkpoint else df
+        # keep-partitioning variant: the frontier's plan ends keyed on id
+        # (distinct/anti-join), so the retained hash layout makes the next
+        # level's frontier×edges join exchange-free on BOTH sides
+        return localcheckpoint_keep_partitioning(df) if checkpoint else df
 
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).filter(
         F.col("_s").isNotNull() & F.col("_d").isNotNull()
     )
+    # one up-front shuffle places every edge by its source vertex; the
+    # retained hashpartitioning makes every per-level frontier join
+    # exchange-free on the edge side (plan-pinned in tests/test_iterutil.py)
+    e = localcheckpoint_partitioned(e, "_s") if checkpoint else e
     frontier = _cp(
         sources.select(F.col(id_col).alias("id")).distinct().withColumn(
             "dist", F.lit(0)
         )
     )
     visited = frontier
+    prev_frontier = frontier  # undirected mode: candidates can only hit d-1/d
     for depth in range(1, max_depth + 1):
+        # undirected graphs: a candidate generated from the depth-d
+        # frontier is at distance d-1, d, or d+1 — dedup needs only the
+        # last two frontiers, not the full visited set
+        seen = frontier.unionAll(prev_frontier) if undirected else visited
         nxt = (
             frontier.join(e, frontier.id == e._s)
             .select(F.col("_d").alias("id"))
             .distinct()
-            .join(visited, "id", "left_anti")
+            .join(seen.select("id"), "id", "left_anti")
             .withColumn("dist", F.lit(depth))
         )
-        nxt = _cp(nxt)
-        if nxt.limit(1).count() == 0:
+        # lazy checkpoint + count: materializing the level and testing
+        # emptiness fuse into ONE job (see iterutil docstring) — with the
+        # eager-checkpoint-then-count shape each level costs two
+        nxt = (
+            localcheckpoint_keep_partitioning(nxt, eager=False)
+            if checkpoint
+            else nxt
+        )
+        if nxt.count() == 0:
             return visited
         # every member of the union is an already-materialized checkpoint:
         # the growing lineage is a union of RDD scans, never recomputation.
         visited = visited.unionAll(nxt)
+        prev_frontier = frontier
         frontier = nxt
     # Raise only if the final frontier can still reach an UNVISITED
     # vertex — frontier edges back into the visited set (every undirected

@@ -1612,7 +1612,9 @@ def bfs_distances_binary_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sources = ranked.filter(F.col("r") == 1).select("id")
-    dists = bfs_distances(sym, sources, max_depth=40)
+    # sym carries both directions of every edge, so the undirected
+    # two-frontier dedup applies (O(frontier) per level, not O(visited))
+    dists = bfs_distances(sym, sources, max_depth=40, undirected=True)
     return dists.groupBy("dist").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
