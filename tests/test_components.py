@@ -213,6 +213,33 @@ def test_pagerank_batched_convergence_checks(spark):
         pagerank(e, check_every=0)
 
 
+def test_pagerank_partitioned_regime_matches_aqe_regime(spark):
+    """partition_edges=True (Pregel layout: edges placed once, retained-
+    partitioning checkpoints) must give bit-comparable ranks to the
+    small-graph AQE regime and to auto mode — the knob is physical only.
+    Covers the plain AND personalized paths plus the stats probe."""
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 1), (3, 1), (3, 4), (5, 1), (2, 4), (6, 6)]
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    s_true, s_false, s_auto = {}, {}, {}
+    a = {r.id: r.rank for r in pagerank(e, partition_edges=True, stats=s_true).collect()}
+    b = {r.id: r.rank for r in pagerank(e, partition_edges=False, stats=s_false).collect()}
+    c = {r.id: r.rank for r in pagerank(e, stats=s_auto).collect()}
+    assert (s_true["partitioned_edges"], s_false["partitioned_edges"]) == (True, False)
+    assert s_auto["partitioned_edges"] is False  # 8 edges is below any crossover
+    assert set(a) == set(b) == set(c)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12), v
+        assert a[v] == pytest.approx(c[v], abs=1e-12), v
+
+    seeds = spark.createDataFrame([(1,)], "id long")
+    pa = {r.id: r.rank for r in pagerank(e, personalize=seeds, partition_edges=True).collect()}
+    pb = {r.id: r.rank for r in pagerank(e, personalize=seeds, partition_edges=False).collect()}
+    for v in pa:
+        assert pa[v] == pytest.approx(pb[v], abs=1e-12), v
+
+
 def _python_ppr(edge_list, seeds, damping=0.85, iters=60):
     verts = sorted({v for e in edge_list for v in e})
     n = len(verts)

@@ -4,13 +4,32 @@ exemplar next to connected_components (same lineage discipline).
 The classic damped power iteration (Page, Brin, Motwani & Winograd 1999):
 ``rank = (1-d)/N + d * (contributions from in-neighbors + dangling mass
 / N)``. Spark-first shape per round: one equi-join (edges x ranks on the
-source), one groupBy on the destination — both shuffles keyed on vertex
-id, so a round costs exactly the same partitioning twice and AQE reuses
-it. Dangling vertices (no out-edges) redistribute their mass globally via
-a 1-row aggregate crossed onto the update (a broadcast of ONE value, not
-a collect of the rank vector). Lineage is cut with ``localCheckpoint``
-each round like connected_components — without it the plan doubles per
-iteration; swap for reliable ``checkpoint()`` on a real cluster.
+source), one groupBy on the destination. Dangling vertices (no out-edges)
+redistribute their mass globally via a 1-row aggregate crossed onto the
+update (a broadcast of ONE value, not a collect of the rank vector).
+Lineage is cut with ``localCheckpoint`` each round like
+connected_components — without it the plan doubles per iteration; swap
+for reliable ``checkpoint()`` on a real cluster.
+
+Two physical regimes, chosen adaptively (``partition_edges``):
+
+* **Small graphs** — plain per-round checkpoints, AQE on. AQE coalesces
+  the tiny per-round shuffles to a handful of tasks, so the fixed
+  per-task scheduling cost dominates and re-shuffling the small edge set
+  each round is cheaper than pinning a wide fixed layout.
+* **Large graphs** — the Pregel cost model: the edge set is hash-
+  partitioned on the source vertex ONCE and checkpointed with its layout
+  retained (``iterutil``), and every per-round state frame is
+  checkpointed keeping its hash layout, so each round's edges×ranks join
+  is exchange-free on the edge side and only the vertex-sized state
+  moves. At cluster scale this is the difference between shuffling the
+  edge multiset O(rounds) times and once.
+
+The crossover is MEASURED, not guessed (BASELINE.md round-6): on the
+friendship graph the partitioned regime is ~1.6× slower at 60k edges
+(fixed 32-task exchange cost per round, AQE off for the loop frames) and
+~1.3× faster at 600k edges, growing 1.5× per 10× data vs 3.1× for the
+AQE regime — the gap widens with every further 10×.
 
 Deterministic: no RNG, fixed iteration count or an exact L1-convergence
 test computed distributedly (1-row agg). No reference counterpart (the
@@ -21,6 +40,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .iterutil import localcheckpoint_keep_partitioning, localcheckpoint_partitioned
+
+# Symmetric-edge count above which the partitioned (Pregel-layout) regime
+# wins. Measured crossover on the friendship graph lies between 60k
+# (partitioned ~1.6× slower) and 600k edges (~1.3× faster); the midpoint
+# errs toward the AQE regime because its penalty at the boundary is the
+# bounded one (a re-shuffle of a still-small edge set per round) while the
+# partitioned regime's small-graph penalty is per-round fixed task cost.
+_PARTITION_EDGES_MIN = 200_000
 
 
 def pagerank(
@@ -34,6 +63,7 @@ def pagerank(
     check_every: int = 4,
     stats: dict | None = None,
     checkpoint: bool = True,
+    partition_edges: bool | None = None,
 ) -> DataFrame:
     """(id, rank) for every vertex in ``edges``; ranks sum to 1.
 
@@ -46,11 +76,18 @@ def pagerank(
     convergence. ``check_every=1`` restores the per-round test; the delta
     compared is always consecutive-round L1, so ``tol`` semantics are
     unchanged. Pass a ``stats`` dict to receive
-    ``{"iterations": n, "delta_checks": n}`` (observability + test probe).
+    ``{"iterations": n, "delta_checks": n, "partitioned_edges": bool}``
+    (observability + test probe).
     ``checkpoint=False`` skips the per-round localCheckpoint lineage cuts
     so the RETURNED plan shows the genuine per-round join+groupBy shape
     (plan inspection / EXPLAIN.md only — never run many iterations with
     it, the plan doubles per round).
+    ``partition_edges`` picks the physical regime (module docstring):
+    ``None`` (default) measures the deduped symmetric edge count off the
+    already-materialized checkpoint (a cheap scan, no extra shuffle) and
+    switches at the measured crossover; ``True``/``False`` force the
+    Pregel-layout / AQE regime — a cluster caller at real scale passes
+    ``True`` to skip the sizing count.
     Parallel edges are collapsed (a duplicated edge must not double a
     contribution); self-loops count like any other edge.
 
@@ -68,16 +105,49 @@ def pagerank(
     if check_every < 1:
         raise ValueError(f"pagerank: check_every must be >= 1, got {check_every}")
 
-    def _cp(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if checkpoint else df
+    e_plain = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    if not checkpoint:
+        # plan-inspection mode: no checkpoints, no repartition — the
+        # returned plan is the honest per-round join+groupBy shape
+        e, large = e_plain, False
+    elif partition_edges is None:
+        # materialize plainly first (the dedup exchange runs under AQE),
+        # size the graph off the checkpoint, and only then pay the one-up-
+        # front placement shuffle if the graph clears the crossover
+        e = e_plain.localCheckpoint()
+        large = e.count() >= _PARTITION_EDGES_MIN
+        if large:
+            e = localcheckpoint_partitioned(e, "a")
+    elif partition_edges:
+        large = True
+        # edges partitioned by source ONCE: the per-round edges×ranks
+        # join then needs no exchange on the edge side, any round, ever
+        e = localcheckpoint_partitioned(e_plain, "a")
+    else:
+        large = False
+        e = e_plain.localCheckpoint()
 
-    e = _cp(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct())
+    def _cp(df: DataFrame) -> DataFrame:
+        if not checkpoint:
+            return df
+        if large:
+            # retained-partitioning checkpoints (iterutil): every per-round
+            # frame's plan ends keyed on the vertex id, so keeping the hash
+            # layout makes the round's joins exchange-free except the single
+            # contributions groupBy — the Pregel one-shuffle-per-superstep
+            # cost model (plan rationale in iterutil's module docstring)
+            return localcheckpoint_keep_partitioning(df)
+        return df.localCheckpoint()
+
     vertices = _cp(
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
         .distinct()
     )
     n = vertices.count()
+    if stats is None:
+        stats = {}
+    stats["partitioned_edges"] = large
     if n == 0:
         if personalize is not None:
             # the documented loud failure must fire on an empty graph too —
@@ -101,12 +171,15 @@ def pagerank(
     else:
         teleport = _cp(vertices.withColumn("t", F.lit(1.0 / n)))
 
-    out_deg = e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # in the partitioned regime e is placed on a, so this groupBy
+    # aggregates exchange-free; checkpointing it keyed on id stops every
+    # round from re-scanning e
+    out_deg = _cp(
+        e.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    )
     # teleport is already checkpointed; the rename needs no second copy
     ranks = teleport.select("id", F.col("t").alias("rank"))
 
-    if stats is None:
-        stats = {}
     stats["iterations"] = 0
     stats["delta_checks"] = 0
     for it in range(max_iter):
@@ -136,6 +209,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # EAGER checkpoint, deliberately: a lazy chain looks cheaper (one
+        # job per check window) but each round's dangling-mass scalar is a
+        # BROADCAST subtree — at execution Spark evaluates every broadcast
+        # as its own pre-job over the still-unmaterialized chain, so round
+        # k's broadcast re-walks rounds 1..k-1 and the window runs ~70%
+        # SLOWER than eager rounds (measured at sf0.1). Eager keeps each
+        # round's broadcast walking exactly one materialized RDD.
         new_ranks = _cp(new_ranks)
         stats["iterations"] = it + 1
         # Convergence is tested only on check rounds (and never on the final
