@@ -58,13 +58,40 @@ def test_random_graphs_match_model(spark):
         assert _run(spark, edges, k) == _model(edges, k)
 
 
+def test_local_finish_matches_distributed_peel(spark):
+    # the local finisher replaces the distributed tail with one Arrow
+    # pass — results must be IDENTICAL (the k-core is unique) whether the
+    # finish kicks in at round 0 (default threshold), mid-cascade, or
+    # never (threshold 0). stats pins which path ran.
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(70)]
+    for k in (2, 3):
+        s_local, s_mid, s_dist = {}, {}, {}
+        local = _run(spark, edges, k, stats=s_local)
+        mid = _run(spark, edges, k, local_finish_threshold=30, stats=s_mid)
+        dist = _run(spark, edges, k, local_finish_threshold=0, stats=s_dist)
+        assert local == mid == dist == _model(edges, k)
+        assert s_local["local_finish"] and s_local["rounds"] == 0
+        assert not s_dist["local_finish"]
+    # string ids survive the Arrow kernel round-trip
+    sdf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r.id: r.degree for r in k_core(sdf, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
 def test_deep_peeling_and_max_iter(spark):
     # a path peels one layer per round from both ends under k=2: a short
-    # max_iter must fail loudly, a sufficient one returns empty.
+    # max_iter must fail loudly, a sufficient one returns empty. The
+    # max_iter contract governs DISTRIBUTED rounds, so the local finish
+    # is disabled here.
     edges = [(i, i + 1) for i in range(12)]
     with pytest.raises(RuntimeError, match="stabilize"):
-        _run(spark, edges, 2, max_iter=2)
-    assert _run(spark, edges, 2, max_iter=12) == {}
+        _run(spark, edges, 2, max_iter=2, local_finish_threshold=0)
+    assert _run(spark, edges, 2, max_iter=12, local_finish_threshold=0) == {}
 
 
 def test_invalid_k(spark):

@@ -575,6 +575,47 @@ def link_prediction_features(
     )
 
 
+def _k_core_local_peel(edges: DataFrame, k: int) -> DataFrame:
+    """Exact k-core of an edge frame SMALL enough for one task: collapse
+    to a single partition and peel with the textbook bucket/queue
+    algorithm in one Arrow pass. The result is the unique k-core, so it
+    is bit-identical to however many distributed rounds it replaces."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", edges.schema["a"].dataType),
+            StructField("degree", LongType()),
+        ]
+    )
+
+    def peel(batches):
+        from collections import deque
+
+        adj: dict = {}
+        for pdf in batches:  # incremental: never holds >1 Arrow batch + adj
+            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        q = deque(v for v, nb in adj.items() if len(nb) < k)
+        while q:
+            v = q.popleft()
+            nbs = adj.pop(v, None)
+            if nbs is None:  # already peeled (queued twice)
+                continue
+            for u in nbs:
+                s = adj.get(u)
+                if s is not None:
+                    s.discard(v)
+                    if len(s) < k:
+                        q.append(u)
+        ids = list(adj)
+        yield pd.DataFrame({"id": ids, "degree": [len(adj[v]) for v in ids]})
+
+    return edges.coalesce(1).mapInPandas(peel, out_schema)
+
+
 def k_core(
     pairs: DataFrame,
     k: int,
@@ -582,6 +623,8 @@ def k_core(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint: bool = True,
+    local_finish_threshold: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Vertices of the k-core: the maximal subgraph where every vertex
     has degree >= k (undirected; parallel edges and self-loops ignored).
@@ -594,19 +637,42 @@ def k_core(
     the edge set against surviving vertices per endpoint). Rounds are
     bounded by the peeling depth (how many "layers" of low-degree
     vertices shield the core) — typically far below the diameter;
-    ``max_iter`` raises loudly rather than returning a non-core. Edge
-    frame is checkpointed per round (the repo's iterative contract), so
+    ``max_iter`` raises loudly rather than returning a non-core. Each
+    round's pruned edge frame is lazily localCheckpointed and counted in
+    ONE fused job (the BFS idiom: the count triggers the persist), so
     lineage never compounds; convergence = edge count unchanged (exact:
     peeling only ever removes edges, so a stable count IS a fixpoint).
+
+    **Local finish** (the iterative-tail pattern, same family as
+    connected_components' precontract): peeling shrinks the edge set
+    monotonically, and the tail of the cascade is many tiny rounds whose
+    cost is pure per-round job overhead. Once the surviving edge count
+    drops to ``local_finish_threshold`` (including round 0 — a small
+    input skips the distributed loop entirely), the remaining peel runs
+    as ONE Arrow pass over a single-partition collapse of the edges —
+    exact, so the result is identical to the distributed rounds it
+    replaces (pinned across both paths in tests/test_kcore.py). At 100 TB
+    the early rounds stay distributed and the threshold bounds the single
+    task's memory (~tens of MB at the default); ``0`` disables the finish
+    (every round distributed — the ``max_iter`` contract then applies to
+    the whole cascade). The local finisher is not round-bounded, so
+    ``max_iter`` governs only distributed rounds.
+
+    Pass a ``stats`` dict to receive ``{"rounds": n, "local_finish":
+    bool}`` (observability + test probe).
 
     Returns ``(id, degree)`` for core members (their degree WITHIN the
     core); an empty frame when no k-core exists.
     """
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
+    if stats is None:
+        stats = {}
+    stats["rounds"] = 0
+    stats["local_finish"] = False
 
-    def _cp(df: DataFrame) -> DataFrame:
-        return df.localCheckpoint() if checkpoint else df
+    def _cp(df: DataFrame, eager: bool = True) -> DataFrame:
+        return df.localCheckpoint(eager=eager) if checkpoint else df
 
     edges = _cp(
         pairs.select(
@@ -614,7 +680,8 @@ def k_core(
             F.least(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     n_edges = edges.count()
     for _ in range(max_iter):
@@ -626,6 +693,9 @@ def k_core(
                 .limit(0)
                 .withColumn("degree", F.lit(0).cast("bigint"))
             )
+        if 0 < local_finish_threshold >= n_edges:
+            stats["local_finish"] = True
+            return _k_core_local_peel(edges, k)
         deg = (
             edges.select(F.col("a").alias("id"))
             .unionAll(edges.select(F.col("b").alias("id")))
@@ -633,12 +703,17 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("degree"))
         )
         keep = deg.filter(F.col("degree") >= k).select("id")
+        # lazy checkpoint + count fuse "cut lineage" and "test convergence"
+        # into one job per round; the parent edge frame is already
+        # materialized, so broadcast pre-jobs never re-walk history
         pruned = _cp(
             edges.join(keep.withColumnRenamed("id", "a"), "a", "left_semi").join(
                 keep.withColumnRenamed("id", "b"), "b", "left_semi"
-            )
+            ),
+            eager=False,
         )
         new_n = pruned.count()
+        stats["rounds"] += 1
         if new_n == n_edges:
             # stable edge count == no vertex fell below k this round:
             # peeling is monotone (edges only leave), so this is the core.

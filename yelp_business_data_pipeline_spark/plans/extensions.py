@@ -1623,12 +1623,14 @@ def bfs_distances_binary_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # iterative peel — python-model pinned in tests/test_kcore.py
     doc="k-core decomposition bench tracker (operators/graph.py:k_core) "
     "over the REAL item co-occurrence graph (parts bought together, "
-    "support >= 2 — the basket.py collapse feeds the graph op): 2-core "
-    "vertices plus the peel statistics. Iterative peeling is one degree "
-    "groupBy + two semi-joins per round on a shrinking checkpointed edge "
-    "set; the sparse co-occurrence graph cascades deep (most of it peels "
-    "away), so the tracker watches exactly the per-round fixed cost the "
-    "100 TB story says amortizes on a cluster. Rows-only after slot 50.",
+    "support >= 2 — the basket.py collapse feeds the graph op). "
+    "Iterative peeling is one degree groupBy + two semi-joins per round "
+    "on a shrinking checkpointed edge set; once the cascade shrinks "
+    "under the local-finish threshold the remaining rounds collapse to "
+    "ONE exact Arrow peel (the iterative-tail pattern — at sf0.1 the "
+    "3.6k-edge graph takes that path immediately, at 100 TB the early "
+    "rounds stay distributed). Cross-path equality pinned in "
+    "tests/test_kcore.py. Rows-only after slot 50.",
 )
 def k_core_cooccurrence_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.basket import item_cooccurrence
