@@ -115,6 +115,23 @@ def test_undirected_flag_matches_general_path_on_random_graphs(spark):
         assert fast == _model(sym, seeds)
 
 
+def test_partition_edges_regime_matches_default(spark):
+    # partition_edges=True (Pregel layout for beyond-broadcast frontiers)
+    # is physical only — distances must be identical to the default
+    # broadcast-frontier regime and the python model, incl. combined with
+    # the undirected two-frontier dedup
+    import random
+
+    rng = random.Random(21)
+    fwd = [(rng.randrange(25), rng.randrange(25)) for _ in range(50)]
+    seeds = [fwd[0][0]]
+    assert _run(spark, fwd, seeds, partition_edges=True) == _model(fwd, seeds)
+    sym = fwd + [(d, s) for s, d in fwd]
+    assert _run(spark, sym, seeds, partition_edges=True, undirected=True) == _model(
+        sym, seeds
+    )
+
+
 def test_undirected_flag_chain_and_adjacent_seeds(spark):
     fwd = [(i, i + 1) for i in range(8)]
     sym = fwd + [(d, s) for s, d in fwd]

@@ -15,17 +15,26 @@ ops: per level ONE equi-join (frontier x edges on the source vertex)
 plus ONE anti-join against the visited set — both keyed on vertex id.
 The frontier is the only iterated state; at every level it holds exactly
 the newly-discovered vertices, so per-level cost is proportional to the
-frontier's edge fan-out, never the whole graph. The edge frame is
-repartitioned on the source vertex ONCE and checkpointed with its
-partitioning retained (``iterutil.localcheckpoint_partitioned``), so the
-per-level frontier×edges join shuffles only the frontier — the Pregel
-cost model (edges placed once, vertex state moves per superstep).
-Lineage is cut per level (``localCheckpoint``, the repo's iterative
-pattern — pagerank/star-CC), and the visited set grows by unionAll of
-checkpointed frontiers (each union member is already materialized, so
-the union never recomputes history). Termination: the frontier count
-(one 1-row aggregate per level, same job as the checkpoint read) hits
-zero, or ``max_depth`` raises loudly.
+frontier's edge fan-out, never the whole graph. Lineage is cut per level
+(``localCheckpoint``, the repo's iterative pattern — pagerank/star-CC),
+and the visited set grows by unionAll of checkpointed frontiers (each
+union member is already materialized, so the union never recomputes
+history). Termination: the frontier count (one 1-row aggregate per
+level, same job as the checkpoint read) hits zero, or ``max_depth``
+raises loudly.
+
+Two physical regimes (``partition_edges``), with the OPPOSITE default
+from pagerank — measured, not assumed (BASELINE.md round-6): BFS
+frontiers are small relative to the edge set, so under the default AQE
+regime each level's frontier×edges join plans as a BROADCAST of the
+frontier and the edge side never shuffles at all — faster at BOTH
+measured scales (sf0.1 3.1 s vs 4.9 s, sf1 5.9 s vs 6.9 s). The Pregel
+layout (edges hash-placed on source once, retained-partitioning
+checkpoints, ``partition_edges=True``) only wins once frontiers outgrow
+the broadcast threshold — high-fanout graphs where a level's frontier is
+itself a large fraction of the vertex set; pagerank lives there
+permanently (its "frontier" is ALL vertices every round), which is why
+its default is the placed-edges regime above 200k edges.
 
 Directed by default; pass the symmetrized edge set (union both
 directions) for undirected distance, exactly like the other graph
@@ -59,30 +68,48 @@ def bfs_distances(
     max_depth: int = 30,
     checkpoint: bool = True,
     undirected: bool = False,
+    partition_edges: bool = False,
 ) -> DataFrame:
     """(id, dist): minimum hop count from any seed in ``sources`` (a
     one-column DataFrame of vertex ids, dist 0) to every reachable
     vertex. Unreachable vertices are absent from the output (left-join
     against a vertex frame and fill if a dense result is needed).
 
+    ``partition_edges=True`` switches to the Pregel layout (module
+    docstring) for graphs whose frontiers outgrow the broadcast
+    threshold; the default broadcast-frontier regime never shuffles the
+    edge side at all and measures faster at every scale this repo can
+    generate. Results are identical either way (pinned in
+    tests/test_bfs.py).
+
     Raises RuntimeError when a frontier still exists after ``max_depth``
     levels — distances beyond the cap would be silently wrong, so the
     cap fails loudly (the star-CC convention).
     """
 
-    def _cp(df: DataFrame) -> DataFrame:
-        # keep-partitioning variant: the frontier's plan ends keyed on id
-        # (distinct/anti-join), so the retained hash layout makes the next
-        # level's frontier×edges join exchange-free on BOTH sides
-        return localcheckpoint_keep_partitioning(df) if checkpoint else df
+    def _cp(df: DataFrame, eager: bool = True) -> DataFrame:
+        if not checkpoint:
+            return df
+        if partition_edges:
+            # keep-partitioning variant: the frontier's plan ends keyed on
+            # id (distinct/anti-join), so the retained hash layout makes
+            # the next level's frontier×edges join exchange-free on BOTH
+            # sides
+            return localcheckpoint_keep_partitioning(df, eager=eager)
+        return df.localCheckpoint(eager=eager)
 
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).filter(
         F.col("_s").isNotNull() & F.col("_d").isNotNull()
     )
-    # one up-front shuffle places every edge by its source vertex; the
-    # retained hashpartitioning makes every per-level frontier join
-    # exchange-free on the edge side (plan-pinned in tests/test_iterutil.py)
-    e = localcheckpoint_partitioned(e, "_s") if checkpoint else e
+    if checkpoint:
+        if partition_edges:
+            # one up-front shuffle places every edge by its source vertex;
+            # the retained hashpartitioning makes every per-level frontier
+            # join exchange-free on the edge side (plan-pinned in
+            # tests/test_iterutil.py)
+            e = localcheckpoint_partitioned(e, "_s")
+        else:
+            e = e.localCheckpoint()
     frontier = _cp(
         sources.select(F.col(id_col).alias("id")).distinct().withColumn(
             "dist", F.lit(0)
@@ -105,11 +132,7 @@ def bfs_distances(
         # lazy checkpoint + count: materializing the level and testing
         # emptiness fuse into ONE job (see iterutil docstring) — with the
         # eager-checkpoint-then-count shape each level costs two
-        nxt = (
-            localcheckpoint_keep_partitioning(nxt, eager=False)
-            if checkpoint
-            else nxt
-        )
+        nxt = _cp(nxt, eager=False)
         if nxt.count() == 0:
             return visited
         # every member of the union is an already-materialized checkpoint:
