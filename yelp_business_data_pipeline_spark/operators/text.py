@@ -466,3 +466,145 @@ def winnowing_fingerprints_arrow(
     if min_partitions is not None and rows.rdd.getNumPartitions() < min_partitions:
         rows = rows.repartition(min_partitions)
     return rows.mapInPandas(_winnow, schema=schema)
+
+
+#: Gopher repetition thresholds (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", table A1):
+#: a document FAILS when the fraction of characters in the most common
+#: word n-gram exceeds the top threshold, or the fraction of characters
+#: in duplicated word n-grams exceeds the dup threshold.
+GOPHER_TOP_NGRAM_THRESHOLDS: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS: dict[int, float] = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def gopher_repetition_metrics(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """Per-document repetition counters behind the Gopher repetition
+    filters (Rae et al. 2021 §A1.1): most-common-n-gram character mass,
+    duplicated-n-gram character mass, duplicate-line mass.
+
+    Emits raw INTEGER counters, not fractions — cross-engine float
+    division is the oracle-drift trap this repo's determinism rules ban;
+    derive fractions with :func:`gopher_repetition_flags` (or any
+    consumer's own thresholds) from exact ints.
+
+    Definitions (words = non-empty segments between single spaces, the
+    documents-table normalization; lines = ``\\n`` segments):
+
+    - ``total_word_chars`` — sum of word lengths (spaces excluded).
+    - ``top_{n}gram_chars`` — max over n-grams of count x n-gram word
+      chars: the character mass of the most repeated n-gram.
+    - ``dup_{n}gram_chars`` — sum over n-grams occurring >1 time of
+      count x word chars. Overlapping occurrences double-count (the
+      standard public-reproduction relaxation of Gopher's
+      position-union definition — may exceed total_word_chars; the
+      flags helper clamps via the fraction threshold only).
+    - ``n_lines`` / ``dup_line_count`` / ``dup_line_chars`` /
+      ``total_line_chars`` — occurrences of lines whose text appears
+      more than once (the C4/Gopher duplicate-line family).
+
+    Scale shape: repetition is per-DOCUMENT computation and a document
+    is one row, so this is an Arrow ``mapInPandas`` kernel — ZERO
+    shuffle, the winnowing_fingerprints_arrow precedent (the relational
+    explode+groupBy form would shuffle every n-gram occurrence only to
+    regroup rows that never left their document). Each batch holds one
+    Counter per (doc, n) — memory O(distinct n-grams of the current
+    row), never corpus-bound. Exact DuckDB twin pinned in
+    tests/test_gopher.py.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ns = tuple(top_ns) + tuple(dup_ns)
+    if len(set(ns)) != len(ns) or any(n < 1 for n in ns):
+        raise ValueError(
+            f"gopher_repetition_metrics: n values must be distinct and >= 1, "
+            f"got top_ns={top_ns}, dup_ns={dup_ns}"
+        )
+    id_field = df.schema[id_col]
+    cols = (
+        ["n_words", "total_word_chars"]
+        + [f"top_{n}gram_chars" for n in top_ns]
+        + [f"dup_{n}gram_chars" for n in dup_ns]
+        + ["n_lines", "dup_line_count", "dup_line_chars", "total_line_chars"]
+    )
+    schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType)]
+        + [T.StructField(c, T.LongType()) for c in cols]
+    )
+
+    def _metrics(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out = {id_col: pdf[id_col], **{c: [] for c in cols}}
+            for text in pdf[text_col].tolist():
+                text = text or ""
+                words = [w for w in text.split(" ") if w]
+                wl = [len(w) for w in words]
+                pref = [0]
+                for L in wl:
+                    pref.append(pref[-1] + L)
+                row = {"n_words": len(words), "total_word_chars": pref[-1]}
+                for n in top_ns + dup_ns:
+                    counts: Counter = Counter()
+                    chars: dict = {}
+                    for i in range(len(words) - n + 1):
+                        g = tuple(words[i : i + n])
+                        counts[g] += 1
+                        if g not in chars:
+                            chars[g] = pref[i + n] - pref[i]
+                    if n in top_ns:
+                        row[f"top_{n}gram_chars"] = max(
+                            (c * chars[g] for g, c in counts.items()), default=0
+                        )
+                    else:
+                        row[f"dup_{n}gram_chars"] = sum(
+                            c * chars[g] for g, c in counts.items() if c > 1
+                        )
+                lines = text.split("\n")
+                lc = Counter(lines)
+                row["n_lines"] = len(lines)
+                row["dup_line_count"] = sum(c for c in lc.values() if c > 1)
+                row["dup_line_chars"] = sum(
+                    c * len(l) for l, c in lc.items() if c > 1
+                )
+                row["total_line_chars"] = sum(len(l) for l in lines)
+                for c in cols:
+                    out[c].append(row[c])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(_metrics, schema=schema)
+
+
+def gopher_repetition_flags(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> Column:
+    """``passes_gopher_repetition`` expression over the counter columns of
+    :func:`gopher_repetition_metrics` — JVM-side, codegen'd: a document
+    passes when EVERY per-n character fraction is at or under its Gopher
+    threshold (empty documents pass; 0/0 counts as 0). Compose with the
+    other quality columns (stopword_ratio, punct_ratio, repetition_ratio)
+    for a full quality gate."""
+    cond = F.lit(True)
+    for n in top_ns:
+        thr = GOPHER_TOP_NGRAM_THRESHOLDS[n]
+        cond = cond & (
+            F.col(f"top_{n}gram_chars")
+            <= F.lit(thr) * F.col("total_word_chars")
+        )
+    for n in dup_ns:
+        thr = GOPHER_DUP_NGRAM_THRESHOLDS[n]
+        cond = cond & (
+            F.col(f"dup_{n}gram_chars")
+            <= F.lit(thr) * F.col("total_word_chars")
+        )
+    return cond

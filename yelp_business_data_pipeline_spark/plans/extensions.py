@@ -1786,3 +1786,38 @@ def kmv_distinct_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return est.unionAll(merged)
+
+
+@query(
+    "gopher_repetition_panel",
+    None,  # exact DuckDB twin exists but lives in tests/test_gopher.py —
+    # the first 50 registry slots are the driver's oracle set (layout
+    # pinned in tests/test_layout.py); this tracker is rows-only by slot
+    doc="Gopher repetition-filter panel (text.gopher_repetition_metrics, "
+    "Rae et al. 2021 A1.1): per-document most-common-n-gram and "
+    "duplicated-n-gram character mass as exact integers, aggregated to "
+    "corpus pass rates per source plus the full quality gate "
+    "(gopher_repetition_flags). Repetition is per-document computation, "
+    "so the kernel is one zero-shuffle Arrow pass (the winnowing "
+    "precedent) — at 100 TB the corpus streams once and only the "
+    "per-source aggregate shuffles. Integer counters vs an independent "
+    "DuckDB n-gram construction pinned in tests/test_gopher.py.",
+)
+def gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_repetition_flags, gopher_repetition_metrics
+
+    d = tbl(spark, sf_dir, "documents")
+    m = gopher_repetition_metrics(d).join(d.select("doc_id", "source"), "doc_id")
+    return (
+        m.withColumn("ok", gopher_repetition_flags())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_pass"),
+            F.sum("total_word_chars").alias("sum_word_chars"),
+            F.sum("top_2gram_chars").alias("sum_top2_chars"),
+            F.sum("dup_5gram_chars").alias("sum_dup5_chars"),
+            F.sum("dup_10gram_chars").alias("sum_dup10_chars"),
+        )
+        .orderBy("source")
+    )
