@@ -1821,3 +1821,31 @@ def gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    None,  # greedy-sequential within clusters — not SQL-expressible;
+    # greedy-prefix model equality + layout independence pinned in
+    # tests/test_semdedup.py
+    doc="SemDeDup semantic near-dup removal (operators/semdedup.py, Abbas "
+    "et al. 2023): IVF-cluster the embeddings table (the SAME sample-"
+    "trained coarse quantizer the ANN index uses), then a greedy "
+    "within-cluster prefix scan drops every vector whose cosine to an "
+    "already-kept one exceeds the threshold. One zero-shuffle Arrow "
+    "assignment + ONE groupBy(cluster) shuffle; per-cluster cost is "
+    "O(c*kept*dim) — n_clusters bounds c, the 100-TB memory knob. "
+    "Threshold 0.45 is this corpus's semantic-redundancy regime (the "
+    "synthetic embeddings are isotropic — max neighbor cosine ~0.60, no "
+    "literal dups; SemDeDup's paper likewise tunes the threshold to a "
+    "target kept fraction, not to near-1 cosine). Output: per-cluster "
+    "keep/drop rollup (semantic_dedup_stats). Rows-only after slot 50.",
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semdedup import semantic_dedup, semantic_dedup_stats
+
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", sim.as_double_vec(F.col("embedding")).alias("v")
+    )
+    v = semantic_dedup(e, "vec_id", "v", threshold=0.45, n_clusters=8)
+    return semantic_dedup_stats(v).orderBy("list_id")
