@@ -145,16 +145,41 @@ COMMENTARY = {
         "Frontier BFS over a per-nation binary tree built by EXPLODING "
         "each parent's two target ranks and equi-joining on "
         "(nation, rank) — no non-equi join, no per-nation cartesian. "
-        "Each level is one frontier join + one anti-join against "
-        "visited, lineage-cut; depth is log2(nation size), so the bench "
-        "row tracks per-level fixed cost (the sf1 probe measured 2.5x "
-        "wall for 10x data)."
+        "Each level: one frontier join (the frontier BROADCASTS under "
+        "AQE, so the edge side never shuffles — the default regime; "
+        "partition_edges=True pins the Pregel layout for beyond-"
+        "broadcast frontiers) + one dedup anti-join against only the "
+        "last TWO frontiers (undirected invariant), with the lineage "
+        "cut and the emptiness test fused into one lazy-checkpoint job "
+        "per level."
     ),
     "k_core_cooccurrence_graph": (
         "Iterative peel over the real item co-occurrence graph: the "
         "basket collapse (one groupBy + executor-local HOF pair "
         "expansion, no basket self-join) feeds rounds of one degree "
-        "groupBy + two semi-joins on a shrinking checkpointed edge set."
+        "groupBy + two semi-joins on a shrinking edge set, each round "
+        "one fused lazy-checkpoint+count job. Once the survivors fit "
+        "one task the cascade finishes as ONE exact Arrow peel (local "
+        "finish) — at sf0.1 the 3.6k-edge graph takes that path "
+        "immediately (2.4s -> 0.5s), at 100 TB the early rounds stay "
+        "distributed."
+    ),
+    "gopher_repetition_panel": (
+        "Zero-shuffle Arrow kernel: every Gopher repetition counter "
+        "(top-n-gram, dup-n-gram, dup-line character mass) is a "
+        "per-document computation, so the corpus streams once through "
+        "mapInPandas and only the per-source rollup exchanges. Integer "
+        "counters by design — the fraction thresholds are JVM "
+        "expressions, and the DuckDB twin compares exactly (no float "
+        "drift)."
+    ),
+    "semantic_dedup_embeddings": (
+        "SemDeDup: zero-shuffle Arrow centroid assignment (the SAME "
+        "sample-trained IVF quantizer the ANN index uses), ONE "
+        "groupBy(cluster) shuffle into the greedy within-cluster prefix "
+        "scan (applyInPandas; chunked matmuls against the growing kept "
+        "set), then the stats rollup. The quadratic term is bounded per "
+        "cluster at n/n_clusters — the paper's LAION-440M recipe."
     ),
     "link_prediction_friend_graph": (
         "Center-as-basket collapse: each vertex's neighbor set collapses "
@@ -228,8 +253,12 @@ SPECIAL = {
         _pagerank_round_plan,
         "The per-round shape the bench query repeats 8x: ONE equi-join "
         "(edges x ranks on the source vertex) + ONE HashAggregate exchange "
-        "on the destination vertex — both keyed on vertex id so AQE reuses "
-        "the partitioning; the dangling-mass term is a 1-row aggregate "
+        "on the destination vertex — both keyed on vertex id. Above the "
+        "measured 200k-edge crossover the edge side is hash-placed ONCE "
+        "and checkpointed with its layout retained (BASELINE.md round-6 "
+        "table), making the per-round join exchange-free on the edge "
+        "side; below it AQE's stage coalescing wins and edges re-shuffle "
+        "cheaply. The dangling-mass term is a 1-row aggregate "
         "crossed on as a broadcast scalar (the only "
         "BroadcastNestedLoopJoin, cardinality 1), never a rank-vector "
         "collect. In production each round ends in localCheckpoint, so "
