@@ -88,3 +88,147 @@ def decontaminate(
     contamination is worst)."""
     hits = ngram_contamination(train, bench, id_col, text_col, n).select(id_col)
     return train.join(hits, id_col, "left_anti")
+
+
+def _build_aho(patterns: list[str]):
+    """Aho-Corasick automaton (Aho & Corasick 1975) over ``patterns``:
+    returns ``(goto, fail, out)`` — per-state child dict, failure link,
+    and the pattern indices recognized at the state (including via
+    suffix links, pre-flattened so the scan never walks them)."""
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    for pi, pat in enumerate(patterns):
+        s = 0
+        for ch in pat:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(pi)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque()
+    for ch, s in goto[0].items():
+        q.append(s)  # depth-1 states fail to root
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0)
+            if fail[s] == s:  # depth-1 self-reference guard
+                fail[s] = 0
+            out[s].extend(out[fail[s]])  # flatten suffix outputs
+    return goto, fail, out
+
+
+def exact_substring_hits(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_len: int = 20,
+    max_patterns: int = 1_000_000,
+    max_pattern_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Exact verbatim-substring contamination (the Lee et al. 2022 /
+    "did the eval string appear verbatim in training data" check — the
+    stricter sibling of :func:`ngram_contamination`, which tolerates
+    tokenization drift but misses sub-n-gram verbatim strings).
+
+    One row per (training doc, benchmark string) with at least one
+    occurrence: ``(id, bench_id, n_occurrences, first_pos)`` —
+    occurrences count OVERLAPPING matches (every match position),
+    ``first_pos`` is the 1-based character index. Docs/pairs without
+    hits are absent.
+
+    Scale shape: the benchmark side is small by contract — it collects
+    to the driver (loudly bounded by ``max_patterns`` rows and
+    ``max_pattern_bytes`` chars, the ANN query-side convention) and
+    compiles into ONE Aho-Corasick automaton, closure-captured by an
+    Arrow ``mapInPandas`` kernel. The corpus then streams through a
+    SINGLE automaton pass per document — O(doc chars + hits),
+    independent of pattern count, ZERO shuffle — where per-pattern
+    ``contains`` would cost O(patterns x chars). Patterns shorter than
+    ``min_len`` chars are dropped (too-short strings hit everywhere;
+    Lee et al. use a 50-token floor at web scale).
+    """
+    rows = bench.select(bench_id_col, bench_text_col).filter(
+        # the empty pattern would sit at the automaton root and "match"
+        # every position — a length floor of 1 applies even at min_len=0
+        F.length(F.col(bench_text_col)) >= max(min_len, 1)
+    ).collect()
+    if len(rows) > max_patterns:
+        raise ValueError(
+            f"exact_substring_hits: {len(rows)} benchmark strings exceed "
+            f"max_patterns={max_patterns} — the bench side must stay "
+            "driver-bounded (raise the cap only with driver memory to match)"
+        )
+    total = sum(len(r[1]) for r in rows)
+    if total > max_pattern_bytes:
+        raise ValueError(
+            f"exact_substring_hits: benchmark text totals {total} chars, "
+            f"over max_pattern_bytes={max_pattern_bytes}"
+        )
+    # dedup identical pattern strings; every bench id sharing the text
+    # still reports (hits fan back out over the id list)
+    by_text: dict = {}
+    for bid, btext in rows:
+        by_text.setdefault(btext, []).append(bid)
+    patterns = sorted(by_text)  # deterministic automaton layout
+    bench_ids = [sorted(by_text[p]) for p in patterns]
+    goto, fail, out = _build_aho(patterns)
+    plens = [len(p) for p in patterns]
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, train.schema[id_col].dataType),
+            T.StructField("bench_id", bench.schema[bench_id_col].dataType),
+            T.StructField("n_occurrences", T.LongType()),
+            T.StructField("first_pos", T.LongType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            ids_out, bids_out, cnt_out, pos_out = [], [], [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                text = text or ""
+                s = 0
+                counts: dict = {}
+                first: dict = {}
+                for i, ch in enumerate(text):
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    for pi in out[s]:
+                        counts[pi] = counts.get(pi, 0) + 1
+                        if pi not in first:
+                            first[pi] = i - plens[pi] + 2  # 1-based start
+                for pi in sorted(counts):
+                    for bid in bench_ids[pi]:
+                        ids_out.append(did)
+                        bids_out.append(bid)
+                        cnt_out.append(counts[pi])
+                        pos_out.append(first[pi])
+            yield pd.DataFrame(
+                {
+                    id_col: ids_out,
+                    "bench_id": bids_out,
+                    "n_occurrences": cnt_out,
+                    "first_pos": pos_out,
+                }
+            )
+
+    return train.select(id_col, text_col).mapInPandas(scan, schema)

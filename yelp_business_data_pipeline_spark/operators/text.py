@@ -608,3 +608,70 @@ def gopher_repetition_flags(
             <= F.lit(thr) * F.col("total_word_chars")
         )
     return cond
+
+
+#: C4 policy-boilerplate phrases (Raffel et al. 2020 §2.2 — pages whose
+#: lines carry these are cookie/ToS boilerplate, not prose).
+C4_POLICY_PHRASES: tuple[str, ...] = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+#: Line terminators C4 treats as "ends in terminal punctuation".
+C4_TERMINAL = ('.', '!', '?', '"')
+
+
+def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
+    """The C4 line filter (Raffel et al. 2020 §2.2) as a pure JVM
+    expression: of the document's ``\\n``-separated lines, keep those
+    that end in terminal punctuation (``. ! ? "``), contain at least
+    ``min_words`` whitespace words, and do not contain the word
+    "javascript" (lowercase input assumed — the documents-table
+    normalization; wrap with ``F.lower`` otherwise). Returns the kept
+    ARRAY of lines — join with ``array_join(.., '\\n')`` to rebuild the
+    cleaned text, or ``size()`` it for the sentence-count gate.
+
+    Codegen'd filter over a split — no UDF, no shuffle; the DuckDB twin
+    is the same list_filter construction (pinned in tests/test_c4.py).
+    """
+    lines = F.split(text, "\n")
+    trimmed = lambda l: F.rtrim(l)  # noqa: E731 — shared by both predicates
+    return F.filter(
+        lines,
+        lambda l: (
+            F.substring(trimmed(l), -1, 1).isin(*C4_TERMINAL)
+            & (F.size(F.filter(F.split(F.trim(l), " +"), lambda w: w != "")) >= min_words)
+            & ~F.contains(l, F.lit("javascript"))
+        ),
+    )
+
+
+def c4_doc_flags(text: Column, min_kept_lines: int = 3, min_words: int = 5) -> Column:
+    """C4 document-level gate as a struct of booleans (all JVM exprs):
+
+    - ``has_lorem_ipsum`` / ``has_curly_brace`` — C4 drops any page with
+      the placeholder text or a ``{`` (source-code tell).
+    - ``has_policy_phrase`` — any :data:`C4_POLICY_PHRASES` hit.
+    - ``n_kept_lines`` — surviving :func:`c4_kept_lines` count; C4 keeps
+      pages with at least ``min_kept_lines`` (its 3-sentence floor).
+    - ``passes_c4`` — the combined verdict.
+
+    Lowercase input assumed, as in :func:`c4_kept_lines`.
+    """
+    lorem = F.contains(text, F.lit("lorem ipsum"))
+    curly = F.contains(text, F.lit("{"))
+    policy = F.lit(False)
+    for p in C4_POLICY_PHRASES:
+        policy = policy | F.contains(text, F.lit(p))
+    kept = F.size(c4_kept_lines(text, min_words))
+    return F.struct(
+        lorem.alias("has_lorem_ipsum"),
+        curly.alias("has_curly_brace"),
+        policy.alias("has_policy_phrase"),
+        kept.alias("n_kept_lines"),
+        (
+            ~lorem & ~curly & ~policy & (kept >= F.lit(min_kept_lines))
+        ).alias("passes_c4"),
+    )

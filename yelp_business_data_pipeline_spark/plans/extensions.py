@@ -1849,3 +1849,39 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = semantic_dedup(e, "vec_id", "v", threshold=0.45, n_clusters=8)
     return semantic_dedup_stats(v).orderBy("list_id")
+
+
+@query(
+    "exact_substring_decontam",
+    None,  # exact DuckDB position-enumeration twin lives in
+    # tests/test_exact_substring.py (rows-only by slot, like the gopher
+    # panel — the first 50 registry slots are the driver's oracle set)
+    doc="Exact verbatim-substring decontamination tracker (decontam."
+    "exact_substring_hits, the Lee et al. 2022 check): benchmark strings "
+    "(here: 40-char prefixes of every 25th document, harvested "
+    "deterministically) compile into ONE driver-side Aho-Corasick "
+    "automaton, and the corpus streams through a single Arrow pass — "
+    "O(chars + hits) per doc regardless of pattern count, zero shuffle, "
+    "vs O(patterns x chars) for per-pattern contains. Output: hit-count "
+    "rollup per benchmark string. Complements the n-gram collision check "
+    "(decontam_ngram_overlap, oracle slot): n-grams tolerate tokenization "
+    "drift, the automaton catches sub-n-gram verbatim strings.",
+)
+def exact_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import exact_substring_hits
+
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+    hits = exact_substring_hits(d, bench, min_len=20)
+    return (
+        hits.groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_hit"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.min("first_pos").alias("min_first_pos"),
+        )
+        .orderBy("bench_id")
+    )
