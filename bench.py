@@ -64,20 +64,30 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # Truncation-proofing (BENCH_r04's `parsed` came back null because a
-    # bounded tail-capture cut the head of this line): keep the line as
-    # compact as possible (no spaces, 2-decimal per-query values — the
-    # summary `value` keeps 4), persist a full-precision copy next to the
-    # script, and print the line LAST so a tail capture always holds its
-    # end... and its head, now that it is ~40% shorter.
+    # Truncation-proofing, round 3 (BENCH_r04/r05/r06 `parsed` came back
+    # null every time: the driver's bounded tail-capture cuts the HEAD of
+    # the full per-query line no matter how compact it gets). Strategy:
+    # persist the full-precision payload to BENCH_LOCAL.json, print the
+    # full compact line for humans/tools, then print a <120-char
+    # summary-only JSON line LAST — whatever window the capture keeps, it
+    # always ends with a complete parseable object carrying the headline
+    # metric (total/n/sf).
     compact = dict(payload, queries={k: round(v, 2) for k, v in timings.items()})
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
     try:
         with open(out_path, "w") as fh:
             json.dump(payload, fh)
     except OSError:
-        pass  # read-only checkout: stdout line is still the contract
+        pass  # read-only checkout: stdout lines are still the contract
     print(json.dumps(compact, separators=(",", ":")))
+    summary = {
+        "metric": "query_pack_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1,5 +1,8 @@
-"""bench.py contract: the driver runs it per-round and parses ONE JSON line
-from stdout — guard that end to end (subprocess, like the driver)."""
+"""bench.py contract: the driver runs it per-round and parses JSON from a
+bounded tail-capture of stdout — guard that end to end (subprocess, like
+the driver). The LAST line is a <120-char summary object (the capture can
+cut the head of the full per-query line; it must always end with a
+complete parseable object), the line before it the full per-query map."""
 
 from __future__ import annotations
 
@@ -23,11 +26,18 @@ def test_bench_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [line for line in out.stdout.strip().splitlines() if line.strip()]
-    payload = json.loads(lines[-1])
-    assert payload["unit"] == "sec"
-    assert payload["sf"] == "0.001"
-    assert isinstance(payload["value"], (int, float))
+    summary = json.loads(lines[-1])
+    assert len(lines[-1]) < 120, "summary line must survive any tail window"
+    assert summary["unit"] == "sec"
+    assert summary["sf"] == "0.001"
+    assert isinstance(summary["value"], (int, float))
+    assert "queries" not in summary  # summary stays head-truncation-proof
+
+    payload = json.loads(lines[-2])
+    assert payload["unit"] == "sec" and payload["sf"] == "0.001"
+    assert payload["value"] == summary["value"]
     from yelp_business_data_pipeline_spark.plans import QUERIES
 
     assert set(payload["queries"]) == set(QUERIES)
+    assert summary["n_queries"] == len(payload["queries"])
     assert all(v >= 0 for v in payload["queries"].values())

@@ -132,6 +132,20 @@ def test_partition_edges_regime_matches_default(spark):
     )
 
 
+def test_partition_edges_without_checkpoint_raises(spark):
+    """The Pregel layout rides the retained-partitioning checkpoints;
+    requesting it with checkpoint=False must fail loudly, not silently
+    run the default regime (pagerank enforces the same contract)."""
+    from yelp_business_data_pipeline_spark.operators.pagerank import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="partition_edges=True requires"):
+        bfs_distances(e, s, partition_edges=True, checkpoint=False)
+    with pytest.raises(ValueError, match="partition_edges=True requires"):
+        pagerank(e, partition_edges=True, checkpoint=False)
+
+
 def test_undirected_flag_chain_and_adjacent_seeds(spark):
     fwd = [(i, i + 1) for i in range(8)]
     sym = fwd + [(d, s) for s, d in fwd]

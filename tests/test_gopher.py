@@ -163,3 +163,36 @@ def test_invalid_ns(spark):
         gopher_repetition_metrics(df, top_ns=(2, 3), dup_ns=(3, 5))
     with pytest.raises(ValueError, match=">= 1"):
         gopher_repetition_metrics(df, top_ns=(0,), dup_ns=(5,))
+
+
+def test_flags_ns_outside_published_thresholds(spark):
+    """metrics accepts arbitrary n; flags must reject n values with no
+    threshold via ValueError (not a bare KeyError) unless the caller
+    supplies a thresholds mapping."""
+    with pytest.raises(ValueError, match="no threshold for top n=5"):
+        gopher_repetition_flags(top_ns=(5,), dup_ns=())
+    with pytest.raises(ValueError, match="no threshold for dup n=11"):
+        gopher_repetition_flags(top_ns=(), dup_ns=(11,))
+    # explicit thresholds unlock non-published n values end to end
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    m = gopher_repetition_metrics(df, top_ns=(5,), dup_ns=(11,))
+    flagged = {
+        r["doc_id"]: r["ok"]
+        for r in m.select(
+            "doc_id",
+            gopher_repetition_flags(
+                top_ns=(5,), dup_ns=(11,), thresholds={5: 0.15, 11: 0.10}
+            ).alias("ok"),
+        ).collect()
+    }
+    assert flagged[0] is False  # "spam" x6 still fails a top-5gram gate
+    assert flagged[1] is True
+    # an override for a published n wins over the table
+    loose = gopher_repetition_flags(top_ns=(2,), dup_ns=(), thresholds={2: 1.0})
+    flagged2 = {
+        r["doc_id"]: r["ok"]
+        for r in gopher_repetition_metrics(df)
+        .select("doc_id", loose.alias("ok"))
+        .collect()
+    }
+    assert flagged2[2] is True  # the a-b loop passes at threshold 1.0

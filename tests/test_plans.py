@@ -27,7 +27,7 @@ def plans(spark, sf_dir):
             "topk_orders_per_segment",
             "graph_two_hop_region_customers",
             "sentiment_by_source",
-            "minhash_lsh_candidate_pairs",
+            "jaccard_pairs_panel",
             "ann_cosine_topk",
             "shipping_priority_top10",
             "blocked_linkage_pairs",

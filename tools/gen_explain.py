@@ -74,8 +74,8 @@ COMMENTARY = {
         "scale); customer broadcasts. Revenue sums are decimal-routed for "
         "order-insensitive exactness."
     ),
-    "minhash_lsh_candidate_pairs": (
-        "All signature work (token md5s, arithmetic shingle hashes, k "
+    "jaccard_pairs_panel": (
+        "Three families, one result: the exact-Jaccard inverted-index self-joins run on bounded windows; in the minhash_lsh family all signature work (token md5s, arithmetic shingle hashes, k "
         "rehashes, band hashes) is per-row projection — zero shuffle until "
         "the bucket groupBy on uniform band hashes. Pair expansion happens "
         "inside buckets (bounded), not via a corpus self-join."

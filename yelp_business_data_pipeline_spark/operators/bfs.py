@@ -85,7 +85,18 @@ def bfs_distances(
     Raises RuntimeError when a frontier still exists after ``max_depth``
     levels — distances beyond the cap would be silently wrong, so the
     cap fails loudly (the star-CC convention).
+
+    ``partition_edges=True`` requires ``checkpoint=True``: the Pregel
+    regime IS the retained-partitioning checkpoint layout (without
+    checkpoints there is no materialized layout to retain, and the
+    flag would silently do nothing), so the combination raises.
     """
+    if partition_edges and not checkpoint:
+        raise ValueError(
+            "bfs_distances: partition_edges=True requires checkpoint=True — "
+            "the Pregel layout is carried by the retained-partitioning "
+            "checkpoints; without them the flag has no effect"
+        )
 
     def _cp(df: DataFrame, eager: bool = True) -> DataFrame:
         if not checkpoint:

@@ -137,7 +137,7 @@ def exact_substring_hits(
     bench_text_col: str = "text",
     min_len: int = 20,
     max_patterns: int = 1_000_000,
-    max_pattern_bytes: int = 256 << 20,
+    max_pattern_bytes: int = 16 << 20,
 ) -> DataFrame:
     """Exact verbatim-substring contamination (the Lee et al. 2022 /
     "did the eval string appear verbatim in training data" check — the
@@ -160,6 +160,15 @@ def exact_substring_hits(
     ``contains`` would cost O(patterns x chars). Patterns shorter than
     ``min_len`` chars are dropped (too-short strings hit everywhere;
     Lee et al. use a 50-token floor at web scale).
+
+    MEMORY: the dict-of-dicts automaton is roughly TWO ORDERS OF
+    MAGNITUDE larger than the raw pattern text (one python dict + list
+    per trie node, ~one node per char), and it is closure-pickled into
+    every mapInPandas task — ``max_pattern_bytes`` caps CHARS, so budget
+    ~50-100x that in driver AND per-executor memory. The 16 MiB default
+    (~1-1.5 GB automaton) fits comfortable executor sizings; raise it
+    only with measured headroom, or swap in a flat-array automaton
+    encoding (int32 goto table) if benchmark suites outgrow it.
     """
     rows = bench.select(bench_id_col, bench_text_col).filter(
         # the empty pattern would sit at the automaton root and "match"
@@ -176,7 +185,10 @@ def exact_substring_hits(
     if total > max_pattern_bytes:
         raise ValueError(
             f"exact_substring_hits: benchmark text totals {total} chars, "
-            f"over max_pattern_bytes={max_pattern_bytes}"
+            f"over max_pattern_bytes={max_pattern_bytes} — note the "
+            "automaton costs ~50-100x the char count in driver and "
+            "per-executor memory, so raise the cap only with that much "
+            "measured headroom"
         )
     # dedup identical pattern strings; every bench id sharing the text
     # still reports (hits fan back out over the id list)

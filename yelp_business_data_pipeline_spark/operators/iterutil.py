@@ -35,6 +35,14 @@ _AQE_KEY = "spark.sql.adaptive.enabled"
 
 @contextmanager
 def _aqe_disabled(spark):
+    """Scope spark.sql.adaptive.enabled=false around ONE checkpoint
+    compile. The override is on the shared session conf — SQL confs have
+    no per-query scoping mechanism — so any OTHER thread planning a query
+    on the same SparkSession inside this window would silently plan with
+    AQE off (a performance regression for it, never a correctness one).
+    The iterative operators assume the usual single-threaded driver loop;
+    callers running concurrent planning threads should serialize calls
+    into the iterative family or accept that window."""
     prev = spark.conf.get(_AQE_KEY, "true")
     spark.conf.set(_AQE_KEY, "false")
     try:

@@ -104,6 +104,16 @@ def pagerank(
     # materialization jobs would waste minutes of cluster work on a typo
     if check_every < 1:
         raise ValueError(f"pagerank: check_every must be >= 1, got {check_every}")
+    if partition_edges and not checkpoint:
+        # the Pregel regime IS the retained-partitioning checkpoint layout;
+        # without checkpoints the flag would silently do nothing (the bfs
+        # convention — fail loudly on a requested-but-inert regime)
+        raise ValueError(
+            "pagerank: partition_edges=True requires checkpoint=True — the "
+            "edge placement is carried by the retained-partitioning "
+            "checkpoints; plan-inspection mode (checkpoint=False) runs "
+            "without it"
+        )
 
     e_plain = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     if not checkpoint:

@@ -587,22 +587,41 @@ def gopher_repetition_metrics(
 def gopher_repetition_flags(
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    thresholds: dict[int, float] | None = None,
 ) -> Column:
     """``passes_gopher_repetition`` expression over the counter columns of
     :func:`gopher_repetition_metrics` — JVM-side, codegen'd: a document
     passes when EVERY per-n character fraction is at or under its Gopher
     threshold (empty documents pass; 0/0 counts as 0). Compose with the
     other quality columns (stopword_ratio, punct_ratio, repetition_ratio)
-    for a full quality gate."""
+    for a full quality gate.
+
+    The published Gopher thresholds only cover top_ns (2,3,4) and dup_ns
+    (5..10); ``gopher_repetition_metrics`` accepts arbitrary n, so a
+    caller using other n values must supply their own ``thresholds``
+    mapping (n -> max allowed character fraction) — n values with no
+    threshold raise a ValueError here rather than a bare KeyError."""
     cond = F.lit(True)
     for n in top_ns:
-        thr = GOPHER_TOP_NGRAM_THRESHOLDS[n]
+        thr = (thresholds or {}).get(n, GOPHER_TOP_NGRAM_THRESHOLDS.get(n))
+        if thr is None:
+            raise ValueError(
+                f"gopher_repetition_flags: no threshold for top n={n} — the "
+                f"published Gopher table covers {sorted(GOPHER_TOP_NGRAM_THRESHOLDS)}; "
+                "pass thresholds={n: fraction} for other n values"
+            )
         cond = cond & (
             F.col(f"top_{n}gram_chars")
             <= F.lit(thr) * F.col("total_word_chars")
         )
     for n in dup_ns:
-        thr = GOPHER_DUP_NGRAM_THRESHOLDS[n]
+        thr = (thresholds or {}).get(n, GOPHER_DUP_NGRAM_THRESHOLDS.get(n))
+        if thr is None:
+            raise ValueError(
+                f"gopher_repetition_flags: no threshold for dup n={n} — the "
+                f"published Gopher table covers {sorted(GOPHER_DUP_NGRAM_THRESHOLDS)}; "
+                "pass thresholds={n: fraction} for other n values"
+            )
         cond = cond & (
             F.col(f"dup_{n}gram_chars")
             <= F.lit(thr) * F.col("total_word_chars")

@@ -101,11 +101,31 @@ def _sql_simhash(bits: int = 16) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return f"len(list_filter({TOKS}, t -> list_contains([{words}], t)))"
+
+
+def _sql_guessed_lang() -> str:
+    """Stopword-hit argmax with the deterministic en>fr>de>es tie order —
+    the SQL twin of ``tx.lang_id``."""
+    return f"""CASE
+               WHEN {_sql_lang_hits('en')} >= {_sql_lang_hits('fr')}
+                AND {_sql_lang_hits('en')} >= {_sql_lang_hits('de')}
+                AND {_sql_lang_hits('en')} >= {_sql_lang_hits('es')} THEN 'en'
+               WHEN {_sql_lang_hits('fr')} >= {_sql_lang_hits('de')}
+                AND {_sql_lang_hits('fr')} >= {_sql_lang_hits('es')} THEN 'fr'
+               WHEN {_sql_lang_hits('de')} >= {_sql_lang_hits('es')} THEN 'de'
+               ELSE 'es'
+             END"""
+
+
 @query(
     "doc_stats_panel",
     f"""
     WITH q AS (
       SELECT lang, n_chars,
+             {_sql_guessed_lang()} AS guessed_lang,
              len({TOKS}) AS n_tokens,
              len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}')) AS n_bpe,
              round(len(list_distinct({TOKS}))::DOUBLE / len({TOKS}), 6) AS distinct_ratio,
@@ -133,19 +153,29 @@ def _sql_simhash(bits: int = 16) -> str:
              AS avg_punct_ratio,
            round(CAST(CAST(SUM(CAST(top_token_ratio AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
              AS avg_top_token_ratio,
-           CAST(COUNT(*) FILTER (distinct_ratio >= 0.3) AS BIGINT) AS n_quality_pass
+           CAST(COUNT(*) FILTER (distinct_ratio >= 0.3) AS BIGINT) AS n_quality_pass,
+           CAST(COUNT(*) FILTER (guessed_lang = 'en') AS BIGINT) AS n_guessed_en,
+           CAST(COUNT(*) FILTER (guessed_lang = 'fr') AS BIGINT) AS n_guessed_fr,
+           CAST(COUNT(*) FILTER (guessed_lang = 'de') AS BIGINT) AS n_guessed_de,
+           CAST(COUNT(*) FILTER (guessed_lang = 'es') AS BIGINT) AS n_guessed_es
     FROM q GROUP BY lang
     """,
-    doc="Token counting AND quality scoring per corpus slice in ONE scan "
-    "(round-2 registered them as two queries; merged for the 50-slot gate "
-    "and because one pass is the right 100 TB shape). Two tokenizers "
-    "(whitespace words + BPE-ish regex, identical semantics under Java "
-    "regex and RE2), then the standard corpus-cleaning panel — lexical "
-    "diversity, stopword density, punctuation density (C4-style "
+    doc="Token counting AND quality scoring AND language-ID per corpus "
+    "slice in ONE scan (round-2 registered token/quality as two queries, "
+    "merged r3; the round-3 lang_id_confusion query merged here in r7 to "
+    "free an oracle slot for gopher_repetition_panel — its full confusion "
+    "matrix survives as the pivoted n_guessed_{{en,fr,de,es}} columns, true "
+    "lang = row, guessed lang = column). One pass is the right 100 TB "
+    "shape anyway: every per-doc stat shares the same tokenization. Two "
+    "tokenizers (whitespace words + BPE-ish regex, identical semantics "
+    "under Java regex and RE2), the standard corpus-cleaning panel — "
+    "lexical diversity, stopword density, punctuation density (C4-style "
     "boilerplate signal), top-token concentration (Gopher-style "
-    "repetition) — aggregated per lang with decimal-routed double sums "
-    "plus the quality-gate pass count. Per-doc ratios are rounded before "
-    "summing so both engines aggregate identical doubles.",
+    "repetition) — plus the stopword-hit-argmax lang-ID guess "
+    "(tx.lang_id, deterministic tie order), aggregated per lang with "
+    "decimal-routed double sums plus the quality-gate pass count. "
+    "Per-doc ratios are rounded before summing so both engines "
+    "aggregate identical doubles.",
 )
 def doc_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
@@ -167,6 +197,7 @@ def doc_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("punct_ratio", tx.punct_ratio(F.col("text")))
         .withColumn("top_token_ratio", tx.top_token_ratio(F.col("text")))
         .withColumn("quality_pass", (raw_ratio >= 0.3).cast("int"))
+        .withColumn("guessed_lang", tx.lang_id(F.col("text")))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -179,42 +210,13 @@ def doc_stats_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             _avg6("punct_ratio").alias("avg_punct_ratio"),
             _avg6("top_token_ratio").alias("avg_top_token_ratio"),
             F.sum("quality_pass").alias("n_quality_pass"),
+            *[
+                F.sum((F.col("guessed_lang") == lang).cast("long")).alias(
+                    f"n_guessed_{lang}"
+                )
+                for lang in ("en", "fr", "de", "es")
+            ],
         )
-    )
-
-
-def _sql_lang_hits(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
-    return f"len(list_filter({TOKS}, t -> list_contains([{words}], t)))"
-
-
-@query(
-    "lang_id_confusion",
-    f"""
-    WITH g AS (
-      SELECT lang,
-             CASE
-               WHEN {_sql_lang_hits('en')} >= {_sql_lang_hits('fr')}
-                AND {_sql_lang_hits('en')} >= {_sql_lang_hits('de')}
-                AND {_sql_lang_hits('en')} >= {_sql_lang_hits('es')} THEN 'en'
-               WHEN {_sql_lang_hits('fr')} >= {_sql_lang_hits('de')}
-                AND {_sql_lang_hits('fr')} >= {_sql_lang_hits('es')} THEN 'fr'
-               WHEN {_sql_lang_hits('de')} >= {_sql_lang_hits('es')} THEN 'de'
-               ELSE 'es'
-             END AS guessed_lang
-      FROM documents
-    )
-    SELECT lang, guessed_lang, COUNT(*) AS n FROM g GROUP BY 1, 2
-    """,
-    doc="Heuristic language ID (stopword-hit argmax, deterministic tie order) "
-    "vs the labeled lang column — a confusion matrix per slice.",
-)
-def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
-    return (
-        d.withColumn("guessed_lang", tx.lang_id(F.col("text")))
-        .groupBy("lang", "guessed_lang")
-        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -324,16 +326,27 @@ def fingerprint_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'token' AS family, * FROM tok_pairs
     UNION ALL
     SELECT 'ngram3' AS family, * FROM ngram_pairs
+    UNION ALL
+    SELECT 'minhash_lsh' AS family, doc_a AS id_a, doc_b AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM ({_sql_minhash_bands(k=8, rows_per_band=2)})
     """,
-    doc="Exact Jaccard similarity joins, both granularities in one result "
-    "(round-2 registered them as two queries; merged for the 50-slot "
-    "gate): family='token' is distinct-token-set Jaccard >= 0.5 on a "
-    "bounded doc window — the verification stage of near-dup dedup; "
-    "family='ngram3' is word-3-gram Jaccard >= 0.02 over shingle hashes "
-    "shared with the MinHash pipeline (doc_id < 200, measured ~57 pairs "
-    "at sf0.001 / ~58 at sf0.01 with max J ~0.98 — non-vacuous at both "
-    "SFs). Both are inverted-index self-joins, bounded windows standing "
-    "in for LSH-candidate inputs at scale.",
+    doc="The near-dup pair family in one result (round-2 registered these "
+    "as three queries; merged for the 50-slot gate — the r7 merge folds "
+    "minhash_lsh_candidate_pairs in to free a slot for "
+    "exact_substring_decontam): family='token' is distinct-token-set "
+    "Jaccard >= 0.5 on a bounded doc window — the verification stage of "
+    "near-dup dedup; family='ngram3' is word-3-gram Jaccard >= 0.02 over "
+    "shingle hashes shared with the MinHash pipeline (doc_id < 200, "
+    "measured ~57 pairs at sf0.001 / ~58 at sf0.01 with max J ~0.98 — "
+    "non-vacuous at both SFs); family='minhash_lsh' is the full-table "
+    "MinHash (k=8, md5-portable hashes) + LSH banding (4 bands x 2 rows) "
+    "candidate set, jaccard=NULL (candidates are pre-verification by "
+    "definition), oracle reproducing the exact signatures in SQL. The "
+    "exact families are inverted-index self-joins on bounded windows; "
+    "the LSH family is the 100 TB dedup shape — per-row signatures via "
+    "higher-order functions (no explode), band equi-join shuffling only "
+    "uniform band hashes, no self-join, distinct pairs.",
 )
 def jaccard_pairs_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d80 = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
@@ -376,27 +389,27 @@ def jaccard_pairs_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.02)
         .select("id_a", "id_b", "jaccard")
     )
-    return tok_pairs.withColumn("family", F.lit("token")).select(
-        "family", "id_a", "id_b", "jaccard"
-    ).unionAll(
-        ngram_pairs.withColumn("family", F.lit("ngram3")).select(
-            "family", "id_a", "id_b", "jaccard"
+    lsh_pairs = dd.minhash_lsh_candidates(
+        tbl(spark, sf_dir, "documents"), "doc_id", "text", k=8, rows_per_band=2, shingle_n=3
+    ).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return (
+        tok_pairs.withColumn("family", F.lit("token"))
+        .select("family", "id_a", "id_b", "jaccard")
+        .unionAll(
+            ngram_pairs.withColumn("family", F.lit("ngram3")).select(
+                "family", "id_a", "id_b", "jaccard"
+            )
+        )
+        .unionAll(
+            lsh_pairs.withColumn("family", F.lit("minhash_lsh")).select(
+                "family", "id_a", "id_b", "jaccard"
+            )
         )
     )
-
-
-@query(
-    "minhash_lsh_candidate_pairs",
-    _sql_minhash_bands(k=8, rows_per_band=2),
-    doc="MinHash (k=8, md5-portable hashes) + LSH banding (4 bands x 2 rows) "
-    "candidate near-dup pairs: per-row signatures via higher-order functions "
-    "(no explode), band equi-join, distinct pairs. The 100 TB dedup shape: "
-    "shuffle only on uniform band hashes. Oracle reproduces the exact "
-    "signatures in SQL.",
-)
-def minhash_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
-    return dd.minhash_lsh_candidates(d, "doc_id", "text", k=8, rows_per_band=2, shingle_n=3)
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1342,6 +1355,175 @@ def triangle_count_friend_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_gopher_panel() -> str:
+    """DuckDB twin of gopher_repetition_panel: an independent n-gram
+    construction (unnest + groupBy per n, gram char mass via
+    length(replace(gram, ' ', ''))) pivoted per doc, the Rae et al. 2021
+    thresholds applied as CAST(thr AS DOUBLE) * total_word_chars — a bare
+    ``0.2`` literal would be DECIMAL in DuckDB and drift from Spark's
+    double arithmetic. Counters are exact integers throughout, so the
+    only float op is the single threshold multiply, identical IEEE on
+    both engines. Promoted from tests/test_gopher.py's per-n twin in r7."""
+    from ..operators.text import GOPHER_DUP_NGRAM_THRESHOLDS, GOPHER_TOP_NGRAM_THRESHOLDS
+
+    top_ns = sorted(GOPHER_TOP_NGRAM_THRESHOLDS)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_THRESHOLDS)
+    n_list = ", ".join(str(n) for n in top_ns + dup_ns)
+    pivots = ",\n             ".join(
+        [
+            f"coalesce(max(CASE WHEN n = {n} THEN top_mass END), 0) AS top{n}"
+            for n in top_ns
+        ]
+        + [
+            f"coalesce(max(CASE WHEN n = {n} THEN dup_mass END), 0) AS dup{n}"
+            for n in dup_ns
+        ]
+    )
+    flag = "\n            AND ".join(
+        [
+            f"top{n} <= CAST({GOPHER_TOP_NGRAM_THRESHOLDS[n]!r} AS DOUBLE) * twc"
+            for n in top_ns
+        ]
+        + [
+            f"dup{n} <= CAST({GOPHER_DUP_NGRAM_THRESHOLDS[n]!r} AS DOUBLE) * twc"
+            for n in dup_ns
+        ]
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws,
+             length(replace(coalesce(text, ''), ' ', '')) AS twc
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, greatest(len(ws) - n + 1, 0) + 1),
+                                   i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+      FROM w CROSS JOIN (SELECT unnest([{n_list}]) AS n) ns
+    ),
+    c AS (
+      SELECT doc_id, n, gram, count(*) AS cnt,
+             length(replace(gram, ' ', '')) AS chars
+      FROM g GROUP BY doc_id, n, gram
+    ),
+    per_n AS (
+      SELECT doc_id, n, max(cnt * chars) AS top_mass,
+             sum(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS dup_mass
+      FROM c GROUP BY doc_id, n
+    ),
+    per_doc AS (
+      SELECT w.doc_id, w.source, w.twc,
+             {pivots}
+      FROM w LEFT JOIN per_n ON w.doc_id = per_n.doc_id
+      GROUP BY w.doc_id, w.source, w.twc
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(twc) AS BIGINT) AS sum_word_chars,
+           CAST(SUM(top2) AS BIGINT) AS sum_top2_chars,
+           CAST(SUM(dup5) AS BIGINT) AS sum_dup5_chars,
+           CAST(SUM(dup10) AS BIGINT) AS sum_dup10_chars
+    FROM per_doc GROUP BY source
+    """
+
+
+@query(
+    "gopher_repetition_panel",
+    _sql_gopher_panel(),
+    doc="Gopher repetition-filter panel (text.gopher_repetition_metrics, "
+    "Rae et al. 2021 A1.1): per-document most-common-n-gram and "
+    "duplicated-n-gram character mass as exact integers, aggregated to "
+    "corpus pass rates per source plus the full quality gate "
+    "(gopher_repetition_flags). Repetition is per-document computation, "
+    "so the kernel is one zero-shuffle Arrow pass (the winnowing "
+    "precedent) — at 100 TB the corpus streams once and only the "
+    "per-source aggregate shuffles. Oracle: the independent DuckDB "
+    "n-gram construction formerly pinned only in tests/test_gopher.py, "
+    "promoted to the driver gate in r7 (slot freed by the "
+    "lang_id_confusion -> doc_stats_panel merge); the per-doc-level twin "
+    "stays in the test for fine-grained diagnostics.",
+)
+def gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_repetition_flags, gopher_repetition_metrics
+
+    d = tbl(spark, sf_dir, "documents")
+    m = gopher_repetition_metrics(d).join(d.select("doc_id", "source"), "doc_id")
+    return (
+        m.withColumn("ok", gopher_repetition_flags())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_pass"),
+            F.sum("total_word_chars").alias("sum_word_chars"),
+            F.sum("top_2gram_chars").alias("sum_top2_chars"),
+            F.sum("dup_5gram_chars").alias("sum_dup5_chars"),
+            F.sum("dup_10gram_chars").alias("sum_dup10_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "exact_substring_decontam",
+    """
+    WITH bp AS (
+      SELECT doc_id + 100000 AS bench_id, substring(text, 1, 40) AS pat
+      FROM documents
+      WHERE doc_id % 25 = 0 AND length(substring(text, 1, 40)) >= 20
+    ),
+    hits AS (
+      SELECT b.bench_id, d.doc_id,
+             len(list_filter(range(1, length(d.text) - length(b.pat) + 2),
+                             i -> substring(d.text, i, length(b.pat)) = b.pat))
+               AS n_occ,
+             strpos(d.text, b.pat) AS first_pos
+      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
+      CROSS JOIN bp b
+    )
+    SELECT bench_id, COUNT(*) AS n_docs_hit,
+           CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+           CAST(MIN(first_pos) AS BIGINT) AS min_first_pos
+    FROM hits WHERE n_occ > 0
+    GROUP BY bench_id
+    """,
+    doc="Exact verbatim-substring decontamination (decontam."
+    "exact_substring_hits, the Lee et al. 2022 check): benchmark strings "
+    "(here: 40-char prefixes of every 25th document, harvested "
+    "deterministically) compile into ONE driver-side Aho-Corasick "
+    "automaton, and the corpus streams through a single Arrow pass — "
+    "O(chars + hits) per doc regardless of pattern count, zero shuffle, "
+    "vs O(patterns x chars) for per-pattern contains. Output: hit-count "
+    "rollup per benchmark string. Complements the n-gram collision check "
+    "(decontam_ngram_overlap): n-grams tolerate tokenization drift, the "
+    "automaton catches sub-n-gram verbatim strings. Oracle: an "
+    "independent DuckDB position-enumeration (overlapping occurrences "
+    "counted via every start index, first_pos via strpos) — promoted "
+    "from tests/test_exact_substring.py to the driver gate in r7 (slot "
+    "freed by the minhash_lsh -> jaccard_pairs_panel merge). The "
+    "cross-join is oracle-side only (bounded: 20 patterns x 500 docs at "
+    "oracle SF); the Spark plan stays the single automaton scan.",
+)
+def exact_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import exact_substring_hits
+
+    d = tbl(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 40).alias("text"),
+    )
+    hits = exact_substring_hits(d, bench, min_len=20)
+    return (
+        hits.groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_hit"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+            F.min("first_pos").alias("min_first_pos"),
+        )
+        .orderBy("bench_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only sketch queries — REGISTERED LAST by design: the driver's
 # CORRECTNESS gate records the first 50 registry entries, so every
@@ -1431,7 +1613,8 @@ def ivf_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "minhash_lsh_pairs_xxhash64",
     None,  # hash family is engine-specific; md5 twin is the oracle path
-    doc="minhash_lsh_candidate_pairs with hash_impl=xxhash64 (Spark-native "
+    doc="jaccard_pairs_panel's minhash_lsh family with hash_impl=xxhash64 "
+    "(Spark-native "
     "JVM xxHash64 folded to [0, 2^32)): the production hash path, ~-27% "
     "vs md5 at sf0.1 (BASELINE.md fast-hash table). Same banding plan; "
     "blocking power equivalent (uniform 32-bit family).",
@@ -1789,41 +1972,6 @@ def kmv_distinct_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "gopher_repetition_panel",
-    None,  # exact DuckDB twin exists but lives in tests/test_gopher.py —
-    # the first 50 registry slots are the driver's oracle set (layout
-    # pinned in tests/test_layout.py); this tracker is rows-only by slot
-    doc="Gopher repetition-filter panel (text.gopher_repetition_metrics, "
-    "Rae et al. 2021 A1.1): per-document most-common-n-gram and "
-    "duplicated-n-gram character mass as exact integers, aggregated to "
-    "corpus pass rates per source plus the full quality gate "
-    "(gopher_repetition_flags). Repetition is per-document computation, "
-    "so the kernel is one zero-shuffle Arrow pass (the winnowing "
-    "precedent) — at 100 TB the corpus streams once and only the "
-    "per-source aggregate shuffles. Integer counters vs an independent "
-    "DuckDB n-gram construction pinned in tests/test_gopher.py.",
-)
-def gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import gopher_repetition_flags, gopher_repetition_metrics
-
-    d = tbl(spark, sf_dir, "documents")
-    m = gopher_repetition_metrics(d).join(d.select("doc_id", "source"), "doc_id")
-    return (
-        m.withColumn("ok", gopher_repetition_flags())
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("ok").cast("long")).alias("n_pass"),
-            F.sum("total_word_chars").alias("sum_word_chars"),
-            F.sum("top_2gram_chars").alias("sum_top2_chars"),
-            F.sum("dup_5gram_chars").alias("sum_dup5_chars"),
-            F.sum("dup_10gram_chars").alias("sum_dup10_chars"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
     "semantic_dedup_embeddings",
     None,  # greedy-sequential within clusters — not SQL-expressible;
     # greedy-prefix model equality + layout independence pinned in
@@ -1851,37 +1999,3 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_stats(v).orderBy("list_id")
 
 
-@query(
-    "exact_substring_decontam",
-    None,  # exact DuckDB position-enumeration twin lives in
-    # tests/test_exact_substring.py (rows-only by slot, like the gopher
-    # panel — the first 50 registry slots are the driver's oracle set)
-    doc="Exact verbatim-substring decontamination tracker (decontam."
-    "exact_substring_hits, the Lee et al. 2022 check): benchmark strings "
-    "(here: 40-char prefixes of every 25th document, harvested "
-    "deterministically) compile into ONE driver-side Aho-Corasick "
-    "automaton, and the corpus streams through a single Arrow pass — "
-    "O(chars + hits) per doc regardless of pattern count, zero shuffle, "
-    "vs O(patterns x chars) for per-pattern contains. Output: hit-count "
-    "rollup per benchmark string. Complements the n-gram collision check "
-    "(decontam_ngram_overlap, oracle slot): n-grams tolerate tokenization "
-    "drift, the automaton catches sub-n-gram verbatim strings.",
-)
-def exact_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.decontam import exact_substring_hits
-
-    d = tbl(spark, sf_dir, "documents")
-    bench = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.substring("text", 1, 40).alias("text"),
-    )
-    hits = exact_substring_hits(d, bench, min_len=20)
-    return (
-        hits.groupBy("bench_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_hit"),
-            F.sum("n_occurrences").alias("n_occurrences"),
-            F.min("first_pos").alias("min_first_pos"),
-        )
-        .orderBy("bench_id")
-    )
