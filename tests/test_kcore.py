@@ -110,3 +110,49 @@ def test_empty_core_preserves_input_id_type(spark):
     full = k_core(spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"), 2)
     assert empty.unionAll(full).count() == 3  # schema-compatible union
+
+
+def test_partition_edges_regime_matches_default(spark):
+    """The Pregel regime (symmetric frame, retained x-placement) is
+    physical only — cores and in-core degrees must be identical to the
+    default regime and the python model, across local-finish settings."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(70)]
+    for k in (2, 3):
+        for thr in (0, 30):
+            s = {}
+            got = _run(
+                spark, edges, k, partition_edges=True,
+                local_finish_threshold=thr, stats=s,
+            )
+            assert got == _model(edges, k), (k, thr)
+            assert s["partitioned_edges"] is True
+        # distributed-only path must really have peeled rounds
+        s = {}
+        _run(spark, edges, 2, partition_edges=True, local_finish_threshold=0, stats=s)
+        assert s["rounds"] >= 1 and not s["local_finish"]
+    # empty core + max_iter contract hold in the regime too
+    chain = [(i, i + 1) for i in range(12)]
+    assert _run(spark, chain, 2, partition_edges=True, local_finish_threshold=0,
+                max_iter=12) == {}
+    with pytest.raises(RuntimeError, match="stabilize"):
+        _run(spark, chain, 2, partition_edges=True, local_finish_threshold=0,
+             max_iter=2)
+    # string ids: symmetrize + local finish round-trip
+    sdf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r.id: r.degree for r in k_core(sdf, 2, partition_edges=True).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_partition_edges_requires_checkpoint(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="partition_edges=True requires"):
+        k_core(df, 2, partition_edges=True, checkpoint=False)
+    # auto mode under checkpoint=False stays in the default regime
+    s = {}
+    k_core(df, 1, checkpoint=False, local_finish_threshold=0, stats=s).collect()
+    assert s["partitioned_edges"] is False

@@ -151,3 +151,62 @@ def test_stats_and_validation(spark):
         semantic_dedup(df, threshold=0.0)
     with pytest.raises(ValueError, match="keep rule"):
         semantic_dedup(df, keep="random")
+
+
+def test_calibrate_threshold_hits_target(spark):
+    """The calibrated threshold must land the ACTUAL kept fraction within
+    tol of the target (the paper tunes to kept fraction, not raw cosine),
+    and the calibration must compose with semantic_dedup end to end."""
+    from yelp_business_data_pipeline_spark.operators.semdedup import (
+        calibrate_threshold,
+    )
+
+    # isotropic vectors: neighbor cosines spread continuously, so every
+    # kept fraction is reachable (the tight-base corpus of the model tests
+    # is a STEP function — whole near-dup groups collapse at once and
+    # mid-gap targets are legitimately unreachable, see the floor test)
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    for target in (0.3, 0.6):
+        cal = calibrate_threshold(df, target, n_clusters=4, tol=0.02)
+        assert abs(cal["kept_fraction"] - target) <= 0.02, cal
+        # the returned threshold reproduces that fraction on the corpus
+        v = semantic_dedup(df, threshold=cal["threshold"], n_clusters=4)
+        kept = v.agg(F.sum(F.col("keep").cast("long"))).collect()[0][0]
+        assert abs(kept / len(rows) - target) <= 0.02, (cal, kept)
+        assert 0.0 < cal["threshold"] <= 1.0 and cal["probes"] >= 1
+
+
+def test_calibrate_threshold_validation_and_unreachable(spark):
+    from yelp_business_data_pipeline_spark.operators.semdedup import (
+        calibrate_threshold,
+    )
+
+    rng = random.Random(5)
+    rows = _rand_rows(rng, 40, n_base=2)
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="target_kept_fraction"):
+        calibrate_threshold(df, 0.0)
+    with pytest.raises(ValueError, match="keep rule"):
+        calibrate_threshold(df, 0.5, keep="last_write_wins")
+    # a target below the always-kept floor (>= one point per cluster) is
+    # unreachable: 2 tight clusters of 40 points -> floor 2/40 = 0.05
+    with pytest.raises(RuntimeError, match="unreachable|no threshold"):
+        calibrate_threshold(df, 0.021, n_clusters=2, tol=0.001, max_refine=4)
+
+
+def test_calibrate_threshold_target_one_and_sampling(spark):
+    from yelp_business_data_pipeline_spark.operators.semdedup import (
+        calibrate_threshold,
+    )
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cal = calibrate_threshold(df, 1.0, n_clusters=2)
+    assert cal["kept_fraction"] >= 0.98
+    # deterministic sampling path: same result both runs
+    a = calibrate_threshold(df, 0.5, n_clusters=2, sample_fraction=0.7, tol=0.05)
+    b = calibrate_threshold(df, 0.5, n_clusters=2, sample_fraction=0.7, tol=0.05)
+    assert a == b

@@ -609,3 +609,78 @@ def test_stream_cdc_upsert_numeric_looking_string_partition(spark, tmp_path):
         for r in _read_no_partition_inference(spark, out).collect()
     )
     assert got == [(1, "newer", "01", 7)], got
+
+
+def test_streaming_quality_filters_match_batch(spark, tmp_path):
+    """LLM quality filters compose with the exactly-once streaming path:
+    gopher_repetition_flags + c4_doc_flags run inside stream_domain_etl's
+    foreachBatch (the Arrow metrics kernel included), and a streamed drain
+    over two files — with a re-delivered doc — produces verdicts identical
+    to the batch path over the same rows."""
+    from yelp_business_data_pipeline_spark.operators.text import (
+        c4_doc_flags,
+        gopher_repetition_flags,
+        gopher_repetition_metrics,
+    )
+
+    def quality_etl(df):
+        m = gopher_repetition_metrics(df)
+        return (
+            df.join(m, "doc_id")
+            .withColumn("gopher_ok", gopher_repetition_flags())
+            .withColumn("_c4", c4_doc_flags(F.col("text"), min_kept_lines=1))
+            .select(
+                "doc_id",
+                "text",
+                "gopher_ok",
+                F.col("_c4.passes_c4").alias("c4_ok"),
+                F.col("_c4.n_kept_lines").alias("n_kept_lines"),
+                "top_2gram_chars",
+                "dup_5gram_chars",
+                "total_word_chars",
+            )
+        )
+
+    docs = [
+        {"doc_id": 1, "text": "spam spam spam spam spam spam"},  # gopher fail
+        {"doc_id": 2, "text": " ".join(f"word{i:02d}" for i in range(40)) + "."},
+        {"doc_id": 3, "text": "short line\nthis page uses cookies today."},  # c4 policy fail
+        # long enough that no single n-gram crosses the Gopher mass gates
+        {"doc_id": 4, "text": " ".join(f"plain{i:02d}" for i in range(30)) + " ends here."},
+        {"doc_id": 5, "text": "code { body }"},  # c4 curly fail
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    (src / "a.json").write_text("\n".join(json.dumps(d) for d in docs[:3]))
+    q = stream_domain_etl(
+        spark, str(src), schema, quality_etl, out, ckpt, keys=["doc_id"]
+    )
+    q.awaitTermination()
+    # second drain: doc 3 re-delivered (idempotent append must not dup its
+    # verdict) + two new docs
+    (src / "b.json").write_text("\n".join(json.dumps(d) for d in docs[2:]))
+    q = stream_domain_etl(
+        spark, str(src), schema, quality_etl, out, ckpt, keys=["doc_id"]
+    )
+    q.awaitTermination()
+
+    streamed = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], schema
+    )
+    batch = {r["doc_id"]: r.asDict() for r in quality_etl(batch_df).collect()}
+    assert set(streamed) == set(batch) == {1, 2, 3, 4, 5}
+    for did in batch:
+        assert streamed[did] == batch[did], did
+    # the verdicts themselves: gopher catches 1, c4 catches 3 and 5
+    assert not streamed[1]["gopher_ok"] and streamed[2]["gopher_ok"]
+    assert not streamed[3]["c4_ok"] and not streamed[5]["c4_ok"]
+    assert streamed[4]["c4_ok"] and streamed[4]["gopher_ok"]

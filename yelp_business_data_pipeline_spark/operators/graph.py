@@ -616,6 +616,95 @@ def _k_core_local_peel(edges: DataFrame, k: int) -> DataFrame:
     return edges.coalesce(1).mapInPandas(peel, out_schema)
 
 
+def _k_core_partitioned(
+    edges: DataFrame,
+    k: int,
+    max_iter: int,
+    local_finish_threshold: int,
+    stats: dict,
+) -> DataFrame:
+    """k-core peel in the Pregel layout (the pagerank regime, adapted to
+    an edge set touched from BOTH endpoints): symmetrize the canonical
+    edge frame (each undirected edge as (x,y) AND (y,x) — 2x rows) and
+    hash-place it ONCE on ``x`` via ``localcheckpoint_partitioned``. Per
+    round:
+
+    - degree = groupBy(x) count — the retained layout satisfies the
+      aggregate's distribution, NO exchange, and its output shares the
+      layout;
+    - keep-side semi-join on x — both children HashPartitioning(x, n),
+      NO exchange on either side;
+    - drop-side anti-join on y — carries only the vertices peeled THIS
+      round, which collapses to a handful past the first bulk peel, so
+      AQE converts it to broadcast and the edge frame never moves. (In a
+      bulk round AQE may pick a y-exchange instead; the following
+      ``localcheckpoint_keep_partitioning`` then retains THAT layout and
+      the next round's groupBy(x) pays one exchange — i.e. the regime
+      degrades to the default's per-round cost, never below it.)
+
+    Degrees are identical to the canonical frame's union-groupBy (each
+    neighbor appears exactly once per orientation), so results are
+    bit-identical across regimes (pinned in tests/test_kcore.py).
+    """
+    from .iterutil import localcheckpoint_keep_partitioning, localcheckpoint_partitioned
+
+    sym = localcheckpoint_partitioned(
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+            edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        ),
+        "x",
+    )
+    n_dir = sym.count()
+    for _ in range(max_iter):
+        if n_dir == 0:
+            return (
+                sym.select(F.col("x").alias("id"))
+                .limit(0)
+                .withColumn("degree", F.lit(0).cast("bigint"))
+            )
+        if 0 < local_finish_threshold >= n_dir // 2:
+            # canonical orientation had a = greatest(endpoints)
+            stats["local_finish"] = True
+            return _k_core_local_peel(
+                sym.filter(F.col("x") > F.col("y")).select(
+                    F.col("x").alias("a"), F.col("y").alias("b")
+                ),
+                k,
+            )
+        deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("x")
+        dropped = deg.filter(F.col("degree") < k).select(F.col("x").alias("y"))
+        # the drop side is explicitly broadcast: it holds only the
+        # vertices peeled THIS round (ids, not edges), and letting AQE
+        # size it instead was measured to pick a y-exchange on bulk
+        # rounds — which destroys the retained x-layout and makes every
+        # later round pay the groupBy exchange again
+        pruned = localcheckpoint_keep_partitioning(
+            sym.join(keep, "x", "left_semi").join(
+                F.broadcast(dropped), "y", "left_anti"
+            ),
+            eager=False,
+        )
+        new_n = pruned.count()
+        stats["rounds"] += 1
+        if new_n == n_dir:
+            return deg.filter(F.col("degree") >= k).select(
+                F.col("x").alias("id"), "degree"
+            )
+        sym, n_dir = pruned, new_n
+    raise RuntimeError(f"k_core did not stabilize in {max_iter} rounds")
+
+
+#: Measured k-core regime crossover (BASELINE.md round-7 table): below
+#: this many (undirected, deduped) edges the per-round AQE shuffles are
+#: cheaper than the symmetric frame's 2x row count + up-front placement
+#: (200k bulk-peel: 3.7s vs 4.9s); above it the retained layout wins and
+#: the gap grows with the graph (400k: 6.7 -> 4.9s; 800k: 10.5 -> 6.9s
+#: bulk, 2.1 -> 1.7s cascade) — the pagerank result, re-measured for the
+#: peel shape with the drop side explicitly broadcast.
+_KCORE_PARTITION_EDGES_MIN = 300_000
+
+
 def k_core(
     pairs: DataFrame,
     k: int,
@@ -625,6 +714,7 @@ def k_core(
     checkpoint: bool = True,
     local_finish_threshold: int = 100_000,
     stats: dict | None = None,
+    partition_edges: bool | None = None,
 ) -> DataFrame:
     """Vertices of the k-core: the maximal subgraph where every vertex
     has degree >= k (undirected; parallel edges and self-loops ignored).
@@ -658,14 +748,38 @@ def k_core(
     the whole cascade). The local finisher is not round-bounded, so
     ``max_iter`` governs only distributed rounds.
 
+    ``partition_edges`` picks the physical regime (pagerank's knob,
+    re-measured for the peel shape — BASELINE.md round-7 table): ``None``
+    (default) sizes the deduped edge set off the round-0 count (already
+    paid) and switches at the measured crossover; ``True``/``False``
+    force it. The Pregel regime symmetrizes the edge set (each
+    undirected edge stored in BOTH orientations — 2x rows) and
+    hash-places it ONCE on the first endpoint with retained-partitioning
+    checkpoints: the per-round degree groupBy and the keep-side
+    semi-join are then exchange-free EVERY round (degree output shares
+    the layout, so neither join side exchanges), and the drop-side
+    anti-join carries only the vertices peeled THIS round — a frame AQE
+    converts to a broadcast join in every round past the first bulk peel,
+    so the edge frame stops shuffling entirely. At 100 TB this is the
+    only viable shape: the default regime re-exchanges the full
+    surviving edge set once per round. Requires ``checkpoint=True``
+    (the layout is carried by the checkpoints — the bfs/pagerank
+    contract; raising beats a silently inert flag).
+
     Pass a ``stats`` dict to receive ``{"rounds": n, "local_finish":
-    bool}`` (observability + test probe).
+    bool, "partitioned_edges": bool}`` (observability + test probe).
 
     Returns ``(id, degree)`` for core members (their degree WITHIN the
     core); an empty frame when no k-core exists.
     """
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
+    if partition_edges and not checkpoint:
+        raise ValueError(
+            "k_core: partition_edges=True requires checkpoint=True — the "
+            "edge placement is carried by the retained-partitioning "
+            "checkpoints; without them the flag has no effect"
+        )
     if stats is None:
         stats = {}
     stats["rounds"] = 0
@@ -684,6 +798,13 @@ def k_core(
         eager=False,
     )
     n_edges = edges.count()
+    if partition_edges is None:
+        partition_edges = checkpoint and n_edges >= _KCORE_PARTITION_EDGES_MIN
+    stats["partitioned_edges"] = bool(partition_edges)
+    if partition_edges:
+        return _k_core_partitioned(
+            edges, k, max_iter, local_finish_threshold, stats
+        )
     for _ in range(max_iter):
         if n_edges == 0:
             # empty core with the INPUT id type (limit(0) keeps the

@@ -158,6 +158,156 @@ def semantic_dedup(
     return assigned.groupBy("list_id").applyInPandas(dedup_cluster, schema)
 
 
+def calibrate_threshold(
+    corpus: DataFrame,
+    target_kept_fraction: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_clusters: int = 16,
+    keep: str = "min_id",
+    centroids: DataFrame | None = None,
+    sample_fraction: float = 1.0,
+    tol: float = 0.02,
+    max_refine: int = 10,
+    chunk: int = 1024,
+) -> dict:
+    """Pick the :func:`semantic_dedup` ``threshold`` that keeps
+    ``target_kept_fraction`` of the corpus (±``tol``).
+
+    SemDeDup's paper tunes to a KEPT FRACTION, not a raw cosine — the
+    right cosine depends entirely on the embedding model and corpus
+    geometry (an isotropic synthetic corpus dedups at ~0.45 where a
+    web-text CLIP space needs ~0.95+), so a hardcoded threshold is a
+    magic number. Two stages:
+
+    1. **Quantile seed** — one distributed pass computing, per point in
+       the greedy visit order, the max cosine to ANY earlier point of
+       its cluster (prefix-max via the same chunked-matmul kernel shape
+       as the dedup itself). A point is dropped at threshold ``t``
+       roughly when this statistic exceeds ``t``, so the
+       ``target_kept_fraction`` quantile of the statistic is a close
+       seed. (It is only a surrogate: the real rule compares against
+       earlier KEPT points, a subset, so the stat over-states similarity
+       and the seed skews slightly conservative.)
+    2. **Refinement** — bisection on the ACTUAL kept fraction, running
+       :func:`semantic_dedup` (a count per probe) until within ``tol``.
+       Kept fraction is monotone non-decreasing in ``t`` (raising ``t``
+       only ever turns drops into keeps), so bisection converges.
+
+    Scale shape: calibrate on a ``sample_fraction``
+    (:func:`sampling.hash_sample` — deterministic, partition-stable);
+    the quantile pass and every probe run distributed on the sample, the
+    driver sees only scalar fractions. The returned threshold then
+    drives the full-corpus dedup. Shares ``centroids`` with the dedup /
+    ANN index (pass them in; otherwise trained here on the sample).
+
+    Returns ``{"threshold", "kept_fraction", "probes", "seed"}``.
+    Raises if the target is unreachable within ``max_refine`` probes —
+    a target below the fraction of clusters' first-visited points (those
+    always survive) cannot be hit by any threshold.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not 0.0 < target_kept_fraction <= 1.0:
+        raise ValueError(
+            f"calibrate_threshold: target_kept_fraction in (0, 1], got "
+            f"{target_kept_fraction}"
+        )
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"calibrate_threshold: unknown keep rule {keep!r}")
+    sample = corpus.filter(F.col(vec_col).isNotNull())
+    if sample_fraction < 1.0:
+        from .sampling import hash_sample
+
+        sample = hash_sample(sample, id_col, sample_fraction, salt="cal:")
+    sample = sample.localCheckpoint()  # probes re-read it; scan once
+    if centroids is None:
+        centroids = train_ivf_centroids(sample, id_col, vec_col, n_lists=n_clusters)
+    assigned = ivf_index(sample, centroids, id_col, vec_col)
+
+    cent_rows = centroids.orderBy("list_id").collect()
+    cent = {int(r.list_id): np.asarray(r.cv, dtype=np.float64) for r in cent_rows}
+    far = keep == "far_from_centroid"
+
+    stat_schema = T.StructType([T.StructField("stat", T.DoubleType())])
+
+    def prefix_max_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.sqrt((x * x).sum(1))
+        norms[norms == 0.0] = 1.0
+        xn = x / norms[:, None]
+        if far:
+            d = x - cent[int(pdf["list_id"].iloc[0])][None, :]
+            order = np.lexsort((ids, -(d * d).sum(1)))
+        else:
+            order = np.argsort(ids, kind="stable")
+        xo = xn[order]
+        n = len(order)
+        stats = np.full(n, -1.0)
+        for start in range(0, n, chunk):
+            end = min(start + chunk, n)
+            if start:
+                stats[start:end] = (xo[start:end] @ xo[:start].T).max(1)
+            block = xo[start:end] @ xo[start:end].T
+            for row in range(1, end - start):
+                m = float(block[row, :row].max())
+                if m > stats[start + row]:
+                    stats[start + row] = m
+        return pd.DataFrame({"stat": stats})
+
+    stats_df = assigned.groupBy("list_id").applyInPandas(
+        prefix_max_stats, stat_schema
+    )
+    seed = stats_df.agg(
+        F.percentile_approx("stat", float(target_kept_fraction), 10_000).alias("q")
+    ).collect()[0]["q"]
+    seed = min(max(float(seed), 1e-6), 1.0)
+
+    def kept_at(t: float) -> float:
+        v = semantic_dedup(
+            sample, id_col, vec_col, threshold=t, centroids=centroids,
+            keep=keep, chunk=chunk,
+        )
+        row = v.agg(
+            F.sum(F.col("keep").cast("long")).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return row["k"] / row["n"]
+
+    t, probes = seed, 0
+    lo, hi = 0.0, 1.0  # kept(1.0) == 1.0: nothing exceeds cosine 1 strictly
+    best = None
+    while probes < max_refine:
+        f = kept_at(t)
+        probes += 1
+        if best is None or abs(f - target_kept_fraction) < abs(
+            best[1] - target_kept_fraction
+        ):
+            best = (t, f)
+        if abs(f - target_kept_fraction) <= tol:
+            return {
+                "threshold": t,
+                "kept_fraction": f,
+                "probes": probes,
+                "seed": seed,
+            }
+        if f < target_kept_fraction:
+            lo = t
+        else:
+            hi = t
+        t = (lo + hi) / 2.0
+    raise RuntimeError(
+        f"calibrate_threshold: no threshold within tol={tol} of "
+        f"target={target_kept_fraction} after {max_refine} probes — best was "
+        f"kept={best[1]:.4f} at threshold={best[0]:.4f}. Targets below the "
+        "always-kept floor (one point per cluster-visit prefix) are "
+        "unreachable; raise the target, tol, or max_refine."
+    )
+
+
 def semantic_dedup_stats(verdicts: DataFrame) -> DataFrame:
     """Cluster-level rollup of :func:`semantic_dedup` verdicts:
     ``(list_id, n_vectors, n_kept, n_dups, mean_dup_sim)`` — the
