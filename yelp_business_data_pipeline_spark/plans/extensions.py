@@ -1473,13 +1473,17 @@ def gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE doc_id % 25 = 0 AND length(substring(text, 1, 40)) >= 20
     ),
     hits AS (
+      -- strpos pre-filter first (a tight scalar scan), THEN enumerate
+      -- positions only on actual (doc, pattern) hits — the lambda
+      -- enumeration over ALL pairs is intractable at the sf1 parity
+      -- sweep (50k docs x 2k patterns x ~300 positions)
       SELECT b.bench_id, d.doc_id,
              len(list_filter(range(1, length(d.text) - length(b.pat) + 2),
                              i -> substring(d.text, i, length(b.pat)) = b.pat))
                AS n_occ,
              strpos(d.text, b.pat) AS first_pos
       FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents) d
-      CROSS JOIN bp b
+      JOIN bp b ON strpos(d.text, b.pat) > 0
     )
     SELECT bench_id, COUNT(*) AS n_docs_hit,
            CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
@@ -1986,8 +1990,11 @@ def kmv_distinct_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Threshold 0.45 is this corpus's semantic-redundancy regime (the "
     "synthetic embeddings are isotropic — max neighbor cosine ~0.60, no "
     "literal dups; SemDeDup's paper likewise tunes the threshold to a "
-    "target kept fraction, not to near-1 cosine). Output: per-cluster "
-    "keep/drop rollup (semantic_dedup_stats). Rows-only after slot 50.",
+    "target kept fraction, not to near-1 cosine — production callers "
+    "derive it with semdedup.calibrate_threshold(corpus, target) rather "
+    "than hand-tuning; 0.45 here keeps the tracker deterministic). "
+    "Output: per-cluster keep/drop rollup (semantic_dedup_stats). "
+    "Rows-only after slot 50.",
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.semdedup import semantic_dedup, semantic_dedup_stats
