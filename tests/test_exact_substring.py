@@ -151,3 +151,28 @@ def test_automaton_construction_props():
     for ch in "she":
         s = goto[s][ch]
     assert sorted(out[s]) == [0, 1]  # "he" and "she"
+
+
+def test_worker_automaton_cache_bounded_and_correct(spark):
+    """The automaton travels as a pattern list and is built+cached on the
+    worker (and here, in-process): the cache returns the same structure
+    for the same fingerprint and never holds more than two entries."""
+    from yelp_business_data_pipeline_spark.operators.decontam import (
+        _AHO_CACHE,
+        _worker_aho,
+    )
+
+    _AHO_CACHE.clear()
+    a1 = _worker_aho("k1", ["abc", "bcd"])
+    assert _worker_aho("k1", ["abc", "bcd"]) is a1  # cache hit
+    _worker_aho("k2", ["xyz"])
+    _worker_aho("k3", ["pqr"])
+    assert len(_AHO_CACHE) <= 2 and "k3" in _AHO_CACHE
+    # end to end: repeated operator calls (same bench) reuse the key and
+    # still produce model-equal hits
+    docs = [(1, "abcd abc"), (2, "zzbcdzz")]
+    bench = [(9, "abc"), (10, "bcd")]
+    got = _run(spark, docs, bench, min_len=3)
+    assert got == _model(docs, bench, 3)
+    got2 = _run(spark, docs, bench, min_len=3)
+    assert got2 == got

@@ -156,3 +156,44 @@ def test_partition_edges_requires_checkpoint(spark):
     s = {}
     k_core(df, 1, checkpoint=False, local_finish_threshold=0, stats=s).collect()
     assert s["partitioned_edges"] is False
+
+
+def test_partitioned_regime_round_plan_has_no_edge_exchange(spark):
+    """The Pregel regime's per-round claims, pinned at the plan level:
+    over the placed symmetric frame, degree groupBy(x) and the keep-side
+    semi-join add ZERO Exchange (the retained layout satisfies both), and
+    the drop side enters as a broadcast — the only movement in a round is
+    the per-round drop list."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.iterutil import (
+        localcheckpoint_partitioned,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = spark.range(2000).select(
+            (F.col("id") % 211).alias("a"), ((F.col("id") * 7) % 211).alias("b")
+        ).filter(F.col("a") != F.col("b")).distinct()
+        sym = localcheckpoint_partitioned(
+            e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+                e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+            ),
+            "x",
+        )
+        # one operator round, exactly as _k_core_partitioned builds it
+        deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= 3).select("x")
+        dropped = deg.filter(F.col("degree") < 3).select(F.col("x").alias("y"))
+        pruned = sym.join(keep, "x", "left_semi").join(
+            F.broadcast(dropped), "y", "left_anti"
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # autoBroadcastJoinThreshold=-1 forces every NON-hinted join to
+        # shuffle, so any Exchange here would be the edge frame moving —
+        # the broadcast hint is the only allowed movement
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -128,6 +128,23 @@ def _build_aho(patterns: list[str]):
     return goto, fail, out
 
 
+#: Worker-side automaton cache: content-fingerprint -> (goto, fail, out).
+#: Lives in each reused Python worker process (and the driver when plans
+#: run in-process); bounded to the two most recent automatons so
+#: long-lived workers serving many different benchmark sets don't leak.
+_AHO_CACHE: dict = {}
+
+
+def _worker_aho(key: str, patterns: list[str]):
+    auto = _AHO_CACHE.get(key)
+    if auto is None:
+        auto = _build_aho(patterns)
+        while len(_AHO_CACHE) >= 2:
+            _AHO_CACHE.pop(next(iter(_AHO_CACHE)))
+        _AHO_CACHE[key] = auto
+    return auto
+
+
 def exact_substring_hits(
     train: DataFrame,
     bench: DataFrame,
@@ -163,12 +180,16 @@ def exact_substring_hits(
 
     MEMORY: the dict-of-dicts automaton is roughly TWO ORDERS OF
     MAGNITUDE larger than the raw pattern text (one python dict + list
-    per trie node, ~one node per char), and it is closure-pickled into
-    every mapInPandas task — ``max_pattern_bytes`` caps CHARS, so budget
-    ~50-100x that in driver AND per-executor memory. The 16 MiB default
-    (~1-1.5 GB automaton) fits comfortable executor sizings; raise it
-    only with measured headroom, or swap in a flat-array automaton
-    encoding (int32 goto table) if benchmark suites outgrow it.
+    per trie node, ~one node per char). Only the PATTERN LIST travels in
+    the task closure (= the capped chars); each Python worker builds the
+    automaton once and caches it under a content fingerprint
+    (``_worker_aho`` — amortized by ``spark.python.worker.reuse``), so
+    ``max_pattern_bytes`` caps closure/shuffle bytes directly while
+    RUNTIME memory per worker is still ~50-100x the chars. The 16 MiB
+    default (~1-1.5 GB resident automaton) fits comfortable executor
+    sizings; raise it only with that much per-worker headroom, or swap
+    in a flat-array automaton encoding (int32 goto table) if benchmark
+    suites outgrow it.
     """
     rows = bench.select(bench_id_col, bench_text_col).filter(
         # the empty pattern would sit at the automaton root and "match"
@@ -197,8 +218,21 @@ def exact_substring_hits(
         by_text.setdefault(btext, []).append(bid)
     patterns = sorted(by_text)  # deterministic automaton layout
     bench_ids = [sorted(by_text[p]) for p in patterns]
-    goto, fail, out = _build_aho(patterns)
     plens = [len(p) for p in patterns]
+    # the automaton is built ON the worker, not here: the dict-of-dicts
+    # structure is ~50-100x the pattern chars, and closure-pickling it
+    # into every task would ship (and driver-build) multi-GB state at the
+    # byte cap. The closure carries only the PATTERN LIST (= the capped
+    # chars); each reused Python worker builds once and caches under a
+    # content fingerprint (build is O(chars), ~seconds at the cap, paid
+    # once per worker lifetime thanks to spark.python.worker.reuse).
+    import hashlib
+
+    _h = hashlib.md5()
+    for p in patterns:
+        _h.update(str(len(p)).encode())  # length-prefix: unambiguous join
+        _h.update(p.encode("utf-8", "surrogatepass"))
+    aho_key = _h.hexdigest()
 
     import pandas as pd
     from pyspark.sql import types as T
@@ -213,6 +247,7 @@ def exact_substring_hits(
     )
 
     def scan(batches):
+        goto, fail, out = _worker_aho(aho_key, patterns)
         for pdf in batches:
             ids_out, bids_out, cnt_out, pos_out = [], [], [], []
             for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):

@@ -1494,8 +1494,10 @@ def gopher_repetition_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact verbatim-substring decontamination (decontam."
     "exact_substring_hits, the Lee et al. 2022 check): benchmark strings "
     "(here: 40-char prefixes of every 25th document, harvested "
-    "deterministically) compile into ONE driver-side Aho-Corasick "
-    "automaton, and the corpus streams through a single Arrow pass — "
+    "deterministically) compile into ONE Aho-Corasick automaton — built "
+    "per worker from the closure-shipped pattern list and "
+    "fingerprint-cached (r7) — and the corpus streams through a single "
+    "Arrow pass: "
     "O(chars + hits) per doc regardless of pattern count, zero shuffle, "
     "vs O(patterns x chars) for per-pattern contains. Output: hit-count "
     "rollup per benchmark string. Complements the n-gram collision check "
