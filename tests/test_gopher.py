@@ -196,3 +196,47 @@ def test_flags_ns_outside_published_thresholds(spark):
         .collect()
     }
     assert flagged2[2] is True  # the a-b loop passes at threshold 1.0
+
+
+def test_numpy_kernel_equals_python_reference():
+    """The batch-vectorized kernel (packed incremental gram ids, segment
+    reduces) must equal the Counter reference integer-for-integer on
+    adversarial shapes and fuzz, for published and custom n sets. Pure
+    python-level pin (no Spark) so failures localize to the kernel."""
+    import random
+
+    from yelp_business_data_pipeline_spark.operators.text import (
+        _gopher_rows_numpy,
+        _gopher_rows_python,
+    )
+
+    cases = [t for _d, t in DOCS] + [
+        "  double  spaces  here ",
+        "\n\n\n",
+        "samedoc samedoc",
+        "x" * 300,  # one giant word, no spaces
+    ]
+    rng = random.Random(77)
+    vocab = ["aa", "bb", "cc", "dd", "e", "ff\n", "gg"]
+    for _ in range(60):
+        cases.append(
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+        )
+    for top, dup in (((2, 3, 4), (5, 6, 7, 8, 9, 10)), ((1,), (3,)), ((7,), ())):
+        a = _gopher_rows_python(cases, top, dup)
+        b = _gopher_rows_numpy(cases, top, dup)
+        assert set(a) == set(b)
+        for c in a:
+            assert list(a[c]) == [int(v) for v in b[c]], (top, dup, c)
+
+
+def test_impl_python_matches_numpy_through_spark(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = {r["doc_id"]: r.asDict() for r in gopher_repetition_metrics(df).collect()}
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition_metrics(df, impl="python").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="unknown impl"):
+        gopher_repetition_metrics(df, impl="rust")
