@@ -749,6 +749,96 @@ def gopher_repetition_flags(
     return cond
 
 
+#: Gopher QUALITY-filter stopwords (Rae et al. 2021 A1.1: "contains at
+#: least two of the following English words" — the must-have-prose tell).
+GOPHER_QUALITY_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher QUALITY filters (Rae et al. 2021 A1.1 — the
+    non-repetition half; :func:`gopher_repetition_flags` is the other) as
+    ONE struct of pure JVM expressions — no UDF, no shuffle, codegen'd:
+
+    - ``ok_word_count`` — word count in [min_words, max_words].
+    - ``ok_mean_word_len`` — mean word length in [3, 10] chars.
+    - ``ok_symbol_ratio`` — (# of ``#`` chars + non-overlapping ``...``
+      occurrences) / words <= 0.1 (the hash/ellipsis symbol screen).
+    - ``ok_bullet_lines`` / ``ok_ellipsis_lines`` — at most 90% of lines
+      start with a bullet (``-``, ``*``); at most 30% end with an
+      ellipsis.
+    - ``ok_alpha_words`` — >= 80% of words contain an alphabetic char.
+    - ``ok_stopwords`` — >= 2 distinct :data:`GOPHER_QUALITY_STOPWORDS`
+      present (word-exact, not substring).
+    - ``passes_gopher_quality`` — the conjunction.
+
+    Conventions shared with the repetition kernel: words are non-empty
+    single-space segments (so they may carry newlines — char counts use
+    ``replace(text, ' ', '')``), lines are ``\\n`` segments. NULL/empty
+    text FAILS (zero words is below ``min_words``) — unlike the
+    repetition gate, where an empty doc trivially passes; Gopher's
+    quality table is explicitly a length gate among other things. Ratios
+    compare as ``count <= frac * n`` in integers-times-double, the exact
+    cross-engine-safe form the repetition flags use.
+    """
+    t = F.coalesce(text, F.lit(""))
+    words = F.filter(F.split(t, " "), lambda w: w != "")
+    n_words = F.size(words)
+    word_chars = F.length(F.regexp_replace(t, " ", ""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    )
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    sw_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_QUALITY_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    ok_word_count = (n_words >= min_words) & (n_words <= max_words)
+    # mean-word-len bounds as integer cross-multiplication: no division
+    ok_mwl = (word_chars >= F.lit(min_mean_word_len) * n_words) & (
+        word_chars <= F.lit(max_mean_word_len) * n_words
+    )
+    ok_symbol = (n_hash + n_ellipsis) <= F.lit(max_symbol_word_ratio) * n_words
+    ok_bullet = n_bullet <= F.lit(max_bullet_line_frac) * n_lines
+    ok_ell = n_ell_end <= F.lit(max_ellipsis_line_frac) * n_lines
+    ok_alpha = n_alpha >= F.lit(min_alpha_word_frac) * n_words
+    ok_sw = sw_hits >= min_stopword_hits
+    return F.struct(
+        n_words.alias("n_words"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ell.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_sw.alias("ok_stopwords"),
+        (
+            ok_word_count & ok_mwl & ok_symbol & ok_bullet & ok_ell & ok_alpha & ok_sw
+        ).alias("passes_gopher_quality"),
+    )
+
+
 #: C4 policy-boilerplate phrases (Raffel et al. 2020 §2.2 — pages whose
 #: lines carry these are cookie/ToS boilerplate, not prose).
 C4_POLICY_PHRASES: tuple[str, ...] = (

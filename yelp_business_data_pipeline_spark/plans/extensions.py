@@ -2008,3 +2008,69 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_stats(v).orderBy("list_id")
 
 
+
+
+@query(
+    "quality_gate_panel",
+    None,  # rows-only by slot (the first 50 registry slots are the
+    # driver's oracle set); every component flag is independently
+    # oracle/twin-gated — gopher_repetition_panel (oracle), the C4 line
+    # rules (DuckDB twin in tests/test_c4.py), and gopher_quality_flags
+    # (python-model pin in tests/test_quality_gate.py, which also pins
+    # THIS panel against a from-scratch python recombination)
+    doc="The full pre-training quality gate in ONE corpus scan — the "
+    "production composition every LLM data pipeline runs (the "
+    "C4/Gopher/FineWeb-style filter stack): Gopher repetition flags "
+    "(Arrow counter kernel + JVM thresholds), the Gopher QUALITY "
+    "filters (word count / mean word length / symbol / bullet / "
+    "ellipsis / alpha-word / stopword gates — gopher_quality_flags, "
+    "pure codegen'd JVM exprs, no UDF), and the C4 document rules "
+    "(lorem-ipsum / curly-brace / policy-phrase / kept-line floor), "
+    "rolled up to per-source pass rates plus the conjunction. One "
+    "mapInPandas pass + one aggregate shuffle — at 100 TB the corpus "
+    "streams once through every filter (min_words=20 and "
+    "min_kept_lines=1 and min_stopword_hits=1 fit the synthetic "
+    "corpus' ~50-word single-stopword docs; production callers pass the "
+    "paper defaults). Per-filter pass-rate columns exist precisely so a "
+    "gate that zeroes a corpus is VISIBLE: the synthetic docs are "
+    "single-line word soup with no terminal punctuation, so the C4 "
+    "sentence rules pass 0 of them (pinned) and n_pass_all is 0 through "
+    "that conjunct — the panel reports it rather than hiding it.",
+)
+def quality_gate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        c4_doc_flags,
+        gopher_quality_flags,
+        gopher_repetition_flags,
+        gopher_repetition_metrics,
+    )
+
+    d = tbl(spark, sf_dir, "documents")
+    m = gopher_repetition_metrics(d)
+    v = (
+        d.select("doc_id", "source", "text")
+        .join(m, "doc_id")
+        .withColumn("rep_ok", gopher_repetition_flags())
+        .withColumn(
+            "qual_ok",
+            gopher_quality_flags(F.col("text"), min_words=20, min_stopword_hits=1)[
+                "passes_gopher_quality"
+            ],
+        )
+        .withColumn(
+            "c4_ok", c4_doc_flags(F.col("text"), min_kept_lines=1)["passes_c4"]
+        )
+    )
+    return (
+        v.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("rep_ok").cast("long")).alias("n_pass_repetition"),
+            F.sum(F.col("qual_ok").cast("long")).alias("n_pass_quality"),
+            F.sum(F.col("c4_ok").cast("long")).alias("n_pass_c4"),
+            F.sum(
+                (F.col("rep_ok") & F.col("qual_ok") & F.col("c4_ok")).cast("long")
+            ).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
