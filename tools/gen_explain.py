@@ -171,7 +171,17 @@ COMMENTARY = {
         "mapInPandas and only the per-source rollup exchanges. Integer "
         "counters by design — the fraction thresholds are JVM "
         "expressions, and the DuckDB twin compares exactly (no float "
-        "drift)."
+        "drift). The kernel itself is batch-vectorized (r7): packed "
+        "incremental gram ids, one single-key sort per gram length."
+    ),
+    "quality_gate_panel": (
+        "The composed C4+Gopher filter stack in ONE corpus scan: the "
+        "repetition counters ride the same single mapInPandas pass, and "
+        "the quality + C4 gates are pure codegen'd JVM expressions "
+        "layered on it — adding seven more filters added ZERO extra "
+        "scans or shuffles (one aggregate exchange for the per-source "
+        "rollup). The shape argument for composing filters in one pass "
+        "at 100 TB instead of one pipeline stage per filter."
     ),
     "semantic_dedup_embeddings": (
         "SemDeDup: zero-shuffle Arrow centroid assignment (the SAME "
