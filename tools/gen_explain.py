@@ -191,6 +191,16 @@ COMMENTARY = {
         "set), then the stats rollup. The quadratic term is bounded per "
         "cluster at n/n_clusters — the paper's LAION-440M recipe."
     ),
+    "duplicate_spans_panel": (
+        "The distributed ExactSubstr (Lee et al. 2022): positional "
+        "5-gram posexplode, ONE partial-agg'd gram-count exchange (most "
+        "grams unique, so the map side collapses the stream), the "
+        "duplicated-gram set joined back (AQE broadcast here; bloom-"
+        "pruned sort-merge at scale), and the interval union windows "
+        "over only the MATCHED grams — bounded by the duplicated mass, "
+        "not the corpus. Replaces the paper's single-machine suffix "
+        "array with shapes that distribute."
+    ),
     "link_prediction_friend_graph": (
         "Center-as-basket collapse: each vertex's neighbor set collapses "
         "in one groupBy, candidate pairs expand executor-locally via the "

@@ -2074,3 +2074,103 @@ def quality_gate_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-corpus duplicate-span detection (operators/selfdedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _sql_duplicate_spans(k: int = 5, min_count: int = 2) -> str:
+    """DuckDB twin of ``selfdedup.duplicate_spans`` (spans CTE chain, no
+    final SELECT) — generated from the same Horner fold and the same
+    interval-union window so neither can drift from the operator."""
+    return f"""
+    WITH tokh AS (
+      SELECT doc_id,
+             list_transform({TOKS}, tok -> {_sql_hash('tok', 'mh:')}) AS th
+      FROM documents WHERE len({TOKS}) >= {k}
+    ), grams AS (
+      SELECT doc_id,
+             unnest(range(1, len(th) - {k - 2})) - 1 AS pos,
+             unnest({_sql_folded_shingles(k)}) AS gh
+      FROM tokh
+    ), occ AS (
+      SELECT gh, count(*) AS occ FROM grams GROUP BY gh
+      HAVING count(*) >= {min_count}
+    ), marked AS (
+      SELECT g.doc_id, g.pos, o.occ FROM grams g JOIN occ o USING (gh)
+    ), flagged AS (
+      SELECT doc_id, pos, occ,
+             CASE WHEN max(pos + {k}) OVER w IS NULL
+                    OR pos > max(pos + {k}) OVER w THEN 1 ELSE 0 END AS _new
+      FROM marked
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sp AS (
+      SELECT doc_id, pos, occ,
+             sum(_new) OVER (PARTITION BY doc_id ORDER BY pos) AS _span
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {k} AS span_end,
+             max(pos) + {k} - min(pos) AS span_tokens,
+             count(*) AS n_grams, max(occ) AS max_occurrences
+      FROM sp GROUP BY doc_id, _span
+    )"""
+
+
+#: Exact DuckDB twin of the registered tracker below — pinned in
+#: tests/test_selfdedup.py (full row/schema/value compare via the oracle
+#: harness machinery). Lives here, not in the test, so a future slot
+#: opening can promote it into the driver gate verbatim.
+DUPLICATE_SPANS_STATS_ORACLE = (
+    _sql_duplicate_spans(5, 2)
+    + """
+    SELECT d.doc_id,
+           len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+           COALESCE(s.n_spans, 0)::BIGINT AS n_spans,
+           COALESCE(s.dup_tokens, 0)::BIGINT AS dup_tokens
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, count(*) AS n_spans, sum(span_tokens) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ) s USING (doc_id)
+    """
+)
+
+#: Span-granular twin (same CTE chain, raw spans out).
+DUPLICATE_SPANS_ORACLE = (
+    _sql_duplicate_spans(5, 2)
+    + """
+    SELECT doc_id, span_start::BIGINT AS span_start,
+           span_end::BIGINT AS span_end, span_tokens::BIGINT AS span_tokens,
+           n_grams::BIGINT AS n_grams,
+           max_occurrences::BIGINT AS max_occurrences
+    FROM spans
+    """
+)
+
+
+@query(
+    "duplicate_spans_panel",
+    None,  # rows-only by slot (the first 50 registry slots are the
+    # driver's oracle set); the exact DuckDB twin exists —
+    # DUPLICATE_SPANS_STATS_ORACLE above — and tests/test_selfdedup.py
+    # pins both the stats panel and the raw span boundaries against it
+    # at sf0.001, plus a planted-duplicate python model.
+    doc="Within-corpus exact duplicate-span detection (operators/"
+    "selfdedup.py, Lee et al. 2022 ExactSubstr): per-doc count of "
+    "maximal duplicated token spans (word-5-grams occurring >= 2x in "
+    "the corpus, overlapping covers interval-unioned) and the exact "
+    "duplicated token mass. The distributed stand-in for the paper's "
+    "single-machine suffix array: positional-gram posexplode -> one "
+    "partial-agg'd gram-count shuffle -> AQE/bloom-pruned join-back -> "
+    "windowed interval union over only the MATCHED grams. Integer "
+    "counters only (float fractions left to the caller), same "
+    "no-drift policy as the Gopher panel.",
+)
+def duplicate_spans_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selfdedup import duplicate_span_stats
+
+    d = tbl(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", k=5, min_count=2)
