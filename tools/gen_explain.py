@@ -201,6 +201,16 @@ COMMENTARY = {
         "not the corpus. Replaces the paper's single-machine suffix "
         "array with shapes that distribute."
     ),
+    "dsir_selection_panel": (
+        "DSIR (Xie et al. 2023) in four bounded stages: hashed-feature "
+        "streams collapse map-side into (doc, bucket) counts; the two "
+        "fitted distributions are <= B-row FRAMES (no driver arrays); "
+        "the log-ratio table broadcasts into the scoring join so the "
+        "corpus shuffles ONCE on the doc key carrying one double; and "
+        "the Gumbel top-k is a TakeOrdered, not a global sort. Every "
+        "random draw is an md5 unit hash — the selection is a pure "
+        "function of the data, stable under repartitioning."
+    ),
     "link_prediction_friend_graph": (
         "Center-as-basket collapse: each vertex's neighbor set collapses "
         "in one groupBy, candidate pairs expand executor-locally via the "

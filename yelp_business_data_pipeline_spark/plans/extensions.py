@@ -2174,3 +2174,32 @@ def duplicate_spans_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tbl(spark, sf_dir, "documents")
     return duplicate_span_stats(d, "doc_id", "text", k=5, min_count=2)
+
+
+@query(
+    "dsir_selection_panel",
+    None,  # rows-only by slot; the hashed-feature layer has an exact
+    # DuckDB twin and the weights/Gumbel-top-k a from-scratch python
+    # model, both pinned in tests/test_dsir.py (weights rel 1e-9,
+    # selection-set equality, layout invariance)
+    doc="DSIR data selection (operators/dsir.py, Xie et al. 2023): score "
+    "every doc's hashed unigram+bigram distribution against a target "
+    "domain (the corpus' English slice stands in) vs the raw corpus, "
+    "then deterministic Gumbel top-k without replacement. The "
+    "log-ratio table is <= B rows and broadcasts; the corpus gram "
+    "stream collapses map-side into one (doc, bucket) count row and "
+    "shuffles once on the doc key; selection is a TakeOrdered. Panel: "
+    "per-(source, lang) selected-doc counts — integers, deterministic "
+    "(md5 feature hashes + md5 Gumbel draws survive repartitioning).",
+)
+def dsir_selection_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_select
+
+    d = tbl(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    picked = dsir_select(d, target, k=100, buckets=4096)
+    return (
+        picked.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_selected"))
+        .orderBy("source", "lang")
+    )
