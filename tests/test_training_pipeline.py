@@ -152,3 +152,76 @@ def test_weighted_selection_and_diff_audit(spark):
     n_removed = by_type.pop("removed", 0)
     assert by_type == {}, f"unexpected diff classes: {by_type}"
     assert n_removed == deduped.count() - canonical.count()
+
+
+def test_modern_pretraining_path_r7(spark):
+    """The round-6/7 operators composed into the full modern pretraining
+    path (FineWeb/Gopher-style), one lazy chain with invariants per
+    stage: quality gate -> within-corpus duplicate-span removal ->
+    benchmark decontamination -> DSIR target-domain selection ->
+    sequence packing."""
+    from yelp_business_data_pipeline_spark.operators.decontam import decontaminate
+    from yelp_business_data_pipeline_spark.operators.dsir import dsir_select
+    from yelp_business_data_pipeline_spark.operators.selfdedup import (
+        remove_duplicate_spans,
+    )
+    from yelp_business_data_pipeline_spark.operators.packing import pack_concat_split
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = d.count()
+
+    # 1. quality gate: Gopher repetition + quality + C4 (thresholds fit
+    # the synthetic corpus' short single-line docs, as in
+    # quality_gate_panel)
+    m = tx.gopher_repetition_metrics(d)
+    gated = (
+        d.join(m, "doc_id")
+        .filter(tx.gopher_repetition_flags())
+        .filter(
+            tx.gopher_quality_flags(
+                F.col("text"), min_words=20, min_stopword_hits=1
+            )["passes_gopher_quality"]
+        )
+        .select(*d.columns)
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated <= n_docs
+
+    # 2. cut within-corpus duplicated spans (ExactSubstr); token mass
+    # shrinks or stays, rows survive
+    cut = remove_duplicate_spans(gated, "doc_id", "text", k=5, min_count=2)
+    assert cut.count() == n_gated
+    before = gated.agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    after = cut.agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert after <= before
+
+    # 3. decontaminate against a held-out benchmark slice
+    bench = d.filter(F.col("doc_id") % 19 == 0)
+    train = cut.filter(F.col("doc_id") % 19 != 0)
+    decon = decontaminate(train, bench, "doc_id", "text", n=5)
+    n_decon = decon.count()
+    assert 0 < n_decon <= n_gated
+
+    # 4. DSIR-select half the surviving docs toward the English slice
+    k = max(1, n_decon // 2)
+    target = d.filter(F.col("lang") == "en")
+    picked = dsir_select(decon, target, k=k, buckets=1024)
+    assert picked.count() == k
+    assert "log_weight" in picked.columns
+
+    # 5. pack into 128-token context windows per source stream
+    packed = pack_concat_split(
+        picked.withColumn("n_tokens", F.size(F.split("text", " "))),
+        "n_tokens",
+        capacity=128,
+    )
+    rows = packed.select("source", "start_offset", "n_tokens", "bin_start").collect()
+    assert len(rows) == k
+    # offsets are consistent within each stream: sorted by doc order the
+    # cumulative sum reproduces start_offset
+    by_stream: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.start_offset)):
+        acc = by_stream.get(r.source, 0)
+        assert r.start_offset == acc
+        assert r.bin_start == acc // 128
+        by_stream[r.source] = acc + r.n_tokens
