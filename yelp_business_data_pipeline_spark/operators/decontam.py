@@ -279,3 +279,68 @@ def exact_substring_hits(
             )
 
     return train.select(id_col, text_col).mapInPandas(scan, schema)
+
+
+def semantic_contamination(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-space decontamination report (the semantic counterpart of
+    :func:`ngram_contamination` — Llama-3-style eval hygiene: n-gram
+    collision misses paraphrased benchmark leakage, so the second screen
+    is cosine similarity between training-doc and benchmark embeddings).
+
+    Returns one row per CONTAMINATED training doc: (id, max_cosine,
+    nearest_bench_id, n_bench_hits), with cosine rounded to 6 decimals
+    before thresholding/ranking (cross-engine stable) and nearest-bench
+    ties broken to the smallest bench id. Docs absent are clean.
+
+    Scale shape, same as the n-gram screen: the benchmark side is small
+    by construction and BROADCASTS; the training corpus streams through
+    the broadcast loop join ONCE with zero shuffle — the only exchange
+    aggregates the (bounded) hit set on its already-grouped key. For a
+    benchmark side too big to broadcast, block both sides first with
+    ``similarity.cross_polytope_candidates`` and score only candidates.
+    """
+    from .similarity import dot, l2_norm
+
+    b = bench_emb.select(
+        F.col(id_col).alias("_bench_id"),
+        F.col(vec_col).alias("_bv"),
+        l2_norm(F.col(vec_col)).alias("_bn"),
+    )
+    t = train_emb.select(
+        id_col,
+        F.col(vec_col).alias("_tv"),
+        l2_norm(F.col(vec_col)).alias("_tn"),
+    )
+    cos = F.round(
+        F.try_divide(dot(F.col("_tv"), F.col("_bv")), F.col("_tn") * F.col("_bn")), 6
+    )
+    hits = (
+        t.crossJoin(F.broadcast(b))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= float(threshold))
+    )
+    return hits.groupBy(id_col).agg(
+        F.max("cosine").alias("max_cosine"),
+        F.max_by(
+            "_bench_id",
+            F.struct(F.col("cosine").alias("c"), (-F.col("_bench_id")).alias("ni")),
+        ).alias("nearest_bench_id"),
+        F.count(F.lit(1)).alias("n_bench_hits"),
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    report: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Drop semantically contaminated rows: left-anti join against the
+    report's ids. Unhinted for the same reason as :func:`decontaminate` —
+    the hit set is bounded by the corpus, not the benchmark."""
+    return train.join(report.select(id_col), id_col, "left_anti")
