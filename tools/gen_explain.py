@@ -211,6 +211,14 @@ COMMENTARY = {
         "random draw is an md5 unit hash — the selection is a pure "
         "function of the data, stable under repartitioning."
     ),
+    "semantic_decontam_report": (
+        "The decontamination scale shape in embedding space: the "
+        "benchmark side BROADCASTS, the training corpus streams through "
+        "the broadcast loop join once with zero shuffle, and the only "
+        "exchange aggregates the bounded hit set. Cosines are rounded "
+        "before the threshold so the filter itself is cross-engine "
+        "stable."
+    ),
     "link_prediction_friend_graph": (
         "Center-as-basket collapse: each vertex's neighbor set collapses "
         "in one groupBy, candidate pairs expand executor-locally via the "
