@@ -77,3 +77,12 @@ def test_decontaminate_drops_exactly_the_report(spark):
     rep = semantic_contamination(train, bench, threshold=0.9)
     kept = semantic_decontaminate(train, rep)
     assert {r.vec_id for r in kept.collect()} == {2, 3}
+
+
+def test_unbounded_bench_side_raises(spark):
+    rows = [(i, [1.0, float(i)]) for i in range(50)]
+    e = _vecs(spark, rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_contamination(e, e, max_bench_rows=10)

@@ -287,6 +287,7 @@ def semantic_contamination(
     id_col: str = "vec_id",
     vec_col: str = "v",
     threshold: float = 0.8,
+    max_bench_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-space decontamination report (the semantic counterpart of
     :func:`ngram_contamination` — Llama-3-style eval hygiene: n-gram
@@ -307,6 +308,17 @@ def semantic_contamination(
     """
     from .similarity import dot, l2_norm
 
+    n_bench = bench_emb.count()
+    if n_bench > max_bench_rows:
+        raise ValueError(
+            f"semantic_contamination: benchmark side has {n_bench} rows > "
+            f"max_bench_rows={max_bench_rows}. The broadcast loop join is "
+            "O(corpus x bench) — this ceases to be the right shape when the "
+            "benchmark grows with the corpus (measured 72x wall for 10x "
+            "data with an unbounded bench side). Block both sides with "
+            "similarity.cross_polytope_candidates and score candidates, or "
+            "raise max_bench_rows deliberately."
+        )
     b = bench_emb.select(
         F.col(id_col).alias("_bench_id"),
         F.col(vec_col).alias("_bv"),
