@@ -86,3 +86,34 @@ def test_unbounded_bench_side_raises(spark):
 
     with _pytest.raises(ValueError, match="max_bench_rows"):
         semantic_contamination(e, e, max_bench_rows=10)
+
+
+def test_arrow_impl_equals_jvm_on_real_corpus(spark, sf_dir):
+    import yelp_business_data_pipeline_spark.operators.similarity as sim
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", sim.as_double_vec(F.col("embedding")).alias("v"))
+    )
+    bench = e.filter((F.col("vec_id") % 19 == 0) & (F.col("vec_id") < 2000))
+    train = e.filter((F.col("vec_id") % 19 != 0) | (F.col("vec_id") >= 2000))
+    jvm = sorted(
+        tuple(r)
+        for r in semantic_contamination(train, bench, threshold=0.40).collect()
+    )
+    arrow = sorted(
+        tuple(r)
+        for r in semantic_contamination(
+            train, bench, threshold=0.40, impl="arrow"
+        ).collect()
+    )
+    assert jvm == arrow
+
+
+def test_arrow_impl_tie_break_and_zero_norm(spark):
+    bench = _vecs(spark, [(200, [1.0, 0.0]), (101, [1.0, 0.0])])
+    train = _vecs(spark, [(1, [1.0, 0.1]), (2, [0.0, 0.0])])
+    rep = semantic_contamination(train, bench, threshold=0.5, impl="arrow").collect()
+    assert len(rep) == 1
+    assert rep[0].vec_id == 1 and rep[0].nearest_bench_id == 101
+    assert rep[0].n_bench_hits == 2

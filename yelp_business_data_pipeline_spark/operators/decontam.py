@@ -288,6 +288,7 @@ def semantic_contamination(
     vec_col: str = "v",
     threshold: float = 0.8,
     max_bench_rows: int = 100_000,
+    impl: str = "jvm",
 ) -> DataFrame:
     """Embedding-space decontamination report (the semantic counterpart of
     :func:`ngram_contamination` — Llama-3-style eval hygiene: n-gram
@@ -319,6 +320,12 @@ def semantic_contamination(
             "similarity.cross_polytope_candidates and score candidates, or "
             "raise max_bench_rows deliberately."
         )
+    if impl == "arrow":
+        return _semantic_contamination_arrow(
+            train_emb, bench_emb, id_col, vec_col, threshold
+        )
+    if impl != "jvm":
+        raise ValueError(f"impl must be 'jvm' or 'arrow', got {impl!r}")
     b = bench_emb.select(
         F.col(id_col).alias("_bench_id"),
         F.col(vec_col).alias("_bv"),
@@ -356,3 +363,79 @@ def semantic_decontaminate(
     report's ids. Unhinted for the same reason as :func:`decontaminate` —
     the hit set is bounded by the corpus, not the benchmark."""
     return train.join(report.select(id_col), id_col, "left_anti")
+
+
+def _semantic_contamination_arrow(
+    train_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Arrow/BLAS physical strategy for :func:`semantic_contamination`
+    (same output contract): the guarded bench matrix is closure-captured
+    and each corpus Arrow batch scores against ALL benchmark vectors in
+    one matmul — the guide-sanctioned dense-algebra Pandas-UDF case the
+    per-pair interpreted HOF fold is 10-100x slower at. Still zero
+    corpus shuffle; the report needs no post-aggregation at all (one
+    output row per contaminated doc, computed row-locally). np.round is
+    banker's where the JVM rounds half-away — identical except exactly
+    at .5e-6 cosine boundaries; equality on the real corpus is pinned in
+    tests/test_semantic_decontam.py, same policy as
+    ``similarity.arrow_cosine_topk``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    b_rows = (
+        bench_emb.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).collect()
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, train_emb.schema[id_col].dataType),
+            T.StructField("max_cosine", T.DoubleType()),
+            T.StructField("nearest_bench_id", bench_emb.schema[id_col].dataType),
+            T.StructField("n_bench_hits", T.LongType()),
+        ]
+    )
+    if not b_rows:
+        return train_emb.sparkSession.createDataFrame([], out_schema)
+    b_rows.sort(key=lambda r: r[0])  # ascending ids -> first-max == smallest
+    b_ids = np.array([r[0] for r in b_rows])
+    b_mat = np.array([r[1] for r in b_rows], dtype=np.float64)
+    b_norm = np.linalg.norm(b_mat, axis=1)
+    thr = float(threshold)
+
+    def _score(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if pdf.empty:
+                continue
+            t_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            t_ids = pdf[id_col].to_numpy()
+            t_norm = np.linalg.norm(t_mat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (t_mat @ b_mat.T) / np.outer(t_norm, b_norm)
+            rounded = np.round(sims, 6)
+            mask = rounded >= thr  # NaN (zero-norm) compares False
+            n_hits = mask.sum(axis=1)
+            keep = n_hits > 0
+            if not keep.any():
+                continue
+            r_keep = np.where(mask[keep], rounded[keep], -np.inf)
+            max_c = r_keep.max(axis=1)
+            # nearest = smallest bench id among max-cosine ties:
+            # b_ids is sorted ascending and argmax returns the FIRST
+            # max column — works for string ids too
+            nearest = b_ids[np.argmax(r_keep == max_c[:, None], axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: t_ids[keep],
+                    "max_cosine": max_c,
+                    "nearest_bench_id": nearest,
+                    "n_bench_hits": n_hits[keep].astype("int64"),
+                }
+            )
+
+    return train_emb.select(id_col, vec_col).mapInPandas(_score, schema=out_schema)
