@@ -218,3 +218,40 @@ def test_empty_text_gets_zero_weight_and_smoothing_guard(spark):
         from yelp_business_data_pipeline_spark.operators.dsir import bucket_log_ratios
 
         bucket_log_ratios(target, corpus, buckets=B, smoothing=0.0)
+
+
+def test_flagged_single_pass_selects_same_set_as_two_frame_path(spark):
+    corpus_rows, _ = _corpora(spark)
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    flag = F.col("doc_id") < 3  # the science docs ARE the target domain
+    target = corpus.filter(flag)
+    two_frame = {
+        r.doc_id for r in dsir_select(corpus, target, k=3, buckets=B).collect()
+    }
+    from yelp_business_data_pipeline_spark.operators.dsir import dsir_select_flagged
+
+    flagged = {
+        r.doc_id
+        for r in dsir_select_flagged(corpus, flag, k=3, buckets=B).collect()
+    }
+    assert flagged == two_frame
+
+
+def test_flagged_weights_match_python_model(spark):
+    corpus_rows, _ = _corpora(spark)
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    from yelp_business_data_pipeline_spark.operators.dsir import (
+        importance_weights_flagged,
+    )
+
+    got = {
+        r.doc_id: r.log_weight
+        for r in importance_weights_flagged(
+            corpus, F.col("doc_id") < 3, buckets=B
+        ).collect()
+    }
+    target_rows = [(d, t) for d, t in corpus_rows if d < 3]
+    want = _py_weights(corpus_rows, target_rows, B)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9), d

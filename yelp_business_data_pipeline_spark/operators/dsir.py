@@ -35,7 +35,7 @@ choice) is ~80 KB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import portable_hash
@@ -216,6 +216,109 @@ def dsir_select(
         else fit_bucket_distribution(corpus, id_col, text_col, buckets)
     )
     w = importance_weights(corpus, t_dist, r_dist, id_col, text_col, buckets, smoothing)
+    keyed = w.select(
+        id_col, "log_weight", gumbel_key(id_col, F.col("log_weight")).alias("_gk")
+    )
+    picked = keyed.orderBy(F.col("_gk").desc(), F.col(id_col).asc()).limit(int(k))
+    return corpus.join(picked.select(id_col, "log_weight"), id_col, "inner")
+
+
+def importance_weights_flagged(
+    corpus: DataFrame,
+    target_flag: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Single-pass :func:`importance_weights` for the common case where
+    the target domain is a SUBSET of the corpus (a predicate column —
+    e.g. ``lang == 'en'``, a quality flag, a curated-source marker).
+
+    One corpus scan, one (id, bucket) exchange, one <= B-row (bucket)
+    exchange: the flag rides the gram stream into the per-doc feature
+    frame, BOTH distributions fold out of that same frame (raw =
+    everything, target = flagged rows' counts), and the scoring join
+    reuses the feature exchange — where the two-frame path scans and
+    hashes the corpus for each fit, this plan never reads it twice.
+    Totals come from an unbounded window over the <= B-row combined
+    frame (one tiny exchange), keeping the whole thing a single linear
+    plan with no branch recomputation. Weight values are identical to
+    the two-frame path up to float summation order (selection equality
+    pinned in tests/test_dsir.py)."""
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0 (unseen buckets), got {smoothing}")
+    flagged = corpus.withColumn("_tflag", target_flag)
+    # The gram stream with the flag carried through the explode
+    # (_gram_stream prunes to (id, bucket), so it is rebuilt inline here
+    # with the extra column).
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = flagged.select(
+        F.col(id_col), F.col("_tflag"), F.explode(F.concat(toks, bigrams)).alias("_g")
+    ).select(
+        id_col,
+        "_tflag",
+        F.pmod(portable_hash(F.col("_g"), salt=salt), F.lit(buckets)).alias("bucket"),
+    )
+    feats = grams.groupBy(id_col, "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.max("_tflag").alias("_tflag"),  # constant per id
+    )
+    combined = feats.groupBy("bucket").agg(
+        F.sum("cnt").alias("_rc"),
+        F.sum(F.when(F.col("_tflag"), F.col("cnt")).otherwise(F.lit(0))).alias("_tc"),
+    )
+    a = float(smoothing)
+    w_all = Window.partitionBy()
+    ratios = (
+        combined.withColumn("_rtot", F.sum("_rc").over(w_all))
+        .withColumn("_ttot", F.sum("_tc").over(w_all))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("_tc") + a) / (F.col("_ttot") + a * buckets))
+                - F.log((F.col("_rc") + a) / (F.col("_rtot") + a * buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"))
+    )
+    base = corpus.select(id_col)
+    return base.join(scored, id_col, "left").select(
+        id_col, F.coalesce("log_weight", F.lit(0.0)).alias("log_weight")
+    )
+
+
+def dsir_select_flagged(
+    corpus: DataFrame,
+    target_flag: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """:func:`dsir_select` with an in-corpus target predicate — the
+    single-pass plan of :func:`importance_weights_flagged` plus the same
+    deterministic Gumbel top-k."""
+    w = importance_weights_flagged(
+        corpus, target_flag, id_col, text_col, buckets, smoothing
+    )
     keyed = w.select(
         id_col, "log_weight", gumbel_key(id_col, F.col("log_weight")).alias("_gk")
     )
