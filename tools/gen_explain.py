@@ -202,12 +202,13 @@ COMMENTARY = {
         "array with shapes that distribute."
     ),
     "dsir_selection_panel": (
-        "DSIR (Xie et al. 2023) in four bounded stages: hashed-feature "
-        "streams collapse map-side into (doc, bucket) counts; the two "
-        "fitted distributions are <= B-row FRAMES (no driver arrays); "
-        "the log-ratio table broadcasts into the scoring join so the "
-        "corpus shuffles ONCE on the doc key carrying one double; and "
-        "the Gumbel top-k is a TakeOrdered, not a global sort. Every "
+        "DSIR (Xie et al. 2023), single-pass flagged plan: the target "
+        "flag rides the gram stream into the per-doc feature frame, "
+        "BOTH distributions fold out of that same frame (one corpus "
+        "scan guaranteed structurally — not via AQE exchange reuse), "
+        "totals come from an unbounded window over the <= B-row "
+        "combined frame, the log-ratio table broadcasts into the "
+        "scoring join, and the Gumbel top-k is a TakeOrdered. Every "
         "random draw is an md5 unit hash — the selection is a pure "
         "function of the data, stable under repartitioning."
     ),
