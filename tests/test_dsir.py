@@ -255,3 +255,39 @@ def test_flagged_weights_match_python_model(spark):
     assert set(got) == set(want)
     for d in want:
         assert got[d] == pytest.approx(want[d], rel=1e-9), d
+
+
+def test_empty_target_means_uniform_not_null_weights(spark):
+    # review finding: an empty target distribution used to produce NULL
+    # totals -> NULL ratios -> every weight coalesced to 0.0 (silent
+    # uniform-random selection). Now empty == the smoothed-uniform
+    # target, matching what the flagged path computes for an all-false
+    # flag — and weights must be real numbers, not all identical zeros
+    # by accident of coalescing.
+    corpus = _docs(spark, ["a a a a", "b c d e"])
+    empty_target = _docs(spark, []).filter("doc_id < 0")
+    from yelp_business_data_pipeline_spark.operators.dsir import (
+        importance_weights_flagged,
+    )
+
+    two = {
+        r.doc_id: r.log_weight
+        for r in importance_weights(
+            corpus,
+            fit_bucket_distribution(empty_target, buckets=B),
+            fit_bucket_distribution(corpus, buckets=B),
+            buckets=B,
+        ).collect()
+    }
+    flg = {
+        r.doc_id: r.log_weight
+        for r in importance_weights_flagged(
+            corpus, F.lit(False), buckets=B
+        ).collect()
+    }
+    assert set(two) == set(flg) == {0, 1}
+    for d in two:
+        assert two[d] == pytest.approx(flg[d], rel=1e-9)
+    # uniform-target weights penalize concentrated docs vs diverse ones —
+    # they are NOT all zero
+    assert any(abs(v) > 1e-9 for v in two.values())

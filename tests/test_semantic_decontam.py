@@ -117,3 +117,24 @@ def test_arrow_impl_tie_break_and_zero_norm(spark):
     assert len(rep) == 1
     assert rep[0].vec_id == 1 and rep[0].nearest_bench_id == 101
     assert rep[0].n_bench_hits == 2
+
+
+def test_jvm_tie_break_works_for_string_ids(spark):
+    # review finding: the old (-bench_id) ordering cast string ids to
+    # NULL, making nearest nondeterministic; min_by over (-cosine, id)
+    # must pick the lexicographically smallest id on ties — same promise
+    # as the arrow impl
+    bench = spark.createDataFrame(
+        [("mmlu_2", [1.0, 0.0]), ("mmlu_1", [1.0, 0.0])],
+        "vec_id string, v array<double>",
+    )
+    train = spark.createDataFrame(
+        [("doc_a", [1.0, 0.1])], "vec_id string, v array<double>"
+    )
+    for impl in ("jvm", "arrow"):
+        rep = semantic_contamination(
+            train, bench, threshold=0.5, impl=impl
+        ).collect()
+        assert len(rep) == 1, impl
+        assert rep[0].nearest_bench_id == "mmlu_1", impl
+        assert rep[0].n_bench_hits == 2, impl

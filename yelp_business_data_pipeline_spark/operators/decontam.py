@@ -309,6 +309,12 @@ def semantic_contamination(
     """
     from .similarity import dot, l2_norm
 
+    if impl == "arrow":
+        return _semantic_contamination_arrow(
+            train_emb, bench_emb, id_col, vec_col, threshold, max_bench_rows
+        )
+    if impl != "jvm":
+        raise ValueError(f"impl must be 'jvm' or 'arrow', got {impl!r}")
     n_bench = bench_emb.count()
     if n_bench > max_bench_rows:
         raise ValueError(
@@ -320,12 +326,6 @@ def semantic_contamination(
             "similarity.cross_polytope_candidates and score candidates, or "
             "raise max_bench_rows deliberately."
         )
-    if impl == "arrow":
-        return _semantic_contamination_arrow(
-            train_emb, bench_emb, id_col, vec_col, threshold
-        )
-    if impl != "jvm":
-        raise ValueError(f"impl must be 'jvm' or 'arrow', got {impl!r}")
     b = bench_emb.select(
         F.col(id_col).alias("_bench_id"),
         F.col(vec_col).alias("_bv"),
@@ -346,9 +346,12 @@ def semantic_contamination(
     )
     return hits.groupBy(id_col).agg(
         F.max("cosine").alias("max_cosine"),
-        F.max_by(
+        # min over (-cosine, id): max cosine first, then SMALLEST id —
+        # only the float is negated, so string bench ids order correctly
+        # too (the arrow impl's sorted-argmax makes the same promise)
+        F.min_by(
             "_bench_id",
-            F.struct(F.col("cosine").alias("c"), (-F.col("_bench_id")).alias("ni")),
+            F.struct((-F.col("cosine")).alias("nc"), F.col("_bench_id").alias("i")),
         ).alias("nearest_bench_id"),
         F.count(F.lit(1)).alias("n_bench_hits"),
     )
@@ -371,6 +374,7 @@ def _semantic_contamination_arrow(
     id_col: str,
     vec_col: str,
     threshold: float,
+    max_bench_rows: int,
 ) -> DataFrame:
     """Arrow/BLAS physical strategy for :func:`semantic_contamination`
     (same output contract): the guarded bench matrix is closure-captured
@@ -388,9 +392,22 @@ def _semantic_contamination_arrow(
 
     from pyspark.sql import types as T
 
+    # ONE action on the bench side: collect capped at limit+1 so an
+    # oversized benchmark raises without materializing it all, and the
+    # guard and the matrix share the job
     b_rows = (
-        bench_emb.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).collect()
+        bench_emb.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .limit(max_bench_rows + 1)
+        .collect()
     )
+    if len(b_rows) > max_bench_rows:
+        raise ValueError(
+            f"semantic_contamination: benchmark side exceeds "
+            f"max_bench_rows={max_bench_rows}. Block both sides with "
+            "similarity.cross_polytope_candidates and score candidates, "
+            "or raise max_bench_rows deliberately."
+        )
     out_schema = T.StructType(
         [
             T.StructField(id_col, train_emb.schema[id_col].dataType),

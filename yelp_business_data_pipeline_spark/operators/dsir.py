@@ -45,12 +45,20 @@ _HASH_RANGE = float(1 << 32)
 
 
 def _gram_stream(
-    df: DataFrame, id_col: str, text_col: str, buckets: int, salt: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    salt: str,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, bucket) — one row per word unigram/bigram occurrence, hashed
-    into md5 buckets. The shared explode both the fit and scoring paths
-    ride; no aggregation here so each caller keeps its own single
-    exchange."""
+    """(id, [carry...], bucket) — one row per word unigram/bigram
+    occurrence, hashed into md5 buckets. THE single definition of the
+    DSIR gram construction: the fit, scoring, and flagged single-pass
+    paths all ride it (``carry`` keeps extra per-doc columns through the
+    explode), so the gram semantics cannot drift between the paths whose
+    equality the tests pin. No aggregation here — each caller keeps its
+    own single exchange."""
     toks = F.split(F.col(text_col), " ")
     bigrams = F.when(
         F.size(toks) >= 2,
@@ -63,8 +71,11 @@ def _gram_stream(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("_g")).select(
+    return df.select(
+        F.col(id_col), *carry, F.explode(F.concat(toks, bigrams)).alias("_g")
+    ).select(
         id_col,
+        *carry,
         F.pmod(portable_hash(F.col("_g"), salt=salt), F.lit(buckets)).alias("bucket"),
     )
 
@@ -135,8 +146,18 @@ def bucket_log_ratios(
         .select(
             "bucket",
             (
-                F.log((F.coalesce("_tc", F.lit(0)) + a) / (F.col("_tot") + a * buckets))
-                - F.log((F.coalesce("_rc", F.lit(0)) + a) / (F.col("_rtot") + a * buckets))
+                # totals coalesce to 0 so an EMPTY distribution means the
+                # smoothed-uniform, not NULL ratios (which would silently
+                # zero every weight) — and matches the flagged path, whose
+                # sums naturally give 0 on an empty flag set
+                F.log(
+                    (F.coalesce("_tc", F.lit(0)) + a)
+                    / (F.coalesce("_tot", F.lit(0)) + a * buckets)
+                )
+                - F.log(
+                    (F.coalesce("_rc", F.lit(0)) + a)
+                    / (F.coalesce("_rtot", F.lit(0)) + a * buckets)
+                )
             ).alias("log_ratio"),
         )
     )
@@ -190,6 +211,17 @@ def gumbel_key(id_col: Column | str, log_weight: Column, salt: str = "dsir-g:") 
     return log_weight - F.log(-F.log(u))
 
 
+def _gumbel_topk(corpus: DataFrame, w: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared selection tail: Gumbel-perturb the weights, TakeOrdered the
+    top-k over (key desc, id asc), join the winners back to the corpus.
+    ONE definition so the two dsir_select entry points cannot drift."""
+    keyed = w.select(
+        id_col, "log_weight", gumbel_key(id_col, F.col("log_weight")).alias("_gk")
+    )
+    picked = keyed.orderBy(F.col("_gk").desc(), F.col(id_col).asc()).limit(int(k))
+    return corpus.join(picked.select(id_col, "log_weight"), id_col, "inner")
+
+
 def dsir_select(
     corpus: DataFrame,
     target: DataFrame,
@@ -216,11 +248,7 @@ def dsir_select(
         else fit_bucket_distribution(corpus, id_col, text_col, buckets)
     )
     w = importance_weights(corpus, t_dist, r_dist, id_col, text_col, buckets, smoothing)
-    keyed = w.select(
-        id_col, "log_weight", gumbel_key(id_col, F.col("log_weight")).alias("_gk")
-    )
-    picked = keyed.orderBy(F.col("_gk").desc(), F.col(id_col).asc()).limit(int(k))
-    return corpus.join(picked.select(id_col, "log_weight"), id_col, "inner")
+    return _gumbel_topk(corpus, w, k, id_col)
 
 
 def importance_weights_flagged(
@@ -250,27 +278,8 @@ def importance_weights_flagged(
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0 (unseen buckets), got {smoothing}")
     flagged = corpus.withColumn("_tflag", target_flag)
-    # The gram stream with the flag carried through the explode
-    # (_gram_stream prunes to (id, bucket), so it is rebuilt inline here
-    # with the extra column).
-    toks = F.split(F.col(text_col), " ")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, (i + 1).cast("int")),
-                F.element_at(toks, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = flagged.select(
-        F.col(id_col), F.col("_tflag"), F.explode(F.concat(toks, bigrams)).alias("_g")
-    ).select(
-        id_col,
-        "_tflag",
-        F.pmod(portable_hash(F.col("_g"), salt=salt), F.lit(buckets)).alias("bucket"),
+    grams = _gram_stream(
+        flagged, id_col, text_col, buckets, salt, carry=("_tflag",)
     )
     feats = grams.groupBy(id_col, "bucket").agg(
         F.count("*").cast("bigint").alias("cnt"),
@@ -319,8 +328,4 @@ def dsir_select_flagged(
     w = importance_weights_flagged(
         corpus, target_flag, id_col, text_col, buckets, smoothing
     )
-    keyed = w.select(
-        id_col, "log_weight", gumbel_key(id_col, F.col("log_weight")).alias("_gk")
-    )
-    picked = keyed.orderBy(F.col("_gk").desc(), F.col(id_col).asc()).limit(int(k))
-    return corpus.join(picked.select(id_col, "log_weight"), id_col, "inner")
+    return _gumbel_topk(corpus, w, k, id_col)

@@ -264,6 +264,12 @@ def calibrate_threshold(
     seed = stats_df.agg(
         F.percentile_approx("stat", float(target_kept_fraction), 10_000).alias("q")
     ).collect()[0]["q"]
+    if seed is None:
+        raise ValueError(
+            "calibrate_threshold: the calibration sample is empty (all-null "
+            f"vectors, or sample_fraction too small for this corpus) — "
+            "raise sample_fraction or check the vector column"
+        )
     seed = min(max(float(seed), 1e-6), 1.0)
 
     def kept_at(t: float) -> float:

@@ -594,8 +594,18 @@ def _gopher_rows_numpy(texts, top_ns, dup_ns):
     cur, n_prev = codes, n_codes
     for k in range(2, (max(ns) if ns else 1) + 1):
         m = total - k + 1
-        if m <= 0 or n_prev * n_codes >= (1 << 62):
-            break  # packing would overflow (never at sane batch sizes)
+        if m <= 0:
+            break
+        if n_prev * n_codes >= (1 << 62):
+            # Zeroed counters here would falsely PASS maximally repetitive
+            # docs through the threshold gate — fail loudly like every
+            # other limit in this engine (max_pattern_bytes, max_bench_rows)
+            raise ValueError(
+                f"gopher repetition kernel: gram-id packing would overflow "
+                f"int64 at n={k} ({n_prev} ids x {n_codes} codes); lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch so batches "
+                "carry fewer distinct words"
+            )
         packed = cur[:m] * n_codes + codes[k - 1 :]
         uniq, inv = np.unique(packed, return_inverse=True)
         cur, n_prev = inv, len(uniq)
@@ -610,8 +620,14 @@ def _gopher_rows_numpy(texts, top_ns, dup_ns):
         gid, n_ids = gid_by_n[n]
         # position i starts an n-gram iff i..i+n-1 stay in one doc
         pos = np.nonzero(doc_idx[:m] == doc_idx[n - 1 :])[0]
-        if len(pos) == 0 or n_ids * n_docs >= (1 << 62):
+        if len(pos) == 0:
             continue
+        if n_ids * n_docs >= (1 << 62):
+            raise ValueError(
+                f"gopher repetition kernel: doc-major key packing would "
+                f"overflow int64 at n={n} ({n_ids} gram ids x {n_docs} "
+                "docs); lower arrow.maxRecordsPerBatch"
+            )
         # doc-major packing -> unique output is sorted by doc, so the
         # per-doc rollup is one reduceat over contiguous segments
         key = doc_idx[pos] * n_ids + gid[pos]
