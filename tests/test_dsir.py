@@ -37,7 +37,7 @@ def _py_hash(s: str, salt: str) -> int:
 
 
 def _py_buckets(text: str, buckets: int) -> dict[int, int]:
-    toks = text.split(" ")
+    toks = [t for t in text.split(" ") if t]  # empties dropped, like the engine
     grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     out: dict[int, int] = {}
     for g in grams:
@@ -88,7 +88,8 @@ def test_bucket_counts_match_duckdb_twin_exactly(spark, sf_dir):
     got = sorted(tuple(r) for r in hashed_ngram_buckets(d, buckets=B).collect())
     sql = f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
     ), grams AS (
       SELECT doc_id, unnest(
         t || CASE WHEN len(t) >= 2
@@ -211,9 +212,9 @@ def test_empty_text_gets_zero_weight_and_smoothing_guard(spark):
             buckets=B,
         ).collect()
     }
-    # empty string tokenizes to one "" token -> still a gram; use a doc
-    # whose grams all miss? instead: log_weight exists for both docs
+    # empty string now yields NO grams -> the documented 0.0 weight
     assert set(w) == {0, 1}
+    assert w[0] == 0.0
     with pytest.raises(ValueError, match="smoothing"):
         from yelp_business_data_pipeline_spark.operators.dsir import bucket_log_ratios
 

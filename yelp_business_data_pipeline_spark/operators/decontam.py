@@ -230,7 +230,10 @@ def exact_substring_hits(
 
     _h = hashlib.md5()
     for p in patterns:
-        _h.update(str(len(p)).encode())  # length-prefix: unambiguous join
+        # delimited length prefix: bare decimal prefixes collide ("2"+"abcdefghij"
+        # vs "10abcdefghij" digest the same bytes), and a reused worker
+        # would then serve the WRONG cached automaton
+        _h.update(f"{len(p)}:".encode())
         _h.update(p.encode("utf-8", "surrogatepass"))
     aho_key = _h.hexdigest()
 

@@ -59,7 +59,10 @@ def _gram_stream(
     explode), so the gram semantics cannot drift between the paths whose
     equality the tests pin. No aggregation here — each caller keeps its
     own single exchange."""
-    toks = F.split(F.col(text_col), " ")
+    # F.split keeps empty segments ("" text -> [""], "a  b" -> an extra
+    # ""), which would hash whitespace runs as grams and make weights
+    # whitespace-sensitive — drop them, like the gopher kernels do
+    toks = F.array_remove(F.split(F.col(text_col), " "), "")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(

@@ -97,11 +97,18 @@ def duplicate_spans(
         raise ValueError(f"scope must be 'corpus' or 'cross_doc', got {scope!r}")
     grams = gram_positions(df, id_col, text_col, k, impl)
 
-    counts = grams.groupBy("gh").agg(
-        F.count("*").alias("occ"), F.count_distinct(id_col).alias("n_docs")
-    )
-    dup_key = F.col("occ") if scope == "corpus" else F.col("n_docs")
-    dup = counts.filter(dup_key >= min_count).select("gh", "occ")
+    # count_distinct only when cross_doc asks for it: the distinct-agg
+    # path carries (gh, doc) pairs and per-gram distinct state through
+    # the corpus-sized exchange — pure waste for the default scope,
+    # which thresholds on total occurrences
+    if scope == "cross_doc":
+        counts = grams.groupBy("gh").agg(
+            F.count("*").alias("occ"), F.count_distinct(id_col).alias("n_docs")
+        )
+        dup = counts.filter(F.col("n_docs") >= min_count).select("gh", "occ")
+    else:
+        counts = grams.groupBy("gh").agg(F.count("*").alias("occ"))
+        dup = counts.filter(F.col("occ") >= min_count).select("gh", "occ")
 
     marked = grams.join(dup, "gh")
 
@@ -160,8 +167,15 @@ def duplicate_span_stats(
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").alias("n_spans"), F.sum("span_tokens").alias("dup_tokens")
     )
+    # NULL text -> NULL token count (non-ANSI size(NULL) is -1, which
+    # would report a negative count and drift from the DuckDB twin's NULL)
     base = df.select(
-        id_col, F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens")
+        id_col,
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("bigint")
+        )
+        .otherwise(F.size(F.split(F.col(text_col), " ")).cast("bigint"))
+        .alias("n_tokens"),
     )
     return base.join(per_doc, id_col, "left").select(
         id_col,

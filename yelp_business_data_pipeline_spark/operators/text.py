@@ -656,6 +656,7 @@ def gopher_repetition_metrics(
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
     impl: str = "numpy",
+    carry: tuple[str, ...] = (),
 ):
     """Per-document repetition counters behind the Gopher repetition
     filters (Rae et al. 2021 §A1.1): most-common-n-gram character mass,
@@ -705,19 +706,31 @@ def gopher_repetition_metrics(
         raise ValueError(f"gopher_repetition_metrics: unknown impl {impl!r}")
     id_field = df.schema[id_col]
     cols = _gopher_cols(top_ns, dup_ns)
+    # ``carry`` rides extra per-doc columns through the kernel output so
+    # panel consumers (source rollups, threshold gates over the text)
+    # need NO corpus-on-corpus rejoin to recover them — the kernel
+    # already holds the whole row, and a doc_id join of two corpus-sized
+    # sides would be the dominant (and undocumented) shuffle at scale.
     schema = T.StructType(
         [T.StructField(id_col, id_field.dataType)]
+        + [T.StructField(c, df.schema[c].dataType) for c in carry]
         + [T.StructField(c, T.LongType()) for c in cols]
     )
     rows_fn = _gopher_rows_numpy if impl == "numpy" else _gopher_rows_python
     top_t, dup_t = tuple(top_ns), tuple(dup_ns)
+    carry_t = tuple(carry)
 
     def _metrics(batches):
         for pdf in batches:
             out = rows_fn(pdf[text_col].tolist(), top_t, dup_t)
-            yield pd.DataFrame({id_col: pdf[id_col], **out})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], **{c: pdf[c] for c in carry_t}, **out}
+            )
 
-    return df.select(id_col, text_col).mapInPandas(_metrics, schema=schema)
+    in_cols = [id_col, *[c for c in carry_t if c != id_col]]
+    if text_col not in in_cols:
+        in_cols.append(text_col)
+    return df.select(*in_cols).mapInPandas(_metrics, schema=schema)
 
 
 def gopher_repetition_flags(
