@@ -168,6 +168,14 @@ def test_worker_automaton_cache_bounded_and_correct(spark):
     _worker_aho("k2", ["xyz"])
     _worker_aho("k3", ["pqr"])
     assert len(_AHO_CACHE) <= 2 and "k3" in _AHO_CACHE
+    # eviction is LRU, not insertion-order: a hit refreshes recency, so a
+    # worker alternating A,B,A,C keeps the hot A automaton and evicts B
+    _AHO_CACHE.clear()
+    aa = _worker_aho("A", ["aaa"])
+    _worker_aho("B", ["bbb"])
+    assert _worker_aho("A", ["aaa"]) is aa  # hit moves A to MRU
+    _worker_aho("C", ["ccc"])
+    assert set(_AHO_CACHE) == {"A", "C"} and _AHO_CACHE["A"] is aa
     # end to end: repeated operator calls (same bench) reuse the key and
     # still produce model-equal hits
     docs = [(1, "abcd abc"), (2, "zzbcdzz")]

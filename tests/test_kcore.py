@@ -197,3 +197,33 @@ def test_partitioned_regime_round_plan_has_no_edge_exchange(spark):
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bulk_peel_broadcast_gate_falls_back_and_stays_exact(spark, monkeypatch):
+    """A bulk round whose dropped-vertex set exceeds the broadcast bound
+    must fall back to AQE sizing (counted in stats) and still produce
+    bit-identical cores — the gate is physical only. Bound forced to 0
+    so EVERY peel round takes the unbroadcast branch."""
+    import random
+
+    from yelp_business_data_pipeline_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_KCORE_BROADCAST_DROP_MAX", 0)
+    rng = random.Random(23)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    s = {}
+    got = _run(
+        spark, edges, 3, partition_edges=True, local_finish_threshold=0, stats=s
+    )
+    assert got == _model(edges, 3)
+    # every round that actually drops vertices takes the unbroadcast
+    # branch (the final stabilizing round drops none, so 0 <= bound)
+    assert s["rounds"] >= 1
+    assert 1 <= s.get("unbroadcast_rounds", 0) <= s["rounds"]
+    # with the real bound, small graphs never pay the drop-side count
+    s2 = {}
+    monkeypatch.setattr(G, "_KCORE_BROADCAST_DROP_MAX", 5_000_000)
+    got2 = _run(
+        spark, edges, 3, partition_edges=True, local_finish_threshold=0, stats=s2
+    )
+    assert got2 == got and "unbroadcast_rounds" not in s2

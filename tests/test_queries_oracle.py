@@ -16,6 +16,39 @@ def test_query_matches_oracle(name, spark, sf_dir):
     assert ok, f"{name}: {msg}"
 
 
+@pytest.mark.parametrize(
+    "name,const",
+    [
+        ("tfidf_top_terms", "TFIDF_ORACLE"),
+        ("sessionize_events", "SESSIONIZE_USER_ORACLE"),
+    ],
+)
+def test_demoted_twins_still_match(name, const, spark, sf_dir):
+    """The r8 gate rotation demoted these to rows-only trackers; their
+    exact DuckDB twins survive as constants and this pin is the pytest
+    half of the rotation contract (COVERAGE.md 'Oracle-gate rotation'):
+    the exactness check never lapses while a query is out of the gate."""
+    import yelp_business_data_pipeline_spark.plans.core as core_mod
+    import yelp_business_data_pipeline_spark.plans.extensions as ext_mod
+
+    from .oracle_harness import _norm_rows, duck_con
+
+    sql = getattr(ext_mod, const, None) or getattr(core_mod, const)
+    spec = QUERIES[name]
+    assert spec.oracle is None  # it IS demoted — else this pin is stale
+    sdf = spec.spark(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck_con(sf_dir).execute(sql)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    s_order = [s_cols.index(c) for c in sorted(s_cols)]
+    d_order = [d_cols.index(c) for c in sorted(d_cols)]
+    assert _norm_rows(s_rows, s_order) == _norm_rows(d_rows, d_order)
+
+
 def test_approx_aggregates_accuracy(spark, sf_dir):
     """Tighter pins than the query's in-plan tolerance predicates:
     approx_count_distinct within 5% of exact; approx median within 2% —

@@ -88,6 +88,25 @@ def test_unbounded_bench_side_raises(spark):
         semantic_contamination(e, e, max_bench_rows=10)
 
 
+def test_bench_guard_is_impl_invariant_under_null_vectors(spark):
+    """Null bench vectors don't count against max_bench_rows in EITHER
+    impl: 8 real + 5 null rows passes a bound of 8 under both, and the
+    same frame raises under both with a bound of 7."""
+    import pytest as _pytest
+
+    rows = [(i, [1.0, float(i)]) for i in range(8)] + [
+        (100 + i, None) for i in range(5)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for impl in ("jvm", "arrow"):
+        got = semantic_contamination(
+            e, e, threshold=1.0, max_bench_rows=8, impl=impl
+        )
+        assert got.count() == 8, impl  # every real vector matches itself
+        with _pytest.raises(ValueError, match="max_bench_rows"):
+            semantic_contamination(e, e, max_bench_rows=7, impl=impl)
+
+
 def test_arrow_impl_equals_jvm_on_real_corpus(spark, sf_dir):
     import yelp_business_data_pipeline_spark.operators.similarity as sim
 

@@ -136,12 +136,12 @@ _AHO_CACHE: dict = {}
 
 
 def _worker_aho(key: str, patterns: list[str]):
-    auto = _AHO_CACHE.get(key)
+    auto = _AHO_CACHE.pop(key, None)  # pop+reinsert: hits refresh recency
     if auto is None:
         auto = _build_aho(patterns)
         while len(_AHO_CACHE) >= 2:
             _AHO_CACHE.pop(next(iter(_AHO_CACHE)))
-        _AHO_CACHE[key] = auto
+    _AHO_CACHE[key] = auto
     return auto
 
 
@@ -318,6 +318,10 @@ def semantic_contamination(
         )
     if impl != "jvm":
         raise ValueError(f"impl must be 'jvm' or 'arrow', got {impl!r}")
+    # null vectors are filtered BEFORE the guard count so the bound is
+    # impl-invariant (the arrow path also limits post-filter): the same
+    # bench frame must raise (or pass) identically under both impls
+    bench_emb = bench_emb.filter(F.col(vec_col).isNotNull())
     n_bench = bench_emb.count()
     if n_bench > max_bench_rows:
         raise ValueError(

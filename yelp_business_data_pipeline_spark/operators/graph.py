@@ -674,15 +674,27 @@ def _k_core_partitioned(
         deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("x")
         dropped = deg.filter(F.col("degree") < k).select(F.col("x").alias("y"))
-        # the drop side is explicitly broadcast: it holds only the
-        # vertices peeled THIS round (ids, not edges), and letting AQE
-        # size it instead was measured to pick a y-exchange on bulk
+        # the drop side is explicitly broadcast WHEN SAFE: it holds only
+        # the vertices peeled THIS round (ids, not edges), and letting
+        # AQE size it instead was measured to pick a y-exchange on bulk
         # rounds — which destroys the retained x-layout and makes every
-        # later round pay the groupBy exchange again
+        # later round pay the groupBy exchange again. But a first bulk
+        # peel can drop O(V) vertices, and force-broadcasting an O(V) id
+        # set would hit the broadcast limit / driver memory on a big
+        # graph. Each dropped vertex carries >= 1 directed edge, so
+        # n_dropped <= n_dir: when n_dir is already under the bound the
+        # hint is free; otherwise pay one small count() on the drop side
+        # and fall back to AQE (one round of layout degradation, never
+        # worse than the default regime) when it exceeds the bound.
+        if n_dir <= _KCORE_BROADCAST_DROP_MAX or (
+            dropped.count() <= _KCORE_BROADCAST_DROP_MAX
+        ):
+            drop_side = F.broadcast(dropped)
+        else:
+            stats["unbroadcast_rounds"] = stats.get("unbroadcast_rounds", 0) + 1
+            drop_side = dropped
         pruned = localcheckpoint_keep_partitioning(
-            sym.join(keep, "x", "left_semi").join(
-                F.broadcast(dropped), "y", "left_anti"
-            ),
+            sym.join(keep, "x", "left_semi").join(drop_side, "y", "left_anti"),
             eager=False,
         )
         new_n = pruned.count()
@@ -703,6 +715,13 @@ def _k_core_partitioned(
 #: bulk, 2.1 -> 1.7s cascade) — the pagerank result, re-measured for the
 #: peel shape with the drop side explicitly broadcast.
 _KCORE_PARTITION_EDGES_MIN = 300_000
+
+#: Cap on the per-round dropped-vertex set that _k_core_partitioned will
+#: force-broadcast. 5M bigint/string ids is tens of MB serialized — far
+#: under Spark's 8 GB broadcast hard limit and a safe driver footprint;
+#: a bulk peel dropping more than this falls back to AQE sizing for that
+#: round (one round of layout degradation, documented above).
+_KCORE_BROADCAST_DROP_MAX = 5_000_000
 
 
 def k_core(

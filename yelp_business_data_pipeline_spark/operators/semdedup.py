@@ -223,95 +223,101 @@ def calibrate_threshold(
 
         sample = hash_sample(sample, id_col, sample_fraction, salt="cal:")
     sample = sample.localCheckpoint()  # probes re-read it; scan once
-    if centroids is None:
-        centroids = train_ivf_centroids(sample, id_col, vec_col, n_lists=n_clusters)
-    assigned = ivf_index(sample, centroids, id_col, vec_col)
+    try:
+        if centroids is None:
+            centroids = train_ivf_centroids(sample, id_col, vec_col, n_lists=n_clusters)
+        assigned = ivf_index(sample, centroids, id_col, vec_col)
 
-    cent_rows = centroids.orderBy("list_id").collect()
-    cent = {int(r.list_id): np.asarray(r.cv, dtype=np.float64) for r in cent_rows}
-    far = keep == "far_from_centroid"
+        cent_rows = centroids.orderBy("list_id").collect()
+        cent = {int(r.list_id): np.asarray(r.cv, dtype=np.float64) for r in cent_rows}
+        far = keep == "far_from_centroid"
 
-    stat_schema = T.StructType([T.StructField("stat", T.DoubleType())])
+        stat_schema = T.StructType([T.StructField("stat", T.DoubleType())])
 
-    def prefix_max_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-        norms = np.sqrt((x * x).sum(1))
-        norms[norms == 0.0] = 1.0
-        xn = x / norms[:, None]
-        if far:
-            d = x - cent[int(pdf["list_id"].iloc[0])][None, :]
-            order = np.lexsort((ids, -(d * d).sum(1)))
-        else:
-            order = np.argsort(ids, kind="stable")
-        xo = xn[order]
-        n = len(order)
-        stats = np.full(n, -1.0)
-        for start in range(0, n, chunk):
-            end = min(start + chunk, n)
-            if start:
-                stats[start:end] = (xo[start:end] @ xo[:start].T).max(1)
-            block = xo[start:end] @ xo[start:end].T
-            for row in range(1, end - start):
-                m = float(block[row, :row].max())
-                if m > stats[start + row]:
-                    stats[start + row] = m
-        return pd.DataFrame({"stat": stats})
+        def prefix_max_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf[id_col].to_numpy()
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.sqrt((x * x).sum(1))
+            norms[norms == 0.0] = 1.0
+            xn = x / norms[:, None]
+            if far:
+                d = x - cent[int(pdf["list_id"].iloc[0])][None, :]
+                order = np.lexsort((ids, -(d * d).sum(1)))
+            else:
+                order = np.argsort(ids, kind="stable")
+            xo = xn[order]
+            n = len(order)
+            stats = np.full(n, -1.0)
+            for start in range(0, n, chunk):
+                end = min(start + chunk, n)
+                if start:
+                    stats[start:end] = (xo[start:end] @ xo[:start].T).max(1)
+                block = xo[start:end] @ xo[start:end].T
+                for row in range(1, end - start):
+                    m = float(block[row, :row].max())
+                    if m > stats[start + row]:
+                        stats[start + row] = m
+            return pd.DataFrame({"stat": stats})
 
-    stats_df = assigned.groupBy("list_id").applyInPandas(
-        prefix_max_stats, stat_schema
-    )
-    seed = stats_df.agg(
-        F.percentile_approx("stat", float(target_kept_fraction), 10_000).alias("q")
-    ).collect()[0]["q"]
-    if seed is None:
-        raise ValueError(
-            "calibrate_threshold: the calibration sample is empty (all-null "
-            f"vectors, or sample_fraction too small for this corpus) — "
-            "raise sample_fraction or check the vector column"
+        stats_df = assigned.groupBy("list_id").applyInPandas(
+            prefix_max_stats, stat_schema
         )
-    seed = min(max(float(seed), 1e-6), 1.0)
+        seed = stats_df.agg(
+            F.percentile_approx("stat", float(target_kept_fraction), 10_000).alias("q")
+        ).collect()[0]["q"]
+        if seed is None:
+            raise ValueError(
+                "calibrate_threshold: the calibration sample is empty (all-null "
+                f"vectors, or sample_fraction too small for this corpus) — "
+                "raise sample_fraction or check the vector column"
+            )
+        seed = min(max(float(seed), 1e-6), 1.0)
 
-    def kept_at(t: float) -> float:
-        v = semantic_dedup(
-            sample, id_col, vec_col, threshold=t, centroids=centroids,
-            keep=keep, chunk=chunk,
+        def kept_at(t: float) -> float:
+            v = semantic_dedup(
+                sample, id_col, vec_col, threshold=t, centroids=centroids,
+                keep=keep, chunk=chunk,
+            )
+            row = v.agg(
+                F.sum(F.col("keep").cast("long")).alias("k"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            return row["k"] / row["n"]
+
+        t, probes = seed, 0
+        lo, hi = 0.0, 1.0  # kept(1.0) == 1.0: nothing exceeds cosine 1 strictly
+        best = None
+        while probes < max_refine:
+            f = kept_at(t)
+            probes += 1
+            if best is None or abs(f - target_kept_fraction) < abs(
+                best[1] - target_kept_fraction
+            ):
+                best = (t, f)
+            if abs(f - target_kept_fraction) <= tol:
+                return {
+                    "threshold": t,
+                    "kept_fraction": f,
+                    "probes": probes,
+                    "seed": seed,
+                }
+            if f < target_kept_fraction:
+                lo = t
+            else:
+                hi = t
+            t = (lo + hi) / 2.0
+        raise RuntimeError(
+            f"calibrate_threshold: no threshold within tol={tol} of "
+            f"target={target_kept_fraction} after {max_refine} probes — best was "
+            f"kept={best[1]:.4f} at threshold={best[0]:.4f}. Targets below the "
+            "always-kept floor (one point per cluster-visit prefix) are "
+            "unreachable; raise the target, tol, or max_refine."
         )
-        row = v.agg(
-            F.sum(F.col("keep").cast("long")).alias("k"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        return row["k"] / row["n"]
-
-    t, probes = seed, 0
-    lo, hi = 0.0, 1.0  # kept(1.0) == 1.0: nothing exceeds cosine 1 strictly
-    best = None
-    while probes < max_refine:
-        f = kept_at(t)
-        probes += 1
-        if best is None or abs(f - target_kept_fraction) < abs(
-            best[1] - target_kept_fraction
-        ):
-            best = (t, f)
-        if abs(f - target_kept_fraction) <= tol:
-            return {
-                "threshold": t,
-                "kept_fraction": f,
-                "probes": probes,
-                "seed": seed,
-            }
-        if f < target_kept_fraction:
-            lo = t
-        else:
-            hi = t
-        t = (lo + hi) / 2.0
-    raise RuntimeError(
-        f"calibrate_threshold: no threshold within tol={tol} of "
-        f"target={target_kept_fraction} after {max_refine} probes — best was "
-        f"kept={best[1]:.4f} at threshold={best[0]:.4f}. Targets below the "
-        "always-kept floor (one point per cluster-visit prefix) are "
-        "unreachable; raise the target, tol, or max_refine."
-    )
+    finally:
+        # release the checkpointed blocks: repeated calibrations in
+        # one session must not accumulate executor storage for the
+        # session lifetime
+        sample.unpersist()
 
 
 def semantic_dedup_stats(verdicts: DataFrame) -> DataFrame:
