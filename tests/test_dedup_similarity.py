@@ -706,3 +706,27 @@ def test_winnowing_xxhash64_large_kgram_falls_back(spark):
         df, "doc_id", "text", k=30, window=3, hash_impl="xxhash64"
     )
     assert sorted(map(tuple, arrow.collect())) == sorted(map(tuple, rel.collect()))
+
+
+def test_blocker_guards_are_on_by_default():
+    """VERDICT r7 item 7: the pair-generating blockers must ship with the
+    loud candidate guard ENABLED — a skewed real corpus (large exact-dup
+    clusters) must fail diagnosably, not silently expand mega-buckets.
+    Pin the defaults so a refactor can't quietly revert them to None."""
+    import inspect
+
+    from yelp_business_data_pipeline_spark.operators.dedup import (
+        deletion_neighborhood_candidates,
+        minhash_lsh_candidates,
+    )
+
+    assert (
+        inspect.signature(minhash_lsh_candidates).parameters["max_bucket"].default
+        == 5_000
+    )
+    assert (
+        inspect.signature(deletion_neighborhood_candidates)
+        .parameters["max_bucket"]
+        .default
+        == 10_000
+    )

@@ -292,3 +292,36 @@ def test_empty_target_means_uniform_not_null_weights(spark):
     # uniform-target weights penalize concentrated docs vs diverse ones —
     # they are NOT all zero
     assert any(abs(v) > 1e-9 for v in two.values())
+
+
+def test_carry_path_matches_joinback_and_scans_corpus_once(spark, sf_dir):
+    """carry=() and carry=(cols) must pick the same docs with the same
+    weights (carry only changes the physical plan), and the registered
+    panel's executed plan must read the documents table EXACTLY once —
+    the r8 redesign's whole point (sentinel rows + _tflag-as-grouping-key
+    exchange reuse + carry columns instead of a corpus rejoin)."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.dsir import dsir_select_flagged
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flag = F.col("lang") == "en"
+    plain = {
+        (r.doc_id, round(r.log_weight, 9))
+        for r in dsir_select_flagged(d, flag, k=25, buckets=512).collect()
+    }
+    carried = dsir_select_flagged(
+        d, flag, k=25, buckets=512, carry=("source", "lang")
+    )
+    assert set(carried.columns) == {"doc_id", "source", "lang", "log_weight"}
+    got = {(r.doc_id, round(r.log_weight, 9)) for r in carried.collect()}
+    assert got == plain
+
+    panel = QUERIES["dsir_selection_panel"].spark(spark, sf_dir)
+    panel.collect()
+    final = (
+        panel._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("documents.parquet") == 1, final

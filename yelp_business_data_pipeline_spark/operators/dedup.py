@@ -187,7 +187,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     hash_impl: str = "md5",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 5_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash+LSH banding.
 
@@ -197,7 +197,16 @@ def minhash_lsh_candidates(
     functions -> distinct pairs. No self-join, so the signature computation
     runs exactly once; the only shuffles are the bucket groupBy and the
     final distinct, both keyed on uniform band hashes. Hot buckets are
-    bounded by construction (a bucket = docs agreeing on a band).
+    bounded by construction (a bucket = docs agreeing on a band) — for a
+    NEAR-DUP corpus. A corpus with large EXACT-duplicate clusters (web
+    boilerplate at 100 TB routinely has 100k+ byte-identical pages) puts
+    the whole cluster in one bucket per band, and pair expansion is
+    quadratic in the bucket: ``max_bucket`` therefore defaults to a loud
+    executor-side failure at 5k ids per bucket (the ``max_bench_rows``
+    pattern — candidate growth should be measured, never a silent
+    blow-up). Run exact dedup first (it collapses those clusters), or
+    raise/None the bound deliberately if your near-dup clusters are
+    genuinely that large.
     """
     toks = F.split(F.col(text_col), " ")
     token_hashed = df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
@@ -291,7 +300,7 @@ def deletion_neighborhood_candidates(
     id_col: str,
     text_col: str,
     hash_variants: bool = True,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate pairs for edit distance <= 1 via deletion-neighborhood
     blocking (the SymSpell construction): each string generates itself plus
@@ -319,9 +328,14 @@ def deletion_neighborhood_candidates(
     bound.) A corpus engineered to saturate one variant's whole insertion
     neighborhood reaches the bound exactly — pinned in
     ``test_dedup_similarity.py`` — and pair expansion there is quadratic in
-    the bound, not in corpus size. Pass ``max_bucket`` (e.g. the formula
-    above for your alphabet) to fail loudly if an input ever violates the
-    model instead of silently expanding a mega-bucket.
+    the bound, not in corpus size. ``max_bucket`` defaults to 10k — above
+    the insertion-neighborhood bound for any realistic key alphabet
+    (ASCII alnum x ~100-char keys ~ 6.3k) — so an input that violates
+    the model (EXACT-duplicate strings sharing every variant, the one
+    shape the construction does not bound) fails loudly instead of
+    silently expanding a mega-bucket; exact-dedup first, pass the
+    formula above for your alphabet, or raise/None the bound
+    deliberately.
 
     ``hash_variants`` (default) shuffles xxhash64(variant) longs instead of
     the variant strings — fixed 8-byte shuffle keys vs name-length strings,

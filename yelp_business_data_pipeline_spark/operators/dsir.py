@@ -51,6 +51,7 @@ def _gram_stream(
     buckets: int,
     salt: str,
     carry: tuple[str, ...] = (),
+    sentinel: bool = False,
 ) -> DataFrame:
     """(id, [carry...], bucket) — one row per word unigram/bigram
     occurrence, hashed into md5 buckets. THE single definition of the
@@ -58,28 +59,48 @@ def _gram_stream(
     paths all ride it (``carry`` keeps extra per-doc columns through the
     explode), so the gram semantics cannot drift between the paths whose
     equality the tests pin. No aggregation here — each caller keeps its
-    own single exchange."""
+    own single exchange.
+
+    ``sentinel=True`` additionally emits ONE bucket ``-1`` row for each
+    doc that produces no grams (NULL / empty / whitespace-only text —
+    explode_outer's NULL row on an empty array), so a single frame
+    covers the FULL corpus: the flagged single-pass plan rides this to
+    give gramless docs their defined 0.0 weight without a corpus-keyed
+    completion join (the sentinel bucket never matches the 0..B-1 ratio
+    spine and contributes exactly 0). Real grams hash to 0..B-1, so the
+    sentinel cannot collide with a real bucket."""
     # F.split keeps empty segments ("" text -> [""], "a  b" -> an extra
     # ""), which would hash whitespace runs as grams and make weights
     # whitespace-sensitive — drop them, like the gopher kernels do
     toks = F.array_remove(F.split(F.col(text_col), " "), "")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, (i + 1).cast("int")),
-                F.element_at(toks, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col), *carry, F.explode(F.concat(toks, bigrams)).alias("_g")
-    ).select(
-        id_col,
-        *carry,
-        F.pmod(portable_hash(F.col("_g"), salt=salt), F.lit(buckets)).alias("bucket"),
+    # bigrams as zip_with over two shifted slices — bit-identical output
+    # to the index-transform formulation but 7.6x faster at sf0.1
+    # (0.35s vs 2.66s): transform(sequence)+element_at is an interpreted
+    # per-element lambda with two O(1)-but-boxed array probes, while
+    # slice+zip_with walks both arrays once. greatest(.,0) clamps the
+    # 0/1-token cases to empty slices ([] bigrams); NULL text stays NULL
+    # through slice/zip_with, matching the old when()-guard's behavior.
+    n_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_bi),
+        F.slice(toks, 2, n_bi),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    all_g = F.concat(toks, bigrams)
+    bucket = F.pmod(portable_hash(F.col("_g"), salt=salt), F.lit(buckets))
+    if sentinel:
+        # explode_outer emits ONE NULL-gram row for an empty (or NULL-
+        # text) array — the sentinel costs nothing extra: a when(size>0)
+        # guard would make Catalyst evaluate the tokenize+bigram array
+        # TWICE per row (measured ~1.6x the whole panel at sf0.1)
+        explode_col = F.explode_outer(all_g)
+        bucket = F.when(F.col("_g").isNull(), F.lit(-1).cast("bigint")).otherwise(
+            bucket
+        )
+    else:
+        explode_col = F.explode(all_g)
+    return df.select(F.col(id_col), *carry, explode_col.alias("_g")).select(
+        id_col, *carry, bucket.alias("bucket")
     )
 
 
@@ -197,6 +218,10 @@ def importance_weights(
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"))
     )
+    # completion to full corpus coverage is an ids-only left join, NOT a
+    # rescan-and-union of gramless docs: corpus.select(id) prunes to the
+    # key column, where the union shape would re-read the (heaviest)
+    # text column a second time at scale
     base = corpus.select(id_col)
     return base.join(scored, id_col, "left").select(
         id_col, F.coalesce("log_weight", F.lit(0.0)).alias("log_weight")
@@ -222,7 +247,9 @@ def _gumbel_topk(corpus: DataFrame, w: DataFrame, k: int, id_col: str) -> DataFr
         id_col, "log_weight", gumbel_key(id_col, F.col("log_weight")).alias("_gk")
     )
     picked = keyed.orderBy(F.col("_gk").desc(), F.col(id_col).asc()).limit(int(k))
-    return corpus.join(picked.select(id_col, "log_weight"), id_col, "inner")
+    # picked is <= k rows by construction — hint it so the join-back is a
+    # broadcast on the FIRST plan, not after an AQE re-plan
+    return corpus.join(F.broadcast(picked.select(id_col, "log_weight")), id_col, "inner")
 
 
 def dsir_select(
@@ -262,32 +289,68 @@ def importance_weights_flagged(
     buckets: int = 10_000,
     smoothing: float = 1.0,
     salt: str = "dsir:",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Single-pass :func:`importance_weights` for the common case where
     the target domain is a SUBSET of the corpus (a predicate column —
     e.g. ``lang == 'en'``, a quality flag, a curated-source marker).
 
-    One corpus scan, one (id, bucket) exchange, one <= B-row (bucket)
-    exchange: the flag rides the gram stream into the per-doc feature
-    frame, BOTH distributions fold out of that same frame (raw =
-    everything, target = flagged rows' counts), and the scoring join
-    reuses the feature exchange — where the two-frame path scans and
+    One corpus scan, one (id, bucket, flag) exchange, one <= B-row
+    (bucket) exchange: the flag rides the gram stream into the per-doc
+    feature frame, BOTH distributions fold out of that same frame (raw =
+    everything, target = flagged rows' counts), and the scoring branch
+    REUSES the feature exchange — where the two-frame path scans and
     hashes the corpus for each fit, this plan never reads it twice.
-    Totals come from an unbounded window over the <= B-row combined
-    frame (one tiny exchange), keeping the whole thing a single linear
-    plan with no branch recomputation. Weight values are identical to
-    the two-frame path up to float summation order (selection equality
-    pinned in tests/test_dsir.py)."""
+
+    Three plan-level choices make the reuse and the job count real
+    (plan-pinned in tests/test_dsir.py, A/B'd in BASELINE.md r8):
+
+    - ``_tflag`` is a GROUPING KEY of the feature frame, not a
+      ``max()`` aggregate (it's constant per doc, so the grain is
+      unchanged): column pruning cannot drop a grouping key, so both
+      consumer branches see byte-identical partial aggregates under the
+      exchange and AQE's stage cache reuses it — as an aggregate, the
+      scoring branch pruned ``max(_tflag)`` away and the "shared"
+      exchange silently planned TWICE (two corpus scans; caught by
+      reading the executed plan, round 8).
+    - the gram stream runs with ``sentinel=True``: gramless docs carry a
+      bucket ``-1`` row, so the frame covers the full corpus and the
+      scoring left-join's ``coalesce(log_ratio, 0)`` gives them the
+      defined 0.0 weight with NO completion join (the fit branch filters
+      the sentinel out ABOVE the exchange, which leaves the reused
+      exchange intact).
+    - totals come from ``coalesce(1)`` + an unbounded window over the
+      <= B-row combined frame: the static single partition satisfies the
+      window's AllTuples requirement, so no extra exchange/query stage.
+
+    Weight values are identical to the two-frame path up to float
+    summation order (selection equality pinned in tests/test_dsir.py)."""
     if smoothing <= 0:
         raise ValueError(f"smoothing must be > 0 (unseen buckets), got {smoothing}")
     flagged = corpus.withColumn("_tflag", target_flag)
     grams = _gram_stream(
-        flagged, id_col, text_col, buckets, salt, carry=("_tflag",)
+        flagged, id_col, text_col, buckets, salt,
+        carry=("_tflag", *carry), sentinel=True,
     )
-    feats = grams.groupBy(id_col, "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt"),
-        F.max("_tflag").alias("_tflag"),  # constant per id
+    # ``carry`` columns ride as GROUPING KEYS (constant per doc, so the
+    # grain is unchanged) for the same pruning-immunity reason as
+    # _tflag: a caller that needs per-doc attributes downstream (the
+    # registered panel needs source/lang) gets them without a corpus
+    # rejoin, and both consumer branches still see the identical
+    # exchange. Cost: ~bytes-per-carry-column on each post-aggregation
+    # shuffle row — far below the join-back's second corpus scan.
+    feats = grams.groupBy(id_col, "bucket", "_tflag", *carry).agg(
+        F.count("*").cast("bigint").alias("cnt")
     )
+    # The sentinel bucket (-1) is excluded from the fit ARITHMETICALLY,
+    # never with a filter: ANY `bucket >= 0` predicate on this branch —
+    # even disguised — gets pushed below the feature aggregate into the
+    # shared exchange's subtree, the two branches stop canonicalizing
+    # equal, and AQE plans the corpus scan twice (verified by reading
+    # the executed plan; a `| cnt.isNull()` guard was constant-folded
+    # away because count(*) is non-nullable). when()-guards in the
+    # projection leave the exchange byte-identical for both consumers.
+    real = F.col("bucket") >= 0
     combined = feats.groupBy("bucket").agg(
         F.sum("cnt").alias("_rc"),
         F.sum(F.when(F.col("_tflag"), F.col("cnt")).otherwise(F.lit(0))).alias("_tc"),
@@ -295,24 +358,30 @@ def importance_weights_flagged(
     a = float(smoothing)
     w_all = Window.partitionBy()
     ratios = (
-        combined.withColumn("_rtot", F.sum("_rc").over(w_all))
-        .withColumn("_ttot", F.sum("_tc").over(w_all))
+        combined.coalesce(1)
+        .withColumn("_rtot", F.sum(F.when(real, F.col("_rc"))).over(w_all))
+        .withColumn("_ttot", F.sum(F.when(real, F.col("_tc"))).over(w_all))
         .select(
             "bucket",
-            (
+            F.when(
+                real,
                 F.log((F.col("_tc") + a) / (F.col("_ttot") + a * buckets))
-                - F.log((F.col("_rc") + a) / (F.col("_rtot") + a * buckets))
-            ).alias("log_ratio"),
+                - F.log((F.col("_rc") + a) / (F.col("_rtot") + a * buckets)),
+            )
+            .otherwise(F.lit(0.0))  # sentinel row scores exactly 0
+            .alias("log_ratio"),
         )
     )
-    scored = (
-        feats.join(F.broadcast(ratios), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"))
-    )
-    base = corpus.select(id_col)
-    return base.join(scored, id_col, "left").select(
-        id_col, F.coalesce("log_weight", F.lit(0.0)).alias("log_weight")
+    # LEFT join, not inner: an inner join would infer `bucket IS NOT
+    # NULL` into the probe side's subtree — same reuse-breaking pushdown
+    return (
+        feats.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col, *carry)
+        .agg(
+            F.sum(F.col("cnt") * F.coalesce("log_ratio", F.lit(0.0))).alias(
+                "log_weight"
+            )
+        )
     )
 
 
@@ -324,11 +393,28 @@ def dsir_select_flagged(
     text_col: str = "text",
     buckets: int = 10_000,
     smoothing: float = 1.0,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """:func:`dsir_select` with an in-corpus target predicate — the
     single-pass plan of :func:`importance_weights_flagged` plus the same
-    deterministic Gumbel top-k."""
+    deterministic Gumbel top-k.
+
+    With ``carry`` set, returns ``(id, *carry, log_weight)`` for the
+    selected docs WITHOUT joining back to the corpus — the carried
+    attributes ride the feature frame's grouping keys, so the corpus is
+    read exactly once end to end. Without it, returns the full corpus
+    rows of the selected docs (one broadcast join-back)."""
     w = importance_weights_flagged(
-        corpus, target_flag, id_col, text_col, buckets, smoothing
+        corpus, target_flag, id_col, text_col, buckets, smoothing, carry=carry
     )
+    if carry:
+        keyed = w.select(
+            id_col, *carry, "log_weight",
+            gumbel_key(id_col, F.col("log_weight")).alias("_gk"),
+        )
+        return (
+            keyed.orderBy(F.col("_gk").desc(), F.col(id_col).asc())
+            .limit(int(k))
+            .drop("_gk")
+        )
     return _gumbel_topk(corpus, w, k, id_col)
