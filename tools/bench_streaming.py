@@ -83,7 +83,7 @@ def _write_source(src_dir: str) -> int:
     return total
 
 
-def _drain_domain(spark, src, base) -> tuple[float, int]:
+def _drain_domain(spark, src, base, files_per_trigger=FILES_PER_TRIGGER) -> tuple[float, int]:
     batches: list[int] = []
     t0 = time.perf_counter()
     q = stream_domain_etl(
@@ -94,7 +94,7 @@ def _drain_domain(spark, src, base) -> tuple[float, int]:
         os.path.join(base, "out_domain"),
         os.path.join(base, "ckpt_domain"),
         keys=["review_id"],
-        max_files_per_trigger=FILES_PER_TRIGGER,
+        max_files_per_trigger=files_per_trigger,
         on_batch_complete=lambda e: batches.append(e),
     )
     q.awaitTermination()
@@ -160,6 +160,58 @@ def _drain_windowed(spark, base) -> tuple[float, int]:
     return time.perf_counter() - t0, n_rows
 
 
+def curve() -> None:
+    """Batch-size amortization curve (VERDICT r7 item 8): the SAME 60k
+    rows drained with maxFilesPerTrigger 1 / 3 / 12 (12 / 4 / 1
+    micro-batches). Local-mode throughput is per-micro-batch fixed-cost
+    dominated (~1.2s: plan + checkpoint + commit), so rows/s should rise
+    with batch size — the quantitative form of the cluster story (size
+    micro-batches so work >> fixed cost). Prints one JSON line:
+    {"metric": "streaming_amortization", "points": [{files_per_trigger,
+    batches, rows_per_s_median, band}, ...]}."""
+    spark = get_spark(app_name="bench-streaming-curve")
+    base_root = tempfile.mkdtemp(prefix="stream_curve_")
+    try:
+        src = os.path.join(base_root, "incoming")
+        os.makedirs(src)
+        total_rows = _write_source(src)
+        warm = os.path.join(base_root, "warm_src")
+        os.makedirs(warm)
+        with open(os.path.join(warm, "w.json"), "w") as fh:
+            fh.write(json.dumps(dict(_review(0), seq=0)))
+        _drain_domain(spark, warm, os.path.join(base_root, "warm_d"))
+        points = []
+        for fpt in (1, 3, N_FILES):
+            rates, nb = [], 0
+            for rep in range(REPEATS):
+                base = os.path.join(base_root, f"fpt{fpt}_rep{rep}")
+                os.makedirs(base)
+                dt, nb = _drain_domain(spark, src, base, files_per_trigger=fpt)
+                rates.append(total_rows / dt)
+            points.append(
+                {
+                    "files_per_trigger": fpt,
+                    "batches": nb,
+                    "rows_per_s_median": round(sorted(rates)[len(rates) // 2]),
+                    "band": [round(min(rates)), round(max(rates))],
+                }
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_amortization",
+                    "unit": "rows/s",
+                    "rows": total_rows,
+                    "path": "stream_domain_etl",
+                    "points": points,
+                },
+                separators=(",", ":"),
+            )
+        )
+    finally:
+        shutil.rmtree(base_root, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench-streaming")
     base_root = tempfile.mkdtemp(prefix="stream_bench_")
@@ -207,4 +259,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(curve() if "--curve" in sys.argv else main())

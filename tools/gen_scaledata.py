@@ -205,9 +205,25 @@ def generate(sf: float, out_dir: str) -> None:
     lens = rng.integers(12, 40, n_d)
     picks = rng.integers(0, len(words), int(lens.sum()))
     texts, pos = [], 0
-    for ln in lens:
-        texts.append(" ".join(words[picks[pos : pos + ln]]))
+    for i, ln in enumerate(lens):
+        toks = list(words[picks[pos : pos + ln]])
         pos += ln
+        if i % 3 == 0:
+            # multi-line docs (round 8, VERDICT r7 item 4): every third
+            # doc becomes newline-separated "lines" of 7 words, two of
+            # every three ending in terminal punctuation — the C4 line
+            # filter gets real lines to keep/drop at the sf1 probe scale.
+            # Deterministic by construction (index-derived, no RNG draw),
+            # so the other seven tables' streams are untouched.
+            chunks = [toks[j : j + 7] for j in range(0, len(toks), 7)]
+            texts.append(
+                "\n".join(
+                    " ".join(c) + ("." if k % 3 < 2 else "")
+                    for k, c in enumerate(chunks)
+                )
+            )
+        else:
+            texts.append(" ".join(toks))
     pq.write_table(
         pa.table(
             {

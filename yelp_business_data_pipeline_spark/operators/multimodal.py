@@ -5,11 +5,14 @@ Convention: media travels as an opaque ``payload: binary`` column next to a
 typed ``media_meta`` struct (modality, format, width/height/duration,
 byte size, content hash). All Spark-side machinery — schema, partition
 sizing, Arrow-batched ``mapInPandas`` UDF signature, batch shape — is real
-and tested; the actual codec work (image decode, resampling, frame
-sampling) is stubbed behind ``DECODERS`` because media libraries are not in
-this container: each stub either raises ``NotImplementedError`` (strict
-mode) or produces a deterministic fake feature vector (test mode). Swapping
-in a real decoder is a one-function change with the same batch interface.
+and tested. Decoding is format-tiered (round 8): WAV and BMP payloads
+REALLY decode end to end with stdlib parsers (``wave`` / ``struct`` — see
+``decode_wav_features`` / ``decode_bmp_features`` and the
+``probe_media_meta`` header prober); formats that need codec libraries not
+in this container (png/jpeg/mp3/mp4/...) raise ``NotImplementedError``
+loudly (strict mode), and tests may swap in the deterministic
+``_fake_features``. Swapping in a real codec-backed decoder is a
+one-function change with the same batch interface.
 
 Scale notes: mapInPandas streams Arrow record batches, so executor memory
 is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` x mean blob
@@ -88,12 +91,193 @@ def _decode_stub(blob: bytes | None) -> list[float]:
     )
 
 
-#: modality -> bytes -> feature vector. Test mode swaps in _fake_features.
+# ---------------------------------------------------------------------------
+# Real stdlib decoders (round 8): WAV via the `wave` module, BMP via
+# `struct` header parsing — genuine byte decoding end to end for the two
+# formats the standard library can read. Formats that need external codec
+# libraries (png/jpeg/mp3/mp4/...) still raise NotImplementedError
+# loudly; this keeps the strict-mode contract while making the default
+# DECODERS table actually decode something real.
+# ---------------------------------------------------------------------------
+
+
+def parse_wav_meta(blob: bytes | None) -> dict | None:
+    """Parse a RIFF/WAVE header: channels, sample rate, sample width,
+    frame count, duration_ms. None for empty/non-WAV payloads."""
+    if not blob or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        return {
+            "channels": w.getnchannels(),
+            "framerate": rate,
+            "sampwidth": w.getsampwidth(),
+            "n_frames": n,
+            "duration_ms": (n * 1000) // rate if rate else 0,
+        }
+
+
+def decode_wav_features(blob: bytes | None) -> list[float]:
+    """Real audio decode: read the PCM frames as signed samples (the
+    `array` module — audioop is deprecated by PEP 594), split the sample
+    stream into FEATURE_DIM equal windows, and emit mean |sample| per
+    window normalized to [0, 1] — a deterministic loudness envelope.
+    Integer sums divided once at the end keep the floats bit-stable
+    across engines and layouts (the _fake_features policy)."""
+    if not blob:
+        return [0.0] * FEATURE_DIM
+    meta = parse_wav_meta(blob)
+    if meta is None:
+        raise NotImplementedError(
+            "audio decode: payload is not RIFF/WAVE; only WAV decodes "
+            "with the stdlib — register a codec-backed decoder in "
+            "DECODERS for other formats"
+        )
+    import io
+    import wave
+    from array import array
+
+    with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+        frames = w.readframes(w.getnframes())
+        width = w.getsampwidth()
+    typecode = {1: "b", 2: "h", 4: "i"}.get(width)
+    if typecode is None:
+        raise NotImplementedError(f"WAV decode: unsupported sample width {width}")
+    samples = array(typecode)
+    samples.frombytes(frames[: (len(frames) // width) * width])
+    if not samples:
+        return [0.0] * FEATURE_DIM
+    full = float(1 << (8 * width - 1))
+    n = len(samples)
+    step = max(1, n // FEATURE_DIM)
+    out = []
+    for i in range(FEATURE_DIM):
+        lo = min(i * step, n)
+        hi = min(lo + step, n) if i < FEATURE_DIM - 1 else n
+        win = samples[lo:hi]
+        out.append((sum(abs(s) for s in win) / len(win)) / full if win else 0.0)
+    return out
+
+
+def parse_bmp_meta(blob: bytes | None) -> dict | None:
+    """Parse a BMP (BITMAPINFOHEADER) header: width, height, bits per
+    pixel, pixel-array offset. None for empty/non-BMP payloads."""
+    if not blob or len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    import struct
+
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    header_size = struct.unpack_from("<I", blob, 14)[0]
+    if header_size < 40:  # BITMAPCOREHEADER etc. — not emitted by us
+        return None
+    width, height = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    return {
+        "width": width,
+        "height": abs(height),  # negative height = top-down rows
+        "top_down": height < 0,
+        "bpp": bpp,
+        "pixel_offset": offset,
+    }
+
+
+def decode_bmp_features(blob: bytes | None) -> list[float]:
+    """Real image decode: parse the BMP header, walk the pixel array
+    row by row STRIPPING the 4-byte row padding, and emit mean byte
+    intensity (0..1) over FEATURE_DIM equal pixel-stream windows."""
+    if not blob:
+        return [0.0] * FEATURE_DIM
+    meta = parse_bmp_meta(blob)
+    if meta is None:
+        raise NotImplementedError(
+            "image decode: payload is not BMP; only BMP decodes with the "
+            "stdlib — register a codec-backed decoder in DECODERS for "
+            "png/jpeg/..."
+        )
+    if meta["bpp"] not in (8, 24, 32):
+        raise NotImplementedError(f"BMP decode: unsupported bpp={meta['bpp']}")
+    row_bytes = (meta["width"] * meta["bpp"]) // 8
+    stride = (row_bytes + 3) & ~3
+    px = bytearray()
+    for r in range(meta["height"]):
+        lo = meta["pixel_offset"] + r * stride
+        px += blob[lo : lo + row_bytes]
+    if not px:
+        return [0.0] * FEATURE_DIM
+    n = len(px)
+    step = max(1, n // FEATURE_DIM)
+    out = []
+    for i in range(FEATURE_DIM):
+        lo = min(i * step, n)
+        hi = min(lo + step, n) if i < FEATURE_DIM - 1 else n
+        win = px[lo:hi]
+        out.append((sum(win) / len(win)) / 255.0 if win else 0.0)
+    return out
+
+
+def _decode_image(blob: bytes | None) -> list[float]:
+    return decode_bmp_features(blob)
+
+
+def _decode_audio(blob: bytes | None) -> list[float]:
+    return decode_wav_features(blob)
+
+
+#: modality -> bytes -> feature vector. image/audio REALLY decode (BMP /
+#: WAV via stdlib; anything else raises loudly); video still needs codec
+#: libraries. Test mode swaps in _fake_features.
 DECODERS: dict[str, Callable[[bytes | None], list[float]]] = {
-    "image": _decode_stub,
-    "audio": _decode_stub,
+    "image": _decode_image,
+    "audio": _decode_audio,
     "video": _decode_stub,
 }
+
+
+def probe_media_meta(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+) -> DataFrame:
+    """Fill the decoder-owned meta fields (width/height/duration_ms) by
+    actually parsing the payload headers (WAV/BMP stdlib parsers; other
+    formats keep their NULLs — probing is best-effort by design, unlike
+    feature extraction which must not silently skip). Same Arrow batch
+    shape as extract_media_features; blobs never leave the executors."""
+    cols = [c for c in df.columns]
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for blob, meta in zip(pdf[payload_col], pdf[meta_col]):
+                meta = dict(meta) if meta is not None else {}
+                wav = parse_wav_meta(blob)
+                bmp = parse_bmp_meta(blob)
+                if wav is not None:
+                    meta["duration_ms"] = wav["duration_ms"]
+                elif bmp is not None:
+                    meta["width"] = bmp["width"]
+                    meta["height"] = bmp["height"]
+                metas.append(meta)
+            pdf = pdf.copy()
+            pdf[meta_col] = metas
+            yield pdf
+
+    return df.mapInPandas(
+        _probe,
+        schema=T.StructType(
+            [
+                df.schema[c]
+                if c != meta_col
+                else T.StructField(meta_col, MEDIA_META_SCHEMA, True)
+                for c in cols
+            ]
+        ),
+    )
 
 
 def extract_media_features(

@@ -739,13 +739,73 @@ def degree_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(p_size) AS DOUBLE) AS metric_a,
            CAST(MAX(p_size) AS DOUBLE) AS metric_b
     FROM part GROUP BY 2
+    UNION ALL
+    SELECT op, token, n, metric_a, metric_b FROM (
+      WITH m AS (
+        SELECT doc_id, lang,
+               array_to_string(list_transform(
+                   string_split(regexp_replace(text, '((\\S+ ){6}\\S+) ',
+                                               '\\1' || chr(10), 'g'), chr(10)),
+                   (l, i) -> l || CASE WHEN (i - 1) % 3 < 2 THEN '.' ELSE '' END),
+                 chr(10))
+               || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                    'our privacy policy applies to all visitors of this site.'
+                  ELSE '' END
+               || CASE WHEN doc_id % 19 = 0 THEN chr(10) ||
+                    'enable javascript to view this page properly today.'
+                  ELSE '' END
+               || CASE WHEN doc_id % 23 = 0 THEN chr(10) ||
+                    'function f() { return 1; }' ELSE '' END
+               || CASE WHEN doc_id % 29 = 0 THEN chr(10) ||
+                    'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+                  ELSE '' END AS mtext
+        FROM documents WHERE text IS NOT NULL
+      ), f AS (
+        SELECT lang,
+               len(string_split(mtext, chr(10))) AS n_lines,
+               len(list_filter(string_split(mtext, chr(10)), l ->
+                   rtrim(l) <> ''
+                   AND rtrim(l)[-1] IN ('.', '!', '?', '"')
+                   AND len(list_filter(string_split(trim(l), ' '),
+                           w -> w <> '')) >= 5
+                   AND NOT contains(l, 'javascript'))) AS n_kept,
+               (contains(mtext, 'lorem ipsum') OR contains(mtext, '{')
+                OR contains(mtext, 'terms of use')
+                OR contains(mtext, 'privacy policy')
+                OR contains(mtext, 'cookie policy')
+                OR contains(mtext, 'uses cookies')) AS boiler
+        FROM m
+      ), g AS (
+        SELECT lang AS token, COUNT(*) AS n,
+               CAST(SUM(n_kept) AS DOUBLE) AS sum_kept,
+               CAST(SUM(n_lines) AS DOUBLE) AS sum_lines,
+               CAST(SUM(CASE WHEN NOT boiler AND n_kept >= 3 THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS sum_passes,
+               CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS sum_boiler
+        FROM f GROUP BY 1
+      )
+      SELECT 'c4_lines' AS op, token, n, sum_kept AS metric_a,
+             sum_lines AS metric_b FROM g
+      UNION ALL
+      SELECT 'c4_gate' AS op, token, n, sum_passes AS metric_a,
+             sum_boiler AS metric_b FROM g
+    )
     """,
     doc="C1/C6 split + explode fan-out (reference categories explode "
     "Business_ETL.py:65,146; friends explode User_ETL.py:98-100: lateral "
     "view multiplies rows, then re-aggregates) UNION'd with C3 "
     "regexp_extract (reference NoiseLevel unwrap Business_ETL.py:96) + "
     "min/max agg — one aligned-schema panel (op, token, n, metric_a, "
-    "metric_b) over the part dim.",
+    "metric_b) over the part dim. Round 8 adds the C4 line-filter branch "
+    "(VERDICT r7 item 4 — text.c4_kept_lines/c4_doc_flags had no "
+    "driver-visible signal because the corpus is single-line): a "
+    "deterministic in-plan multi-line rederivation (every 7th space -> "
+    "newline via one regexp_replace, indexed-transform terminal "
+    "punctuation on 2 of 3 lines, doc_id-seeded boilerplate injections "
+    "covering the policy/javascript/curly-brace/lorem-ipsum branches), "
+    "then per-lang rollups of kept-line counts and the document gate — "
+    "every c4 predicate re-derived independently by the DuckDB twin.",
 )
 def string_ops_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = tbl(spark, sf_dir, "part")
@@ -771,7 +831,90 @@ def string_ops_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("first_word").alias("op"), "token", "n", "metric_a", "metric_b")
     )
-    return tokens.unionByName(words)
+    return tokens.unionByName(words).unionByName(c4_line_filter_branch(spark, sf_dir))
+
+
+def c4_multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line rederivation of the single-line synthetic
+    corpus (the C4 line filter needs lines to filter): ONE regexp_replace
+    turns every 7th inter-word space into a newline (no per-line
+    re-tokenization — a transform(sequence)+slice formulation re-evaluates
+    the token array per line, the dsir round-8 lesson), an indexed
+    transform appends terminal '.' to two of every three lines, and
+    doc_id-seeded literal lines inject the C4 boilerplate branches
+    (privacy-policy phrase @%17, javascript @%19, curly brace @%23,
+    lorem ipsum @%29). Returns (doc_id, lang, mtext); NULL-text docs are
+    excluded (nothing to filter)."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = F.regexp_replace(F.col("text"), r"((\S+ ){6}\S+) ", "$1\n")
+    lines = F.transform(
+        F.split(base, "\n"),
+        lambda l, i: F.concat(
+            l, F.when(i % 3 < 2, F.lit(".")).otherwise(F.lit(""))
+        ),
+    )
+    mtext = F.array_join(lines, "\n")
+    for mod, line in (
+        (17, "our privacy policy applies to all visitors of this site."),
+        (19, "enable javascript to view this page properly today."),
+        (23, "function f() { return 1; }"),
+        (29, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+    ):
+        mtext = F.concat(
+            mtext,
+            F.when(F.col("doc_id") % mod == 0, F.lit("\n" + line)).otherwise(
+                F.lit("")
+            ),
+        )
+    return d.select("doc_id", "lang", mtext.alias("mtext"))
+
+
+def c4_line_filter_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 branch of string_ops_panel (oracle-gated there): per-lang
+    rollup of text.c4_kept_lines / c4_doc_flags over the derived
+    multi-line corpus. ONE aggregation; the two op rows explode from the
+    same aggregated frame, so the corpus is scanned once."""
+    from ..operators.text import c4_doc_flags
+
+    m = c4_multiline_docs(spark, sf_dir)
+    flags = c4_doc_flags(F.col("mtext"))
+    per_doc = m.select(
+        "lang",
+        F.size(F.split("mtext", "\n")).alias("n_lines"),
+        flags.getField("n_kept_lines").alias("n_kept"),
+        flags.getField("passes_c4").cast("int").alias("passes"),
+        (
+            flags.getField("has_policy_phrase")
+            | flags.getField("has_lorem_ipsum")
+            | flags.getField("has_curly_brace")
+        )
+        .cast("int")
+        .alias("boiler"),
+    )
+    g = per_doc.groupBy(F.col("lang").alias("token")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_kept").cast("double").alias("sum_kept"),
+        F.sum("n_lines").cast("double").alias("sum_lines"),
+        F.sum("passes").cast("double").alias("sum_passes"),
+        F.sum("boiler").cast("double").alias("sum_boiler"),
+    )
+    two = F.array(
+        F.struct(
+            F.lit("c4_lines").alias("op"),
+            F.col("token"),
+            F.col("n"),
+            F.col("sum_kept").alias("metric_a"),
+            F.col("sum_lines").alias("metric_b"),
+        ),
+        F.struct(
+            F.lit("c4_gate").alias("op"),
+            F.col("token"),
+            F.col("n"),
+            F.col("sum_passes").alias("metric_a"),
+            F.col("sum_boiler").alias("metric_b"),
+        ),
+    )
+    return g.select(F.explode(two).alias("r")).select("r.*")
 
 
 @query(
