@@ -1,0 +1,141 @@
+"""Incremental (cross-snapshot) dedup (operators/incdedup.py): exact
+DuckDB twin on the real corpus, planted cross-snapshot duplicates,
+batch-grain preservation, deterministic min-id arbitration, the store
+mega-bucket guard, and self-match exclusion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators.incdedup import (
+    exact_dups_against_index,
+    exact_fingerprint_index,
+    minhash_band_index,
+    near_dup_candidates_against_index,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_panel_matches_duckdb_twin_exactly(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        INCREMENTAL_DEDUP_ORACLE,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["incremental_dedup_panel"].spark(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck_con(sf_dir).execute(INCREMENTAL_DEDUP_ORACLE).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # non-vacuous: the batch slice is every language's quarter
+    assert sum(r[1] for r in got) > 0
+
+
+def test_planted_cross_snapshot_dups(spark):
+    store = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words appear in this one"),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # byte-identical
+            (11, "alpha beta gamma delta epsilon eta"),  # shares the prefix
+            (12, "nothing shared with any store document at all"),
+        ],
+    )
+    ex = {
+        r.doc_id: r.dup_of
+        for r in exact_dups_against_index(
+            batch, exact_fingerprint_index(store)
+        ).collect()
+    }
+    # prefix fingerprint (first 2 tokens): 10 and 11 both hit store doc 1
+    assert ex == {10: 1, 11: 1, 12: None}
+    pairs = {
+        (r.batch_id, r.index_id)
+        for r in near_dup_candidates_against_index(
+            batch, minhash_band_index(store)
+        ).collect()
+    }
+    # identical text -> identical signature -> every band matches
+    assert (10, 1) in pairs
+    # no shared shingles -> no shared bands (deterministic given the hashes)
+    assert not any(b == 12 for b, _ in pairs)
+    # the disjoint store doc never pairs
+    assert not any(i == 2 for _, i in pairs)
+
+
+def test_batch_grain_preserved_and_min_id_arbitration(spark):
+    # THREE store docs share the fingerprint; the batch row must come
+    # back ONCE with the smallest store id
+    store = _docs(
+        spark,
+        [
+            (7, "same two words tail a"),
+            (3, "same two words tail b"),
+            (9, "same two words tail c"),
+        ],
+    )
+    batch = _docs(spark, [(100, "same two words tail d"), (101, "other text here")])
+    out = exact_dups_against_index(batch, exact_fingerprint_index(store)).collect()
+    assert len(out) == 2  # grain: one row per batch row, no multiplication
+    by_id = {r.doc_id: r.dup_of for r in out}
+    assert by_id[100] == 3 and by_id[101] is None
+
+
+def test_store_mega_bucket_guard(spark):
+    # 30 byte-identical store docs (an un-deduped boilerplate cluster):
+    # every band bucket holds all 30
+    store = _docs(
+        spark, [(i, "the same boilerplate page text repeated verbatim") for i in range(30)]
+    )
+    batch = _docs(spark, [(500, "the same boilerplate page text repeated verbatim")])
+    idx = minhash_band_index(store)
+    with pytest.raises(Exception, match="max_store_bucket=10"):
+        near_dup_candidates_against_index(
+            batch, idx, max_store_bucket=10
+        ).collect()
+    ok = near_dup_candidates_against_index(batch, idx, max_store_bucket=None)
+    assert ok.count() == 30  # every store doc is a candidate
+
+
+def test_self_match_exclusion_on_reindexed_batch(spark):
+    # a batch joined against an index containing ITSELF must not pair
+    # ids with themselves (re-index / replay safety)
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta zeta")],
+    )
+    pairs = {
+        (r.batch_id, r.index_id)
+        for r in near_dup_candidates_against_index(
+            docs, minhash_band_index(docs)
+        ).collect()
+    }
+    assert all(a != b for a, b in pairs)
+
+
+def test_index_shapes_are_store_ready(spark):
+    """The two indexes are compact fixed-width-hash frames: exactly the
+    thing merge_upsert persists and a bucketed catalog table serves."""
+    d = _docs(spark, [(1, "a b c d e"), (2, "f g h i j")])
+    ex = exact_fingerprint_index(d)
+    assert set(ex.columns) == {"fingerprint", "index_id"} and ex.count() == 2
+    bi = minhash_band_index(d)
+    assert set(bi.columns) == {"band", "band_hash", "index_id"}
+    # k=8, r=2 -> 4 bands per doc with >=3 tokens
+    assert bi.count() == 8

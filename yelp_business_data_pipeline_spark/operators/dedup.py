@@ -208,6 +208,32 @@ def minhash_lsh_candidates(
     raise/None the bound deliberately if your near-dup clusters are
     genuinely that large.
     """
+    bands = minhash_band_rows(
+        df, id_col, text_col, k, rows_per_band, shingle_n, hash_impl
+    )
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    return bucket_pairs(buckets, max_bucket=max_bucket)
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """(_id, band, band_hash) — one row per (doc, LSH band): the shared
+    signature layer under :func:`minhash_lsh_candidates` (within-corpus
+    pairing) and :mod:`incdedup`'s persisted band index (cross-snapshot
+    dedup). ONE definition so the band construction cannot drift between
+    the self-join and the index-join consumers. Docs shorter than
+    ``shingle_n`` tokens produce no rows (no shingles, no signature)."""
     toks = F.split(F.col(text_col), " ")
     token_hashed = df.filter(F.size(F.split(F.col(text_col), " ")) >= shingle_n).select(
         F.col(id_col).alias("_id"),
@@ -218,15 +244,9 @@ def minhash_lsh_candidates(
     )
     sigs = minhash_rehash(F.col("_hashes"), k)
     band_exprs = lsh_bands(sigs, rows_per_band)
-    bands = hashed.select(
+    return hashed.select(
         "_id", F.posexplode(F.array(*band_exprs)).alias("band", "band_hash")
     )
-    buckets = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
-        .filter(F.size("_ids") > 1)
-    )
-    return bucket_pairs(buckets, max_bucket=max_bucket)
 
 
 def bucket_pairs(
