@@ -36,9 +36,13 @@ def main() -> None:
     spark = get_spark(app_name="oracle-sf1")
     results: dict[str, str] = {}
     n_pass = 0
-    for name in sorted(QUERIES):
-        if QUERIES[name].oracle is None:
-            continue
+    # chunked runs (the full 50-oracle sweep is ~15 min; dev-loop tool
+    # timeouts are shorter): ORACLE_SF1_SHARD="i/n" keeps every n-th
+    # oracle starting at i (0-based) — union of shards == full sweep
+    shard = os.environ.get("ORACLE_SF1_SHARD")
+    si, sn = (int(x) for x in shard.split("/")) if shard else (0, 1)
+    names = [n for n in sorted(QUERIES) if QUERIES[n].oracle is not None]
+    for name in names[si::sn]:
         try:
             ok, msg = compare(name, base, spark)
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
