@@ -129,6 +129,53 @@ def test_self_match_exclusion_on_reindexed_batch(spark):
     assert all(a != b for a, b in pairs)
 
 
+def test_exact_replay_safety_on_reindexed_batch(spark):
+    """A batch whose rows ALREADY sit in the store (replayed after a
+    merge_upsert re-index) must not mark a doc as a dup of ITSELF:
+    dup_of is the smallest OTHER index id sharing the print, NULL when
+    the doc's own row is the only one."""
+    docs = _docs(
+        spark,
+        [
+            (4, "shared prefix tail one"),
+            (9, "shared prefix tail two"),
+            (2, "unique text entirely its own"),
+        ],
+    )
+    out = {
+        r.doc_id: r.dup_of
+        for r in exact_dups_against_index(docs, exact_fingerprint_index(docs)).collect()
+    }
+    # 4 and 9 share the 2-token prefix print: each points at the OTHER's
+    # min (4 is the min -> falls through to rank-2 id 9); 2 is alone ->
+    # novel, NOT a dup of itself.
+    assert out == {4: 9, 9: 4, 2: None}
+
+
+def test_exact_null_text_matches_duckdb_twin_policy(spark):
+    """NULL text fingerprints as md5('') in BOTH engines (the Spark side
+    uses concat_ws, which maps a NULL token array to ''; the DuckDB twin
+    coalesces to '' explicitly) — so NULL-text batch docs pair with
+    NULL- or empty-text store docs, consistently."""
+    import duckdb
+
+    store = _docs(spark, [(5, None), (6, "real words live here")])
+    batch = _docs(spark, [(20, None), (21, "")])
+    got = {
+        r.doc_id: r.dup_of
+        for r in exact_dups_against_index(batch, exact_fingerprint_index(store)).collect()
+    }
+    assert got == {20: 5, 21: 5}
+    # the twin's expression agrees: NULL and '' hash identically
+    fp_null, fp_empty = duckdb.sql(
+        "SELECT md5(coalesce(array_to_string("
+        "  list_slice(string_split(CAST(NULL AS VARCHAR), ' '), 1, 2), ' '), '')),"
+        " md5(coalesce(array_to_string("
+        "  list_slice(string_split('', ' '), 1, 2), ' '), ''))"
+    ).fetchone()
+    assert fp_null == fp_empty
+
+
 def test_index_shapes_are_store_ready(spark):
     """The two indexes are compact fixed-width-hash frames: exactly the
     thing merge_upsert persists and a bucketed catalog table serves."""

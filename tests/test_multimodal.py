@@ -239,3 +239,48 @@ def test_non_stdlib_formats_still_raise_loudly(spark):
     with pytest.raises(Exception) as ei:
         extract_media_features(df).collect()
     assert "not BMP" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+def test_corrupt_wav_probe_is_best_effort_not_fatal(spark):
+    """A blob carrying the RIFF/WAVE magic but truncated/corrupt must
+    NOT kill the probe task: parse_wav_meta returns None (best-effort
+    contract) and probe_media_meta leaves the meta NULLs in place."""
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        media_meta_expr,
+        parse_wav_meta,
+        probe_media_meta,
+    )
+
+    corrupt = b"RIFF\x24\x00\x00\x00WAVEjunkjunk"
+    assert parse_wav_meta(corrupt) is None
+    assert parse_wav_meta(_make_wav()[:40]) is None  # truncated real WAV
+    df = spark.createDataFrame(
+        [(1, bytearray(corrupt))], "media_id long, payload binary"
+    )
+    df = df.withColumn("media_meta", media_meta_expr(F.col("payload"), "audio", "wav"))
+    row = probe_media_meta(df).collect()[0].media_meta
+    assert row.duration_ms is None  # untouched, task survived
+
+
+def test_bmp_header_dims_never_drive_the_loop(spark):
+    """A corrupt BMP header claiming height=2e9 over a tiny payload must
+    decode in bounded time (rows clamped to what the payload holds) —
+    one bad record cannot hang an executor."""
+    import struct
+    import time
+
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_features,
+    )
+
+    bmp = bytearray(_make_bmp(6, 4))
+    struct.pack_into("<i", bmp, 22, 2_000_000_000)  # lie about height
+    t0 = time.monotonic()
+    out = decode_bmp_features(bytes(bmp))
+    assert time.monotonic() - t0 < 5.0
+    assert len(out) == 8 and all(0.0 <= v <= 1.0 for v in out)
+    # the true 4 rows of pixels still decode to the honest features
+    assert out == decode_bmp_features(_make_bmp(6, 4))
+    # negative/zero claimed width -> empty pixel stream, zero features
+    struct.pack_into("<i", bmp, 18, -5)
+    assert decode_bmp_features(bytes(bmp)) == [0.0] * 8

@@ -100,11 +100,13 @@ def test_bench_guard_is_impl_invariant_under_null_vectors(spark):
     e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     for impl in ("jvm", "arrow"):
         got = semantic_contamination(
-            e, e, threshold=1.0, max_bench_rows=8, impl=impl
+            e, e, vec_col="embedding", threshold=1.0, max_bench_rows=8, impl=impl
         )
         assert got.count() == 8, impl  # every real vector matches itself
         with _pytest.raises(ValueError, match="max_bench_rows"):
-            semantic_contamination(e, e, max_bench_rows=7, impl=impl)
+            semantic_contamination(
+                e, e, vec_col="embedding", max_bench_rows=7, impl=impl
+            )
 
 
 def test_arrow_impl_equals_jvm_on_real_corpus(spark, sf_dir):

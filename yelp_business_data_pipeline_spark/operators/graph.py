@@ -672,6 +672,14 @@ def _k_core_partitioned(
                 k,
             )
         deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("degree"))
+        if n_dir > _KCORE_BROADCAST_DROP_MAX:
+            # the gate below needs dropped.count(); without a cut that
+            # count re-runs the whole degree aggregation AND the keep/
+            # drop joins recompute it a third time — one extra full
+            # scan+agg per round on exactly the big graphs the gate
+            # targets. Materialize deg once for the round (lazy: the
+            # count below is the action that persists it).
+            deg = localcheckpoint_keep_partitioning(deg, eager=False)
         keep = deg.filter(F.col("degree") >= k).select("x")
         dropped = deg.filter(F.col("degree") < k).select(F.col("x").alias("y"))
         # the drop side is explicitly broadcast WHEN SAFE: it holds only

@@ -68,21 +68,36 @@ def exact_dups_against_index(
 ) -> DataFrame:
     """Annotate a new batch against an exact-fingerprint index: every
     batch row comes back with ``dup_of`` = the SMALLEST index id sharing
-    its fingerprint (NULL -> novel). Deterministic across layouts (min
-    id, not an arbitrary hit) and never row-multiplying: the index
-    pre-aggregates to one row per fingerprint before the join, so the
-    batch keeps its grain no matter how many store docs share a print.
+    its fingerprint that is NOT the row's own ``id_col`` (NULL -> novel).
+    Deterministic across layouts (min id, not an arbitrary hit), never
+    row-multiplying (the index pre-aggregates to one row per fingerprint
+    before the join, so the batch keeps its grain no matter how many
+    store docs share a print), and replay-safe like its near-dup sibling:
+    a batch already merge-upserted into its own store matches its own
+    index row, so the smallest OTHER id is kept (rank-2 window, bounded —
+    never a per-print collect).
 
-    At scale: the aggregate + join shuffle on the fingerprint; a store
-    bucketed on fingerprint makes its side exchange-free."""
+    At scale: window + aggregate + join all hash on the fingerprint (one
+    exchange); a store bucketed on fingerprint makes its side
+    exchange-free."""
     from .text import fingerprint
 
     fps = batch.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
-    keepers = index.groupBy("fingerprint").agg(F.min("index_id").alias("dup_of"))
+    w = Window.partitionBy("fingerprint").orderBy("index_id")
+    keepers = (
+        index.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .groupBy("fingerprint")
+        .agg(F.min("index_id").alias("_m1"), F.max("index_id").alias("_m2"))
+    )
+    dup_of = F.when(
+        F.col(id_col) == F.col("_m1"),
+        F.when(F.col("_m2") != F.col("_m1"), F.col("_m2")),
+    ).otherwise(F.col("_m1"))
     return (
-        fps.join(
-            keepers.withColumnRenamed("fingerprint", "_fp"), "_fp", "left"
-        ).drop("_fp")
+        fps.join(keepers.withColumnRenamed("fingerprint", "_fp"), "_fp", "left")
+        .withColumn("dup_of", dup_of)
+        .drop("_fp", "_m1", "_m2")
     )
 
 

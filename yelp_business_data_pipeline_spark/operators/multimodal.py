@@ -103,22 +103,31 @@ def _decode_stub(blob: bytes | None) -> list[float]:
 
 def parse_wav_meta(blob: bytes | None) -> dict | None:
     """Parse a RIFF/WAVE header: channels, sample rate, sample width,
-    frame count, duration_ms. None for empty/non-WAV payloads."""
+    frame count, duration_ms. None for empty/non-WAV payloads AND for
+    truncated/corrupt ones that carry the magic but don't parse — this
+    is the best-effort probe contract (one bad crawl blob must not kill
+    the executor task; the strict decode path raises instead)."""
     if not blob or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         return None
     import io
     import wave
 
-    with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
-        n = w.getnframes()
-        rate = w.getframerate()
-        return {
-            "channels": w.getnchannels(),
-            "framerate": rate,
-            "sampwidth": w.getsampwidth(),
-            "n_frames": n,
-            "duration_ms": (n * 1000) // rate if rate else 0,
-        }
+    try:
+        with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+            n = w.getnframes()
+            rate = w.getframerate()
+            return {
+                "channels": w.getnchannels(),
+                "framerate": rate,
+                "sampwidth": w.getsampwidth(),
+                "n_frames": n,
+                "duration_ms": (n * 1000) // rate if rate else 0,
+            }
+    except (wave.Error, EOFError, ValueError, RuntimeError, OSError):
+        # wave/chunk raise a zoo on truncation: wave.Error for bad
+        # headers, EOFError for short reads, bare RuntimeError from
+        # chunk.skip() on out-of-range seeks — all mean "not parseable".
+        return None
 
 
 def decode_wav_features(blob: bytes | None) -> list[float]:
@@ -130,8 +139,7 @@ def decode_wav_features(blob: bytes | None) -> list[float]:
     across engines and layouts (the _fake_features policy)."""
     if not blob:
         return [0.0] * FEATURE_DIM
-    meta = parse_wav_meta(blob)
-    if meta is None:
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise NotImplementedError(
             "audio decode: payload is not RIFF/WAVE; only WAV decodes "
             "with the stdlib — register a codec-backed decoder in "
@@ -141,6 +149,8 @@ def decode_wav_features(blob: bytes | None) -> list[float]:
     import wave
     from array import array
 
+    # strict path: one open reads header AND frames (the best-effort
+    # header probe is parse_wav_meta); a corrupt claimed-WAV raises here.
     with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
         frames = w.readframes(w.getnframes())
         width = w.getsampwidth()
@@ -202,8 +212,14 @@ def decode_bmp_features(blob: bytes | None) -> list[float]:
         raise NotImplementedError(f"BMP decode: unsupported bpp={meta['bpp']}")
     row_bytes = (meta["width"] * meta["bpp"]) // 8
     stride = (row_bytes + 3) & ~3
+    # NEVER trust the header's dimensions for loop bounds: a corrupt or
+    # malicious header claiming height=2e9 over a 100-byte payload must
+    # not drive 2e9 iterations inside an executor. Clamp the row walk to
+    # what the payload can actually hold.
+    payload = max(0, len(blob) - meta["pixel_offset"])
+    rows = 0 if row_bytes <= 0 else min(meta["height"], (payload + stride - 1) // stride)
     px = bytearray()
-    for r in range(meta["height"]):
+    for r in range(rows):
         lo = meta["pixel_offset"] + r * stride
         px += blob[lo : lo + row_bytes]
     if not px:
