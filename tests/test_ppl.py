@@ -1,0 +1,145 @@
+"""N-gram LM perplexity filtering (operators/ppl.py): exact DuckDB twin
+on the real corpus, a from-scratch Stupid Backoff python model, empty /
+OOV document handling, tercile determinism, and layout invariance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators.ppl import (
+    BACKOFF_ALPHA,
+    doc_token_stream,
+    fit_bigram_lm,
+    perplexity_terciles,
+    score_perplexity,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+FIXTURE = [
+    (1, "a b a b a"),
+    (2, "a b c"),
+    (3, "c c c c"),
+    (4, "a q"),  # 'a q' bigram unseen elsewhere
+    (5, ""),     # tokenless
+    (6, None),   # NULL text
+]
+
+
+# ---------------------------------------------------------------------------
+# from-scratch python model
+# ---------------------------------------------------------------------------
+
+
+def _py_ppl(texts, alpha=BACKOFF_ALPHA):
+    toks = {i: [w for w in (t or "").split(" ") if w] for i, t in texts}
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    total = sum(uni.values())
+    out = {}
+    for i, ws in toks.items():
+        if not ws:
+            out[i] = None
+            continue
+        logs = []
+        for pos, w in enumerate(ws):
+            w1 = ws[pos - 1] if pos > 0 else None
+            if w1 is not None and (w1, w) in bi:
+                s = bi[(w1, w)] / uni[w1]
+            else:
+                s = (alpha if pos > 0 else 1.0) * uni.get(w, 1) / total
+            logs.append(-math.log10(s))
+        out[i] = round(10.0 ** (sum(logs) / len(logs)), 6)
+    return out
+
+
+def test_scores_match_python_model_exactly(spark):
+    d = _docs(spark, FIXTURE)
+    got = {
+        r.doc_id: (r.n_scored, r.ppl)
+        for r in score_perplexity(d, fit_bigram_lm(d)).collect()
+    }
+    want = _py_ppl(FIXTURE)
+    for i, _ in FIXTURE:
+        n_toks = len([w for w in (dict(FIXTURE)[i] or "").split(" ") if w])
+        assert got[i][0] == n_toks, i
+        if want[i] is None:
+            assert got[i][1] is None, i  # tokenless docs survive, NULL ppl
+        else:
+            assert got[i][1] == pytest.approx(want[i], abs=2e-6), i
+
+
+def test_oov_and_unseen_bigram_backoff(spark):
+    train = _docs(spark, [(1, "a b a b"), (2, "b c")])
+    lm = fit_bigram_lm(train)
+    # 'z' never trained (OOV -> 1/total floor); 'c a' bigram unseen
+    test = _docs(spark, [(10, "z z"), (11, "c a")])
+    got = {r.doc_id: r.ppl for r in score_perplexity(test, lm).collect()}
+    total = 6  # a:2 b:3 c:1
+    z = [-math.log10(1 / total), -math.log10(BACKOFF_ALPHA * 1 / total)]
+    ca = [-math.log10(1 / total), -math.log10(BACKOFF_ALPHA * 2 / total)]
+    assert got[10] == pytest.approx(round(10 ** (sum(z) / 2), 6), abs=2e-6)
+    assert got[11] == pytest.approx(round(10 ** (sum(ca) / 2), 6), abs=2e-6)
+
+
+def test_token_stream_shape_and_sentinel(spark):
+    d = _docs(spark, [(1, "x y"), (2, "")])
+    rows = sorted(
+        (r.doc_id, r.pos, r.w1, r.w2) for r in doc_token_stream(d, "doc_id", "text").collect()
+    )
+    assert rows == [(1, 0, None, "x"), (1, 1, "x", "y"), (2, None, None, None)]
+
+
+def test_terciles_are_deterministic_and_ordered(spark):
+    scored = spark.createDataFrame(
+        [(i, "en", float(100 - i)) for i in range(9)],
+        "doc_id long, lang string, ppl double",
+    )
+    b = perplexity_terciles(scored).collect()
+    by_bucket: dict[str, list] = {}
+    for r in b:
+        by_bucket.setdefault(r.bucket_name, []).append(r.ppl)
+    assert {k: len(v) for k, v in by_bucket.items()} == {
+        "head": 3, "middle": 3, "tail": 3
+    }
+    assert max(by_bucket["head"]) < min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) < min(by_bucket["tail"])
+
+
+def test_panel_matches_duckdb_twin_exactly(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        PERPLEXITY_BUCKET_ORACLE,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["perplexity_bucket_panel"].spark(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck_con(sf_dir).execute(PERPLEXITY_BUCKET_ORACLE).fetchall()
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_scoring_is_layout_invariant(spark):
+    d = _docs(spark, FIXTURE)
+    lm = fit_bigram_lm(d)
+    s1 = sorted(tuple(r) for r in score_perplexity(d, lm).collect())
+    d7 = d.repartition(7)
+    s2 = sorted(tuple(r) for r in score_perplexity(d7, fit_bigram_lm(d7)).collect())
+    assert s1 == s2

@@ -1,0 +1,169 @@
+"""N-gram language-model perplexity filtering — the CCNet screen
+(Wenzek et al. 2020): score every document by an n-gram LM trained on
+the corpus (CCNet uses a Wikipedia KenLM; the scale-friendly stand-in
+here is a corpus-fit bigram model with Stupid Backoff, Brants et al.
+2007 — the canonical web-scale smoothing precisely because it needs no
+normalization pass), then split each language into head/middle/tail
+perplexity terciles. "Head" is the fluent slice a pretraining mix
+over-samples; "tail" is boilerplate/garbage.
+
+Spark-first decomposition — ALL JVM, no Python anywhere:
+
+- **The LM is two aggregations, never a driver collect**: unigram and
+  bigram counts are plain groupBys over the exploded token stream; the
+  model STAYS a DataFrame pair, so vocabulary size never constrains the
+  driver (the 100-TB shape: a 5-gram web LM does not fit anywhere, a
+  distributed count table trivially does). Scoring joins the corpus
+  bigram stream against the count tables — the unigram table broadcasts
+  when small, the bigram join shuffles on the (w1, w2) key like any
+  fact-to-dim join.
+- **Stupid Backoff scoring**: S(w2|w1) = cnt(w1,w2)/cnt(w1) when the
+  bigram was seen, else 0.4 * cnt(w2)/total (the published alpha); the
+  first token of a doc scores S(w) = cnt(w)/total. Deterministic given
+  the counts — no RNG, no iterative fit.
+- **Per-doc score** = mean negative log10 S over scored positions; the
+  reported ``ppl`` = 10^mean is the standard perplexity-style number
+  (a true perplexity under a normalized model; a monotone fluency score
+  under backoff). Rounded to 6 decimals BEFORE ranking so tercile
+  boundaries are cross-engine stable (the tfidf rule), ties broken by
+  doc id.
+- **Terciles** are an ntile(3) window per language over (rounded ppl,
+  id) — one sort exchange per language partition, the same shape DuckDB
+  reproduces exactly; the whole operator (counts, backoff, terciles) is
+  ANSI-SQL-expressible, so the tracker carries an exact DuckDB twin.
+
+No reference counterpart; first-class LLM-pipeline surface alongside
+the learned-quality classifier (qualityclf — discriminative) and the
+Gopher/C4 gates (rule-based): this is the generative-LM leg of the
+quality family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Stupid Backoff's published backoff weight (Brants et al. 2007 §4).
+BACKOFF_ALPHA = 0.4
+
+
+def _toks(text_col: str):
+    return F.array_remove(F.split(F.col(text_col), " "), "")
+
+
+def doc_token_stream(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, [carry...], pos, w1, w2) — one row per token position: the
+    token at ``pos`` (w2) and its predecessor (w1, NULL at pos 0). One
+    posexplode_outer (tokenless/NULL-text docs keep ONE all-NULL row —
+    the dsir sentinel rule, so scoring can report them instead of
+    dropping them); bigrams come from the zip_with-over-shifted-slices
+    construction (the dsir trick — no per-element interpreted lambda)."""
+    toks = _toks(text_col)
+    prevs = F.concat(F.array(F.lit(None).cast("string")), toks)
+    pairs = F.zip_with(
+        F.slice(prevs, 1, F.size(toks)), toks, lambda a, b: F.struct(
+            a.alias("w1"), b.alias("w2")
+        )
+    )
+    return df.select(
+        F.col(id_col), *carry, F.posexplode_outer(pairs).alias("pos", "pair")
+    ).select(id_col, *carry, "pos", F.col("pair.w1"), F.col("pair.w2"))
+
+
+def fit_bigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(unigrams, bigrams, total) — the count tables ARE the model.
+
+    unigrams: (w, u_cnt); bigrams: (w1, w2, b_cnt); total: 1-row token
+    count. Two groupBys over the token stream; everything stays
+    distributed (fit this on a ``sampling.hash_sample`` at scale — the
+    counts converge long before the corpus ends, but nothing breaks if
+    you fit on all of it)."""
+    stream = doc_token_stream(df, id_col, text_col).filter(F.col("w2").isNotNull())
+    uni = stream.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("u_cnt")
+    )
+    bi = (
+        stream.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("b_cnt"))
+    )
+    total = uni.agg(F.sum("u_cnt").cast("bigint").alias("n_tokens"))
+    return uni, bi, total
+
+
+def score_perplexity(
+    df: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
+    alpha: float = BACKOFF_ALPHA,
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """(id, [carry...], n_scored, ppl) — Stupid Backoff fluency score
+    per doc, ``ppl = 10^(mean -log10 S)`` rounded to 6 decimals (the
+    rank-stability rule). Docs with no tokens get NULL ppl.
+
+    Joins: token stream ⟕ bigram counts on (w1,w2) — the one shuffle —
+    then ⟕ unigram counts on w2 (broadcast by default; disable for a
+    web-scale vocabulary) for both the backoff numerator and the w1
+    context count (cnt(w1,w2)/cnt(w1) needs cnt(w1); joining the
+    unigram table on w1 would be a second shuffle, so the stream carries
+    cnt(w1) from a self-aware trick: S(w2|w1) = b_cnt / u_cnt(w1) — we
+    join unigrams TWICE, once per role, both broadcastable)."""
+    uni, bi, total = lm
+    u2 = uni.withColumnRenamed("w", "w2").withColumnRenamed("u_cnt", "u2_cnt")
+    u1 = uni.withColumnRenamed("w", "w1").withColumnRenamed("u_cnt", "u1_cnt")
+    if broadcast_unigrams:
+        u2, u1 = F.broadcast(u2), F.broadcast(u1)
+    stream = doc_token_stream(df, id_col, text_col, carry=carry)
+    scored = (
+        stream.join(bi, ["w1", "w2"], "left")
+        .join(u2, "w2", "left")
+        .join(u1, "w1", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    # S: seen bigram -> b/u1; unseen or pos 0 -> alpha^(pos>0) * u2/total;
+    # OOV w2 (never in training) -> alpha * 1/total floor (keeps log finite)
+    s = (
+        F.when(F.col("b_cnt").isNotNull(), F.col("b_cnt") / F.col("u1_cnt"))
+        .otherwise(
+            F.when(F.col("pos") > 0, F.lit(alpha)).otherwise(F.lit(1.0))
+            * F.coalesce(F.col("u2_cnt"), F.lit(1)) / F.col("n_tokens")
+        )
+    )
+    neglog = F.when(F.col("w2").isNotNull(), -F.log10(s))
+    agg = scored.groupBy(id_col, *carry).agg(
+        F.sum(F.col("w2").isNotNull().cast("int")).cast("bigint").alias("n_scored"),
+        F.avg(neglog).alias("_m"),  # avg skips the sentinel's NULL
+    )
+    return agg.select(
+        id_col,
+        *carry,
+        "n_scored",
+        F.when(
+            F.col("n_scored") > 0, F.round(F.pow(F.lit(10.0), F.col("_m")), 6)
+        ).alias("ppl"),
+    )
+
+
+def perplexity_terciles(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    by: str = "lang",
+    ppl_col: str = "ppl",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: ntile(3) per ``by`` group over
+    (rounded ppl, id) — deterministic, one sort exchange per group key,
+    exactly reproducible in SQL. bucket 1 = head (most fluent)."""
+    w = Window.partitionBy(by).orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
+    return scored.withColumn("bucket", F.ntile(3).over(w)).withColumn(
+        "bucket_name",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("bucket")
+        ),
+    )
