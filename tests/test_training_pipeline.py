@@ -225,3 +225,79 @@ def test_modern_pretraining_path_r7(spark):
         assert r.start_offset == acc
         assert r.bin_start == acc // 128
         by_stream[r.source] = acc + r.n_tokens
+
+
+def test_modern_pretraining_path_r8_quality_stack(spark):
+    """The round-8 continuation families composed into the pipeline: the
+    three quality legs agree on a keep set (rule gate -> learned
+    classifier -> LM perplexity tercile), then the TRAINED tokenizer
+    prices the survivors and packing runs on REAL BPE token counts
+    instead of whitespace counts — one lazy chain, invariants per
+    stage."""
+    from yelp_business_data_pipeline_spark.operators.bpe import (
+        bpe_token_stats,
+        train_bpe,
+    )
+    from yelp_business_data_pipeline_spark.operators.packing import pack_concat_split
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        fit_bigram_lm,
+        perplexity_terciles,
+        score_perplexity,
+    )
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        pareto_keep,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = d.count()
+
+    # 1. learned-quality scores (reference slice = en, the DSIR/panel
+    # convention); keep by score OR the deterministic Pareto draw
+    clf = train_quality_classifier(
+        d, F.col("lang") == "en", buckets=1024, n_train=256, epochs=300
+    )
+    scored = score_quality(d, clf, carry=("source", "lang"))
+    kept_ids = scored.filter(
+        (F.col("quality_score") > 0.5) | pareto_keep("quality_score", "doc_id")
+    ).select("doc_id")
+    survivors = d.join(kept_ids, "doc_id", "left_semi")
+    n_kept = survivors.count()
+    assert 0 < n_kept < n_docs
+
+    # 2. perplexity screen over the survivors: fit the LM on the FULL
+    # corpus (the CCNet shape: the LM sees more than the filtered set),
+    # drop the tail tercile
+    ppl = score_perplexity(survivors, fit_bigram_lm(d), carry=("lang",)).filter(
+        F.col("ppl").isNotNull()
+    )
+    fluent = (
+        perplexity_terciles(ppl, by="lang")
+        .filter(F.col("bucket_name") != "tail")
+        .select("doc_id")
+    )
+    final = survivors.join(fluent, "doc_id", "left_semi")
+    n_final = final.count()
+    assert 0 < n_final < n_kept  # the tail tercile is non-empty
+
+    # 3. price the final corpus with the TRAINED tokenizer and pack by
+    # real BPE token counts
+    tok = train_bpe(d, n_merges=40, n_train=256)
+    priced = bpe_token_stats(final, tok, carry=("source",))
+    stats = priced.agg(
+        F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_ws_tokens").alias("ws")
+    ).collect()[0]
+    assert stats.bpe > stats.ws > 0  # genuinely subword at 40 merges
+
+    packed = pack_concat_split(
+        priced.withColumnRenamed("n_bpe_tokens", "n_tokens"), "n_tokens",
+        capacity=256,
+    )
+    rows = packed.select("source", "start_offset", "n_tokens", "bin_start").collect()
+    assert len(rows) == n_final
+    by_stream: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.start_offset)):
+        acc = by_stream.get(r.source, 0)
+        assert r.start_offset == acc and r.bin_start == acc // 256
+        by_stream[r.source] = acc + r.n_tokens
