@@ -1,0 +1,105 @@
+"""BM25 retrieval scoring (operators/bm25.py): exact DuckDB twin on the
+real corpus, a from-scratch python model, retrieval semantics (only
+matching docs return), rank determinism, the TakeOrdered plan shape,
+and layout invariance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators.bm25 import bm25_scores, bm25_topk
+
+TERMS = ["data", "hash", "merge", "window"]
+
+
+def _docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+FIXTURE = [
+    "data data hash table scan",
+    "merge window merge data",
+    "nothing relevant here at all",
+    "window",
+    "hash hash hash hash hash hash",
+]
+
+
+def _py_bm25(texts, terms, k1=1.2, b=0.75):
+    toks = [[w for w in t.split(" ") if w] for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    dfreq = {t: sum(1 for ws in toks if t in ws) for t in terms}
+    out = {}
+    for i, ws in enumerate(toks):
+        score, hits = 0.0, 0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(ws) / avgdl)))
+        if hits:
+            out[i] = (hits, round(score, 6))
+    return out
+
+
+def test_scores_match_python_model(spark):
+    d = _docs(spark, FIXTURE)
+    got = {
+        r.doc_id: (r.n_hit_terms, r.score)
+        for r in bm25_scores(d, TERMS).collect()
+    }
+    want = _py_bm25(FIXTURE, TERMS)
+    assert set(got) == set(want)  # doc 2 (no hits) absent: retrieval semantics
+    for i, (hits, score) in want.items():
+        assert got[i][0] == hits, i
+        assert got[i][1] == pytest.approx(score, abs=2e-6), i
+
+
+def test_repeated_terms_and_empty_query(spark):
+    d = _docs(spark, FIXTURE)
+    a = sorted(tuple(r) for r in bm25_scores(d, TERMS).collect())
+    dup = sorted(tuple(r) for r in bm25_scores(d, TERMS + ["data", "data"]).collect())
+    assert a == dup  # query is a SET of terms
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_scores(d, [])
+
+
+def test_topk_rank_is_deterministic_and_plan_is_takeordered(spark):
+    d = _docs(spark, FIXTURE)
+    out = bm25_topk(d, TERMS, k=3).collect()
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    scores = [r.score for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+    plan = bm25_topk(d, TERMS, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # the global cut never
+    # single-partitions the full scored frame
+
+
+def test_panel_matches_duckdb_twin_exactly(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import BM25_TOPK_ORACLE
+
+    got = sorted(
+        tuple(r) for r in QUERIES["bm25_topk_panel"].spark(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in duck_con(sf_dir).execute(BM25_TOPK_ORACLE).fetchall()
+    )
+    assert len(got) > 0 and got == want
+
+
+def test_layout_invariance(spark):
+    d = _docs(spark, FIXTURE * 4)  # 20 docs
+    s1 = sorted(tuple(r) for r in bm25_scores(d, TERMS).collect())
+    s2 = sorted(tuple(r) for r in bm25_scores(d.repartition(7), TERMS).collect())
+    assert s1 == s2

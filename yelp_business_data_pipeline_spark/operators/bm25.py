@@ -1,0 +1,121 @@
+"""BM25 retrieval scoring — rank documents against a bag-of-terms query
+(Robertson & Zaragoza 2009; the idf variant is Lucene's
+``ln(1 + (N - df + 0.5) / (df + 0.5))``, which never goes negative).
+
+The retrieval leg of the text-analysis family: TF-IDF (text.py) ranks
+terms WITHIN a document; BM25 ranks DOCUMENTS against a query — the
+scoring function a training-data pipeline uses for targeted corpus
+probes ("show me what the corpus says about X") and hard-negative
+mining around a retrieval index.
+
+Spark shape — all JVM, one corpus scan:
+
+- document length (dl) is an EXPRESSION over the token array (no
+  explode needed for the denominator);
+- term frequencies come from ONE explode filtered to the query's terms
+  BEFORE the shuffle — the stream is |matching positions|, not corpus
+  positions, so a k-term query over 100 TB shuffles only the posting
+  rows (predicate pushdown for explodes: filter inside the array first);
+- the idf table is <= |terms| rows and broadcasts; N and avgdl are
+  1-row aggregates, also broadcast;
+- scores round to 6 decimals BEFORE ranking (the cross-engine rule),
+  rank ties break by doc id; only matching docs return (standard
+  retrieval semantics).
+
+Exactly reproducible in DuckDB — the tracker carries an exact twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str):
+    return F.array_remove(F.split(F.col(text_col), " "), "")
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [carry...], n_hit_terms, score) — BM25 over the query bag.
+
+    One corpus scan: the token array is filtered to the query terms
+    in-plan (``array_intersect``-style via filter) before exploding, so
+    the exploded stream carries only postings for the k query terms.
+    Docs matching no term are absent (retrieval semantics)."""
+    if not terms:
+        raise ValueError("bm25_scores: empty query term list")
+    terms = sorted(set(terms))
+    toks = _toks(text_col)
+    base = df.select(
+        F.col(id_col),
+        *carry,
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: t.isin(terms)).alias("_hits"),
+    ).filter(F.size("_hits") > 0)
+    stats = df.select(F.size(toks).alias("_dl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(id_col, *carry, "_dl", F.explode("_hits").alias("_t"))
+        .groupBy(id_col, *carry, "_dl", "_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
+    )
+    # document frequency per term: distinct docs whose hit list holds it
+    dfreq = (
+        base.select(F.explode(F.array_distinct("_hits")).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "_t",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        ).alias("_idf"),
+        "avgdl",
+    )
+    scored = tf.join(F.broadcast(idf), "_t")
+    contrib = F.col("_idf") * (
+        F.col("_tf") * (k1 + 1.0)
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("avgdl")))
+    )
+    return (
+        scored.groupBy(id_col, *carry)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Top-k docs by BM25 (rank 1 = best); deterministic (rounded score
+    desc, id asc). The global cut is orderBy+limit — Spark plans it as
+    TakeOrderedAndProject (per-partition top-k, merge on the driver), so
+    the full scored frame never moves to one partition; the rank window
+    then runs over only the k surviving rows."""
+    top = (
+        bm25_scores(df, terms, id_col, text_col, k1, b, carry)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))
