@@ -242,3 +242,14 @@ def test_score_quality_requires_matching_model_config(spark):
             assert r.quality_score == pytest.approx(
                 1.0 / (1.0 + math.exp(-0.75)), rel=1e-12
             )
+
+
+def test_scoring_plan_is_one_shuffle_with_broadcast_weights(spark):
+    """The docstring's scale claim, pinned: scoring = broadcast weight
+    join + exactly ONE shuffle exchange (the groupBy(doc))."""
+    d = _docs(spark, FIXTURE)
+    m = QualityModel(weights=(0.5,) * B, bias=0.0, buckets=B, salt="qclf:")
+    plan = score_quality(d, m)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan

@@ -252,6 +252,33 @@ COMMENTARY = {
         "union), so per-grain sketches roll up loss-free. The global "
         "row merges five 256-long arrays; no raw re-scan."
     ),
+    "quality_classifier_panel": (
+        "Learned quality filtering (the GPT-3/CCNet classifier): the "
+        "trained weight table (<= buckets rows, driver-fit on a "
+        "FIXED-SIZE sample — not visible here) arrives as a broadcast "
+        "build side; the hashed gram stream probes it map-side and ONE "
+        "groupBy(doc) exchange folds dot product and gram count, so "
+        "scoring is a single shuffle keyed on the doc id, JVM end to "
+        "end. The Pareto keep draw is an md5 unit hash — a pure "
+        "function of the doc id."
+    ),
+    "perplexity_bucket_panel": (
+        "Bigram-LM perplexity screen (CCNet shape, Stupid Backoff): the "
+        "LM is a DataFrame pair, so the plan shows the count-table "
+        "aggregations feeding the scoring join — unigram tables "
+        "broadcast (both roles), the bigram join is the one shuffled "
+        "probe, and the tercile split is an ntile window per language "
+        "over the ROUNDED ppl (rank-stable across engines). No Python "
+        "stage anywhere."
+    ),
+    "bm25_topk_panel": (
+        "BM25 with an in-plan posting filter: the token array filters "
+        "to the query's terms BEFORE the explode (the generator/filter "
+        "pair under the scan), so the shuffled stream is posting rows "
+        "for k terms, never corpus positions; idf/N/avgdl broadcast, "
+        "and the global cut is TakeOrderedAndProject — the scored frame "
+        "never single-partitions."
+    ),
     "yelp_unified_panel": (
         "The reference pipeline end-to-end on literal Yelp-shaped rows: "
         "from_json raw parse, try_cast attribute flags, hours overnight "
