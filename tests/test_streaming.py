@@ -684,3 +684,71 @@ def test_streaming_quality_filters_match_batch(spark, tmp_path):
     assert not streamed[1]["gopher_ok"] and streamed[2]["gopher_ok"]
     assert not streamed[3]["c4_ok"] and not streamed[5]["c4_ok"]
     assert streamed[4]["c4_ok"] and streamed[4]["gopher_ok"]
+
+
+def test_stream_incremental_dedup_crawl_loop(spark, tmp_path):
+    """The incremental-dedup crawl loop as a stream: batch 1 seeds the
+    corpus + fingerprint store; batch 2 carries a within-batch dup, a
+    cross-SNAPSHOT dup of batch 1, and novel docs — only novel survive,
+    and a crash-replay of batch 2 (store already updated) changes
+    nothing, BECAUSE exact_dups_against_index never marks a doc a dup of
+    its own store row (the rank-2 arbitration)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from yelp_business_data_pipeline_spark.streaming import stream_incremental_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    out = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(**kw):
+        q = stream_incremental_dedup(
+            spark, str(src), schema, out, store, ckpt, **kw
+        )
+        return q
+
+    b1 = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "totally different words here"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    run().awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+    assert spark.read.parquet(store).count() == 2
+
+    b2 = [
+        {"doc_id": 10, "text": "alpha beta gamma delta"},  # dup of stored 1
+        {"doc_id": 11, "text": "fresh novel content one"},
+        {"doc_id": 12, "text": "fresh novel content one"},  # within-batch dup of 11
+        {"doc_id": 13, "text": "another new page entirely"},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    def _crash(epoch_id: int) -> None:
+        raise RuntimeError("injected crash between sink write and checkpoint commit")
+
+    q = run(on_batch_complete=_crash)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    # sink wrote before the crash: 11 and 13 landed, 10 and 12 dropped
+    mid = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert mid == [1, 2, 11, 13], mid
+
+    # replay from the same checkpoint: batch 2's docs now match their
+    # OWN store rows; replay-safe arbitration keeps the state identical
+    run().awaitTermination()
+    final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert final == [1, 2, 11, 13], f"replay broke exactly-once: {final}"
+    assert spark.read.parquet(store).count() == 4
+    # the store maps fingerprints -> canonical ids (one row per kept doc)
+    idx = {r.index_id for r in spark.read.parquet(store).collect()}
+    assert idx == {1, 2, 11, 13}

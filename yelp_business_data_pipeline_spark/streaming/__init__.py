@@ -1,6 +1,7 @@
 from .pipeline import (
     run_available_now,
     stream_cdc_upsert,
+    stream_incremental_dedup,
     streaming_dedup_events,
     stream_domain_etl,
     streaming_event_counts,
@@ -9,6 +10,7 @@ from .pipeline import (
 __all__ = [
     "run_available_now",
     "stream_cdc_upsert",
+    "stream_incremental_dedup",
     "streaming_dedup_events",
     "stream_domain_etl",
     "streaming_event_counts",

@@ -201,6 +201,96 @@ def stream_cdc_upsert(
     )
 
 
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int = 2,
+    max_files_per_trigger: int | None = None,
+    on_batch_complete: Callable[[int], None] | None = None,
+):
+    """Streaming crawl-ingest dedup: the incremental (cross-snapshot)
+    dedup family (operators/incdedup.py) wired into a file stream — the
+    100-TB crawl loop as ONE always-on query. Per micro-batch:
+
+    1. within-batch exact dedup: ``dup_of`` = the batch's smallest doc
+       id sharing the fingerprint (window over the batch only);
+    2. the surviving representatives annotate against the persistent
+       fingerprint STORE (``exact_dups_against_index`` — two compact
+       hash equi-joins; the accumulated corpus text stays cold);
+    3. novel docs (``dup_of`` NULL after both layers) merge_upsert into
+       ``out_path``, and their fingerprints into ``store_path`` (keyed
+       on the doc id, so re-indexing is idempotent).
+
+    Exactly-once TABLE STATE under crash-replay, for the same reason as
+    ``stream_cdc_upsert`` plus one extra property: a replayed batch
+    whose docs were ALREADY indexed matches its own store rows, and the
+    rank-2 min-OTHER-id arbitration in ``exact_dups_against_index``
+    returns NULL (not self) for them — so the replay recomputes the
+    identical novel set and both merge_upserts absorb it (pinned in
+    tests/test_streaming.py).
+
+    Duplicate semantics are chained, not flattened: a batch copy points
+    at its batch representative, the representative points at the store
+    doc (or NULL) — the dedup_panel convention.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.incdedup import exact_dups_against_index, exact_fingerprint_index
+    from ..operators.text import fingerprint
+    from ..sources.writers import merge_upsert
+
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(source_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        w = Window.partitionBy("_fp").orderBy(id_col)
+        tagged = (
+            batch_df.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
+            .withColumn("_m1", F.min(id_col).over(w))
+            .withColumn(
+                "_dup_within",
+                F.when(F.col(id_col) != F.col("_m1"), F.col("_m1")),
+            )
+            .drop("_fp", "_m1")
+        )
+        reps = tagged.filter(F.col("_dup_within").isNull()).drop("_dup_within")
+        jvm = sp._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            index = sp.read.parquet(store_path)
+            annotated = exact_dups_against_index(
+                reps, index, id_col, text_col, prefix_tokens
+            )
+        else:
+            annotated = reps.withColumn("dup_of", F.lit(None).cast("bigint"))
+        novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of")
+        merge_upsert(novel, out_path, keys=[id_col])
+        merge_upsert(
+            exact_fingerprint_index(novel, id_col, text_col, prefix_tokens),
+            store_path,
+            keys=["index_id"],
+        )
+        if on_batch_complete is not None:
+            on_batch_complete(epoch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(queries) -> None:
     """Drain a set of AvailableNow streams to completion (the reference's
     'job DAG finished' barrier before the unified rebuild)."""
