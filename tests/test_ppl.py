@@ -143,3 +143,16 @@ def test_scoring_is_layout_invariant(spark):
     d7 = d.repartition(7)
     s2 = sorted(tuple(r) for r in score_perplexity(d7, fit_bigram_lm(d7)).collect())
     assert s1 == s2
+
+
+def test_terciles_rank_null_ppl_last_not_head(spark):
+    """Tokenless docs (NULL ppl) must NEVER land in the 'head' tercile:
+    Spark's default NULLS FIRST would rank garbage as the most fluent
+    slice AND diverge from SQL ASC (NULLS LAST) — asc_nulls_last pinned."""
+    scored = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(1, 7)] + [(99, "en", None)],
+        "doc_id long, lang string, ppl double",
+    )
+    b = {r.doc_id: r.bucket_name for r in perplexity_terciles(scored).collect()}
+    assert b[99] == "tail"
+    assert b[1] == "head"

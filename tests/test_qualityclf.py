@@ -253,3 +253,21 @@ def test_scoring_plan_is_one_shuffle_with_broadcast_weights(spark):
     assert "BroadcastHashJoin" in plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles == 1, plan
+
+
+def test_null_predicate_labels_do_not_poison_training(spark):
+    """lang IS NULL (routine in crawl data) must train as 'not the
+    reference class', never as a NaN label — one NaN poisons every
+    weight in epoch 1 and returns a silent all-NaN model."""
+    rows = FIXTURE + [(9, None, "crawl page with unknown language here")]
+    d = _docs(spark, rows)
+    m = train_quality_classifier(
+        d, F.col("lang") == "en", buckets=B, n_train=100, epochs=50, lr=1.0, l2=1e-4
+    )
+    assert all(np.isfinite(v) for v in m.weights) and np.isfinite(m.bias)
+    # identical to training with the NULL row explicitly labeled 0
+    w, bias = _py_train(
+        [(i, int(lang == "en"), t) for i, lang, t in rows],
+        B, "qclf:", epochs=50, lr=1.0, l2=1e-4,
+    )
+    assert m.bias == bias and np.array_equal(np.array(m.weights), w)

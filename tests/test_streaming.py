@@ -752,3 +752,29 @@ def test_stream_incremental_dedup_crawl_loop(spark, tmp_path):
     # the store maps fingerprints -> canonical ids (one row per kept doc)
     idx = {r.index_id for r in spark.read.parquet(store).collect()}
     assert idx == {1, 2, 11, 13}
+
+
+def test_stream_incremental_dedup_dirty_batch_self_heals(spark, tmp_path):
+    """A micro-batch delivering the SAME doc_id in two files (dirty
+    crawl) must not wedge the stream on merge_upsert's duplicate-key
+    raise: the sink collapses to one deterministic row per id first."""
+    from yelp_business_data_pipeline_spark.streaming import stream_incremental_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "a.json").write_text(json.dumps({"doc_id": 1, "text": "page body A"}))
+    (src / "b.json").write_text(json.dumps({"doc_id": 1, "text": "page body B"}))
+    q = stream_incremental_dedup(
+        spark, str(src), schema, str(tmp_path / "corpus"),
+        str(tmp_path / "store"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()  # would raise StreamingQueryException before the fix
+    rows = spark.read.parquet(str(tmp_path / "corpus")).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    assert rows[0].text == "page body A"  # deterministic pick (text asc)

@@ -8,7 +8,7 @@ scoring function a training-data pipeline uses for targeted corpus
 probes ("show me what the corpus says about X") and hard-negative
 mining around a retrieval index.
 
-Spark shape — all JVM, one corpus scan:
+Spark shape — all JVM, one posting pass plus one narrow stats pass:
 
 - document length (dl) is an EXPRESSION over the token array (no
   explode needed for the denominator);
@@ -16,8 +16,11 @@ Spark shape — all JVM, one corpus scan:
   BEFORE the shuffle — the stream is |matching positions|, not corpus
   positions, so a k-term query over 100 TB shuffles only the posting
   rows (predicate pushdown for explodes: filter inside the array first);
-- the idf table is <= |terms| rows and broadcasts; N and avgdl are
-  1-row aggregates, also broadcast;
+  per-term document frequency folds off that same tf aggregate, never a
+  second explode;
+- the idf table is <= |terms| rows and broadcasts; N and avgdl come
+  from one extra narrow aggregate over the token-count expression (the
+  only other read of the corpus), also broadcast;
 - scores round to 6 decimals BEFORE ranking (the cross-engine rule),
   rank ties break by doc id; only matching docs return (standard
   retrieval semantics).
@@ -30,9 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import ws_tokens
+
 
 def _toks(text_col: str):
-    return F.array_remove(F.split(F.col(text_col), " "), "")
+    return ws_tokens(F.col(text_col))
 
 
 def bm25_scores(
@@ -46,10 +51,12 @@ def bm25_scores(
 ) -> DataFrame:
     """(id, [carry...], n_hit_terms, score) — BM25 over the query bag.
 
-    One corpus scan: the token array is filtered to the query terms
+    One posting pass: the token array is filtered to the query terms
     in-plan (``array_intersect``-style via filter) before exploding, so
-    the exploded stream carries only postings for the k query terms.
-    Docs matching no term are absent (retrieval semantics)."""
+    the exploded stream carries only postings for the k query terms,
+    and document frequency folds off the same tf aggregate. One more
+    narrow pass computes N/avgdl. Docs matching no term are absent
+    (retrieval semantics)."""
     if not terms:
         raise ValueError("bm25_scores: empty query term list")
     terms = sorted(set(terms))
@@ -69,12 +76,9 @@ def bm25_scores(
         .groupBy(id_col, *carry, "_dl", "_t")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
     )
-    # document frequency per term: distinct docs whose hit list holds it
-    dfreq = (
-        base.select(F.explode(F.array_distinct("_hits")).alias("_t"))
-        .groupBy("_t")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
-    )
+    # document frequency per term comes OFF THE TF AGGREGATE (one row
+    # per (doc, term) already) — never a second corpus explode/scan
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "_t",
         F.log(

@@ -93,10 +93,10 @@ def train_bpe(
     ).orderBy(hash_unit("_id", salt=salt + "train:").asc(), F.col("_id").asc())
     if n_train is not None:
         sample = sample.limit(n_train)
+    from .text import ws_tokens
+
     words = (
-        sample.select(
-            F.explode(F.array_remove(F.split("_text", " "), "")).alias("w")
-        )
+        sample.select(F.explode(ws_tokens(F.col("_text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .limit(max_word_rows + 1)
@@ -208,12 +208,14 @@ def bpe_token_stats(
     """(id, [carry...], n_bpe_tokens, n_ws_tokens, n_chars) — the learned
     token budget next to the whitespace one. One Arrow pass for the BPE
     count; the whitespace/char counts stay JVM-side expressions."""
+    from .text import ws_tokens
+
     toks = bpe_tokens_udf(model)(F.col(text_col))
     return df.select(
         id_col,
         *carry,
         F.size(toks).cast("bigint").alias("n_bpe_tokens"),
-        F.size(F.array_remove(F.split(F.coalesce(F.col(text_col), F.lit("")), " "), ""))
+        F.size(ws_tokens(F.coalesce(F.col(text_col), F.lit(""))))
         .cast("bigint")
         .alias("n_ws_tokens"),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint").alias("n_chars"),

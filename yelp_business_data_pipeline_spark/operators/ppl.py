@@ -43,12 +43,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import ws_tokens
+
 #: Stupid Backoff's published backoff weight (Brants et al. 2007 §4).
 BACKOFF_ALPHA = 0.4
 
 
 def _toks(text_col: str):
-    return F.array_remove(F.split(F.col(text_col), " "), "")
+    return ws_tokens(F.col(text_col))
 
 
 def doc_token_stream(
@@ -159,8 +161,16 @@ def perplexity_terciles(
 ) -> DataFrame:
     """CCNet's head/middle/tail split: ntile(3) per ``by`` group over
     (rounded ppl, id) — deterministic, one sort exchange per group key,
-    exactly reproducible in SQL. bucket 1 = head (most fluent)."""
-    w = Window.partitionBy(by).orderBy(F.col(ppl_col).asc(), F.col(id_col).asc())
+    exactly reproducible in SQL. bucket 1 = head (most fluent).
+
+    NULL ppl rows (tokenless docs, the score_perplexity sentinel) sort
+    LAST — Spark's default NULLS FIRST would rank garbage docs into the
+    'head' tercile AND diverge from SQL engines' ASC = NULLS LAST; the
+    explicit asc_nulls_last keeps unfiltered composition safe and the
+    DuckDB twin exact."""
+    w = Window.partitionBy(by).orderBy(
+        F.col(ppl_col).asc_nulls_last(), F.col(id_col).asc()
+    )
     return scored.withColumn("bucket", F.ntile(3).over(w)).withColumn(
         "bucket_name",
         F.element_at(

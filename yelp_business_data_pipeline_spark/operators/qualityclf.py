@@ -110,9 +110,14 @@ def train_quality_classifier(
     """
     import numpy as np
 
+    # a NULL predicate result (e.g. lang IS NULL — routine in crawl
+    # data) must not enter the label vector: cast keeps NULL, NULL
+    # becomes NaN in numpy, and one NaN label poisons EVERY weight in
+    # epoch 1 — a silent all-NaN model. NULL label = "not the reference
+    # class" (the GPT-3 reference-vs-rest semantics).
     labeled = df.select(
         F.col(id_col).alias("_id"),
-        positive.cast("int").alias("_y"),
+        F.coalesce(positive.cast("int"), F.lit(0)).alias("_y"),
         F.col(text_col).alias("_text"),
     )
     sample = labeled.orderBy(

@@ -33,6 +33,18 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens with empty segments stripped (space runs,
+    leading/trailing spaces) — THE shared tokenizer of the gram/LM/
+    retrieval operators (dsir gram stream, BPE word frequencies, the
+    perplexity token stream, BM25 postings). ONE definition so token
+    semantics cannot drift between those operators and their pinned
+    twins; DuckDB twin: ``list_filter(string_split(text, ' '), x -> x
+    != '')``. Distinct from :func:`tokens_col`, which keeps empties to
+    match the oracle pack's plain ``string_split`` TOKS."""
+    return F.array_remove(F.split(text, " "), "")
+
+
 #: BPE-ish pre-tokenization pattern: letter runs, single digits,
 #: punctuation-run singletons — the GPT-2-style split shape reduced to a
 #: class-based regex identical under Java regex (Spark) and RE2 (DuckDB).

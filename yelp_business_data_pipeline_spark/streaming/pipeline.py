@@ -235,9 +235,17 @@ def stream_incremental_dedup(
     identical novel set and both merge_upserts absorb it (pinned in
     tests/test_streaming.py).
 
-    Duplicate semantics are chained, not flattened: a batch copy points
-    at its batch representative, the representative points at the store
-    doc (or NULL) — the dedup_panel convention.
+    Self-healing on dirty batches: a micro-batch carrying the same doc
+    id twice (two crawl files delivering one page) first collapses to
+    one deterministic row per id — without that, merge_upsert's
+    duplicate-key ValueError would replay the same batch into the same
+    error forever.
+
+    Non-novel docs are DROPPED, not annotated: the sink persists only
+    the deduped corpus and the fingerprint store; per-doc ``dup_of``
+    provenance exists transiently inside the batch. Run the batch
+    ``incremental_dedup_panel`` machinery over a snapshot when an audit
+    trail is needed.
     """
     from pyspark.sql import Window
 
@@ -252,17 +260,22 @@ def stream_incremental_dedup(
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
+        # one deterministic row per doc id FIRST (self-healing: a batch
+        # re-delivering the same id in two files must not wedge the
+        # stream on merge_upsert's duplicate-key raise at every replay)
+        wid = Window.partitionBy(id_col).orderBy(F.col(text_col).asc_nulls_first())
+        unique = (
+            batch_df.withColumn("_idrn", F.row_number().over(wid))
+            .filter(F.col("_idrn") == 1)
+            .drop("_idrn")
+        )
         w = Window.partitionBy("_fp").orderBy(id_col)
-        tagged = (
-            batch_df.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
+        reps = (
+            unique.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
             .withColumn("_m1", F.min(id_col).over(w))
-            .withColumn(
-                "_dup_within",
-                F.when(F.col(id_col) != F.col("_m1"), F.col("_m1")),
-            )
+            .filter(F.col(id_col) == F.col("_m1"))
             .drop("_fp", "_m1")
         )
-        reps = tagged.filter(F.col("_dup_within").isNull()).drop("_dup_within")
         jvm = sp._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(store_path)
         fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
@@ -273,13 +286,18 @@ def stream_incremental_dedup(
             )
         else:
             annotated = reps.withColumn("dup_of", F.lit(None).cast("bigint"))
-        novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of")
-        merge_upsert(novel, out_path, keys=[id_col])
-        merge_upsert(
-            exact_fingerprint_index(novel, id_col, text_col, prefix_tokens),
-            store_path,
-            keys=["index_id"],
-        )
+        # persist: BOTH writes consume novel — without the cut the batch
+        # window, store read, and rank-2 join all run twice per batch
+        novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of").persist()
+        try:
+            merge_upsert(novel, out_path, keys=[id_col])
+            merge_upsert(
+                exact_fingerprint_index(novel, id_col, text_col, prefix_tokens),
+                store_path,
+                keys=["index_id"],
+            )
+        finally:
+            novel.unpersist()
         if on_batch_complete is not None:
             on_batch_complete(epoch_id)
 
