@@ -178,3 +178,17 @@ def test_ranks_and_model_shape():
     m = BpeModel(merges=(("a", "b"), ("ab", "c")))
     assert m.ranks() == {("a", "b"): 0, ("ab", "c"): 1}
     assert encode_word("abc", m.ranks()) == ["ab", "c" + EOW]
+
+
+def test_model_json_roundtrip_is_exact(spark, tmp_path):
+    from yelp_business_data_pipeline_spark.operators.bpe import (
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    m = train_bpe(_docs(spark, SENNRICH), n_merges=10, n_train=100)
+    p = str(tmp_path / "bpe.json")
+    save_bpe_model(m, p)
+    m2 = load_bpe_model(p)
+    assert m2 == m
+    assert encode_word("lowest", m2.ranks()) == encode_word("lowest", m.ranks())

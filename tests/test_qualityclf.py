@@ -271,3 +271,22 @@ def test_null_predicate_labels_do_not_poison_training(spark):
         B, "qclf:", epochs=50, lr=1.0, l2=1e-4,
     )
     assert m.bias == bias and np.array_equal(np.array(m.weights), w)
+
+
+def test_model_json_roundtrip_is_exact(spark, tmp_path):
+    d = _docs(spark, FIXTURE)
+    m = train_quality_classifier(
+        d, F.col("lang") == "en", buckets=B, n_train=100, epochs=50, lr=1.0, l2=1e-4
+    )
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        load_quality_model,
+        save_quality_model,
+    )
+
+    p = str(tmp_path / "clf.json")
+    save_quality_model(m, p)
+    m2 = load_quality_model(p)
+    assert m2 == m  # bit-exact: shortest-round-trip float repr
+    s1 = sorted(tuple(r) for r in score_quality(d, m).collect())
+    s2 = sorted(tuple(r) for r in score_quality(d, m2).collect())
+    assert s1 == s2

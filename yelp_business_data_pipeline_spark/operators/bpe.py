@@ -220,3 +220,36 @@ def bpe_token_stats(
         .alias("n_ws_tokens"),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint").alias("n_chars"),
     )
+
+
+def save_bpe_model(model: BpeModel, path: str) -> None:
+    """Persist the merge table as a single JSON artifact (train once,
+    encode every future batch with the SAME vocabulary — token budgets
+    are only comparable under one tokenizer). JSON, not pickle:
+    engine/version-portable and human-auditable."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "merges": [list(p) for p in model.merges],
+                "n_train_docs": model.n_train_docs,
+                "n_train_words": model.n_train_words,
+                "meta": model.meta,
+            },
+            fh,
+        )
+
+
+def load_bpe_model(path: str) -> BpeModel:
+    """Inverse of :func:`save_bpe_model`; round-trip is exact."""
+    import json
+
+    with open(path) as fh:
+        d = json.load(fh)
+    return BpeModel(
+        merges=tuple((a, b) for a, b in d["merges"]),
+        n_train_docs=d["n_train_docs"],
+        n_train_words=d["n_train_words"],
+        meta=d["meta"],
+    )

@@ -234,3 +234,42 @@ def pareto_keep(
     u = hash_unit(id_col, salt=salt)
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return s > (F.lit(1.0) - draw)
+
+
+def save_quality_model(model: QualityModel, path: str) -> None:
+    """Persist the trained model as a single JSON artifact — the classic
+    'fit once on yesterday's corpus, score every new crawl batch' shape:
+    training is driver-side anyway, so the artifact is driver-sized by
+    construction (buckets floats + config), and JSON keeps it
+    engine/version-portable (no pickle)."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "weights": list(model.weights),
+                "bias": model.bias,
+                "buckets": model.buckets,
+                "salt": model.salt,
+                "n_train": model.n_train,
+                "meta": model.meta,
+            },
+            fh,
+        )
+
+
+def load_quality_model(path: str) -> QualityModel:
+    """Inverse of :func:`save_quality_model`; round-trip is exact (JSON
+    float repr is shortest-round-trip in python)."""
+    import json
+
+    with open(path) as fh:
+        d = json.load(fh)
+    return QualityModel(
+        weights=tuple(d["weights"]),
+        bias=d["bias"],
+        buckets=d["buckets"],
+        salt=d["salt"],
+        n_train=d["n_train"],
+        meta=d["meta"],
+    )
