@@ -146,7 +146,7 @@ def pq_encode(
             pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
-            x = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, dim)
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (b, dim)
             codes = np.empty((len(x), m), dtype=np.int32)
             for j in range(m):
                 xs = x[:, j * sub : (j + 1) * sub]
@@ -227,7 +227,7 @@ def pq_adc_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # (b, m)
+            cmat = np.asarray(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
             c_ids = pdf[corpus_id].to_numpy()
             # dists[(q, b)] = sum_j lut[q, j, cmat[b, j]]
             dists = np.zeros((len(q_ids), len(cmat)))
@@ -296,7 +296,7 @@ def pq_adc_topk_fused(
             pdf = pdf[pdf[vec_col].notna()]
             if len(pdf) == 0:
                 continue
-            x = np.array(list(pdf[vec_col]), dtype=np.float64)  # (b, dim)
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (b, dim)
             c_ids = pdf[corpus_id].to_numpy()
             dists = np.zeros((len(q_ids), len(x)))
             for j in range(m):
