@@ -192,3 +192,24 @@ def test_model_json_roundtrip_is_exact(spark, tmp_path):
     m2 = load_bpe_model(p)
     assert m2 == m
     assert encode_word("lowest", m2.ranks()) == encode_word("lowest", m.ranks())
+
+
+def test_persistence_is_atomic_and_validated(tmp_path):
+    import json as _json
+    import os
+
+    from yelp_business_data_pipeline_spark.operators.bpe import (
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    m = BpeModel(merges=(("a", "b"), ("ab", "c")))
+    p = str(tmp_path / "bpe.json")
+    save_bpe_model(m, p)
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]  # no debris
+    assert load_bpe_model(p) == m
+    d = _json.load(open(p))
+    d["merges"][1] = ["only-one"]
+    _json.dump(d, open(str(tmp_path / "bad.json"), "w"))
+    with pytest.raises(ValueError, match="malformed merge"):
+        load_bpe_model(str(tmp_path / "bad.json"))

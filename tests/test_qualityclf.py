@@ -290,3 +290,33 @@ def test_model_json_roundtrip_is_exact(spark, tmp_path):
     s1 = sorted(tuple(r) for r in score_quality(d, m).collect())
     s2 = sorted(tuple(r) for r in score_quality(d, m2).collect())
     assert s1 == s2
+
+
+def test_persistence_is_atomic_and_validated(spark, tmp_path):
+    import os
+
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        load_quality_model,
+        save_quality_model,
+    )
+
+    m = QualityModel(weights=(0.5,) * B, bias=0.25, buckets=B, salt="qclf:")
+    p = str(tmp_path / "clf.json")
+    save_quality_model(m, p)
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]  # no debris
+    # inconsistent model refuses to persist
+    bad = QualityModel(weights=(0.5,) * (B - 1), bias=0.0, buckets=B, salt="q:")
+    with pytest.raises(ValueError, match="refusing to persist"):
+        save_quality_model(bad, str(tmp_path / "bad.json"))
+    # NaN weights refuse strict JSON (loud, not non-RFC tokens)
+    nan = QualityModel(weights=(float("nan"),) * B, bias=0.0, buckets=B, salt="q:")
+    with pytest.raises(ValueError):
+        save_quality_model(nan, str(tmp_path / "nan.json"))
+    # a truncated/hand-edited artifact refuses to load
+    import json as _json
+
+    d = _json.load(open(p))
+    d["weights"] = d["weights"][: B - 1]
+    _json.dump(d, open(str(tmp_path / "trunc.json"), "w"))
+    with pytest.raises(ValueError, match="refusing to score"):
+        load_quality_model(str(tmp_path / "trunc.json"))

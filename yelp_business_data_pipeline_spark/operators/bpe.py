@@ -226,10 +226,14 @@ def save_bpe_model(model: BpeModel, path: str) -> None:
     """Persist the merge table as a single JSON artifact (train once,
     encode every future batch with the SAME vocabulary — token budgets
     are only comparable under one tokenizer). JSON, not pickle:
-    engine/version-portable and human-auditable."""
+    engine/version-portable and human-auditable. ATOMIC (tmp +
+    os.replace): overwriting yesterday's artifact in place must not
+    leave a truncated file if the process dies mid-write."""
     import json
+    import os
 
-    with open(path, "w") as fh:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump(
             {
                 "merges": [list(p) for p in model.merges],
@@ -238,15 +242,25 @@ def save_bpe_model(model: BpeModel, path: str) -> None:
                 "meta": model.meta,
             },
             fh,
+            allow_nan=False,
         )
+    os.replace(tmp, path)
 
 
 def load_bpe_model(path: str) -> BpeModel:
-    """Inverse of :func:`save_bpe_model`; round-trip is exact."""
+    """Inverse of :func:`save_bpe_model`; round-trip is exact. Validates
+    the merge-table shape (every entry a 2-item pair) so a truncated or
+    hand-edited artifact fails here, not as a silent mis-tokenization."""
     import json
 
     with open(path) as fh:
         d = json.load(fh)
+    if any(len(p) != 2 for p in d["merges"]):
+        raise ValueError(
+            f"load_bpe_model: artifact at {path} carries a malformed "
+            "merge entry — corrupted or hand-edited; refusing to encode "
+            "with it"
+        )
     return BpeModel(
         merges=tuple((a, b) for a, b in d["merges"]),
         n_train_docs=d["n_train_docs"],

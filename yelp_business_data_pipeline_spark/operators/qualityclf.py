@@ -241,10 +241,23 @@ def save_quality_model(model: QualityModel, path: str) -> None:
     'fit once on yesterday's corpus, score every new crawl batch' shape:
     training is driver-side anyway, so the artifact is driver-sized by
     construction (buckets floats + config), and JSON keeps it
-    engine/version-portable (no pickle)."""
-    import json
+    engine/version-portable (no pickle).
 
-    with open(path, "w") as fh:
+    ATOMIC (tmp + os.replace — a crash mid-write must not destroy the
+    previous good artifact at the canonical path) and STRICT JSON
+    (allow_nan=False: a diverged NaN/inf weight raises loudly instead of
+    emitting the non-RFC tokens other engines reject)."""
+    import json
+    import os
+
+    if len(model.weights) != model.buckets:
+        raise ValueError(
+            f"save_quality_model: {len(model.weights)} weights for "
+            f"buckets={model.buckets} — refusing to persist an "
+            "inconsistent model"
+        )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
         json.dump(
             {
                 "weights": list(model.weights),
@@ -255,16 +268,27 @@ def save_quality_model(model: QualityModel, path: str) -> None:
                 "meta": model.meta,
             },
             fh,
+            allow_nan=False,
         )
+    os.replace(tmp, path)
 
 
 def load_quality_model(path: str) -> QualityModel:
     """Inverse of :func:`save_quality_model`; round-trip is exact (JSON
-    float repr is shortest-round-trip in python)."""
+    float repr is shortest-round-trip in python). Validates the artifact
+    shape — a truncated/hand-edited file whose weights length disagrees
+    with ``buckets`` would otherwise score every doc silently wrong
+    (missing buckets contribute zero weight, no error anywhere)."""
     import json
 
     with open(path) as fh:
         d = json.load(fh)
+    if len(d["weights"]) != d["buckets"]:
+        raise ValueError(
+            f"load_quality_model: artifact at {path} carries "
+            f"{len(d['weights'])} weights for buckets={d['buckets']} — "
+            "corrupted or hand-edited; refusing to score with it"
+        )
     return QualityModel(
         weights=tuple(d["weights"]),
         bias=d["bias"],
