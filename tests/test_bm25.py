@@ -98,6 +98,25 @@ def test_panel_matches_duckdb_twin_exactly(spark, sf_dir):
     assert len(got) > 0 and got == want
 
 
+def test_null_text_docs_count_consistently_in_both_corpus_stats(spark):
+    # NULL text must contribute dl=0 to BOTH n_docs and avgdl (the two
+    # corpus statistics must cover the same doc population) — i.e. the
+    # scores must equal a corpus where the NULL doc is ''-text.
+    with_null = spark.createDataFrame(
+        [(0, "data data hash"), (1, None), (2, "merge window")],
+        "doc_id long, text string",
+    )
+    with_empty = _docs(spark, ["data data hash", "", "merge window"])
+    a = sorted(tuple(r) for r in bm25_scores(with_null, TERMS).collect())
+    b = sorted(tuple(r) for r in bm25_scores(with_empty, TERMS).collect())
+    assert a == b and len(a) == 2
+    # and the python model over the ''-normalized corpus agrees exactly
+    want = _py_bm25(["data data hash", "", "merge window"], TERMS)
+    got = {r[0]: (r[1], r[2]) for r in a}
+    for i, (hits, score) in want.items():
+        assert got[i][0] == hits and got[i][1] == pytest.approx(score, abs=2e-6)
+
+
 def test_layout_invariance(spark):
     d = _docs(spark, FIXTURE * 4)  # 20 docs
     s1 = sorted(tuple(r) for r in bm25_scores(d, TERMS).collect())

@@ -37,7 +37,12 @@ from .text import ws_tokens
 
 
 def _toks(text_col: str):
-    return ws_tokens(F.col(text_col))
+    # NULL text coalesces to '' so NULL-text docs (routine in crawl
+    # corpora) contribute _dl=0 to BOTH n_docs and avgdl — without the
+    # coalesce, count() sees every row while avg(size(NULL)) silently
+    # skips them, computing the two corpus statistics over different
+    # doc populations. Mirrored in BM25_TOPK_ORACLE.
+    return ws_tokens(F.coalesce(F.col(text_col), F.lit("")))
 
 
 def bm25_scores(

@@ -90,9 +90,15 @@ def train_bpe(
     layouts and reruns."""
     sample = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).orderBy(hash_unit("_id", salt=salt + "train:").asc(), F.col("_id").asc())
+    )
     if n_train is not None:
-        sample = sample.limit(n_train)
+        # orderBy+limit TOGETHER so Spark plans TakeOrderedAndProject;
+        # with n_train=None (train on everything) the sort would be a
+        # useless full global shuffle before the word aggregation, so
+        # it is only applied alongside the limit.
+        sample = sample.orderBy(
+            hash_unit("_id", salt=salt + "train:").asc(), F.col("_id").asc()
+        ).limit(n_train)
     from .text import ws_tokens
 
     words = (
@@ -144,7 +150,7 @@ def train_bpe(
         vocab = new_vocab
     return BpeModel(
         merges=tuple(merges),
-        n_train_docs=n_train or -1,
+        n_train_docs=n_train if n_train is not None else -1,
         n_train_words=int(words["n"].sum()),
         meta={"n_merges": n_merges, "salt": salt},
     )

@@ -285,7 +285,12 @@ def stream_incremental_dedup(
                 reps, index, id_col, text_col, prefix_tokens
             )
         else:
-            annotated = reps.withColumn("dup_of", F.lit(None).cast("bigint"))
+            # dup_of mirrors id_col's ACTUAL type (string-keyed corpora
+            # exist) so the annotated schema is identical between the
+            # first batch (no store yet) and every later batch.
+            annotated = reps.withColumn(
+                "dup_of", F.lit(None).cast(batch_df.schema[id_col].dataType)
+            )
         # persist: BOTH writes consume novel — without the cut the batch
         # window, store read, and rank-2 join all run twice per batch
         novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of").persist()
