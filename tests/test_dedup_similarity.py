@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from yelp_business_data_pipeline_spark.operators import dedup as dd
 from yelp_business_data_pipeline_spark.operators import similarity as sim
 from yelp_business_data_pipeline_spark.plans import QUERIES
+from yelp_business_data_pipeline_spark.plans.extensions import ann_cosine_topk
 
 
 def test_minhash_identical_docs_always_collide(spark):
@@ -62,7 +63,7 @@ def test_simhash_properties(spark):
 
 def test_lsh_ann_recall_vs_bruteforce(spark):
     sf = "/root/testdata/sf0.001"
-    exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, sf).collect()}
+    exact = {(r.q_id, r.c_id) for r in ann_cosine_topk(spark, sf).collect()}
     approx = {(r.q_id, r.c_id) for r in QUERIES["lsh_ann_topk"].spark(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
     # Cross-polytope LSH (24 tables, 4-probe): measured recall 1.0 at
@@ -153,7 +154,7 @@ def test_arrow_cosine_topk_matches_jvm(spark):
     sf = "/root/testdata/sf0.001"
     jvm = [
         (r.q_id, r.c_id, r.rnk)
-        for r in QUERIES["ann_cosine_topk"].spark(spark, sf).orderBy("q_id", "rnk").collect()
+        for r in ann_cosine_topk(spark, sf).orderBy("q_id", "rnk").collect()
     ]
     arrow = [
         (r.q_id, r.c_id, r.rnk)
@@ -183,7 +184,7 @@ def test_grouped_pandas_zscore_matches_jvm(spark):
 
 def test_ivf_ann_recall(spark):
     sf = "/root/testdata/sf0.001"
-    exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, sf).collect()}
+    exact = {(r.q_id, r.c_id) for r in ann_cosine_topk(spark, sf).collect()}
     approx = {(r.q_id, r.c_id) for r in QUERIES["ivf_ann_topk"].spark(spark, sf).collect()}
     recall = len(exact & approx) / len(exact)
     # Isotropic vectors give k-means weak clusters: nlist=32/nprobe=8 with

@@ -28,7 +28,7 @@ def plans(spark, sf_dir):
             "graph_two_hop_region_customers",
             "sentiment_by_source",
             "jaccard_pairs_panel",
-            "ann_cosine_topk",
+            "embedding_similarity_panel",
             "shipping_priority_top10",
             "blocked_linkage_pairs",
         )

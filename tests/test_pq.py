@@ -14,6 +14,7 @@ from yelp_business_data_pipeline_spark.operators.pq import (
     train_pq_codebooks,
 )
 from yelp_business_data_pipeline_spark.plans import QUERIES
+from yelp_business_data_pipeline_spark.plans.extensions import ann_cosine_topk
 
 SF = "/root/testdata/sf0.001"
 
@@ -33,7 +34,7 @@ def qc(spark):
 
 
 def test_pq_recall_and_determinism(spark, qc):
-    exact = {(r.q_id, r.c_id) for r in QUERIES["ann_cosine_topk"].spark(spark, SF).collect()}
+    exact = {(r.q_id, r.c_id) for r in ann_cosine_topk(spark, SF).collect()}
     got1 = {(r.q_id, r.c_id) for r in QUERIES["pq_ann_topk"].spark(spark, SF).collect()}
     recall = len(exact & got1) / len(exact)
     # registered config (m=16, k=64, R=100): measured 1.00 at sf0.001 and
@@ -48,7 +49,7 @@ def test_pq_rerank_scores_are_exact(spark, qc):
     overlapping (q, c) pair — rerank is exact rescoring, not ADC carry."""
     exact = {
         (r.q_id, r.c_id): r.cosine
-        for r in QUERIES["ann_cosine_topk"].spark(spark, SF).collect()
+        for r in ann_cosine_topk(spark, SF).collect()
     }
     for r in QUERIES["pq_ann_topk"].spark(spark, SF).collect():
         if (r.q_id, r.c_id) in exact:

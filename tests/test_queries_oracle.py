@@ -21,10 +21,11 @@ def test_query_matches_oracle(name, spark, sf_dir):
     [
         ("tfidf_top_terms", "TFIDF_ORACLE"),
         ("sessionize_events", "SESSIONIZE_USER_ORACLE"),
+        ("setops_customer_cohorts", "SETOPS_COHORTS_ORACLE"),
     ],
 )
 def test_demoted_twins_still_match(name, const, spark, sf_dir):
-    """The r8 gate rotation demoted these to rows-only trackers; their
+    """The r8/r9 gate rotations demoted these to rows-only trackers; their
     exact DuckDB twins survive as constants and this pin is the pytest
     half of the rotation contract (COVERAGE.md 'Oracle-gate rotation'):
     the exactness check never lapses while a query is out of the gate."""

@@ -1154,20 +1154,25 @@ def asof_purchase_prior_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "setops_customer_cohorts",
-    """
+#: Exact DuckDB twin of setops_customer_cohorts — demoted to a rows-only
+#: tracker in the r9 gate rotation (green r3-r8; slot given to
+#: incremental_dedup_panel); pinned in
+#: tests/test_queries_oracle.py::test_demoted_twins_still_match per the
+#: rotation contract (COVERAGE.md 'Oracle-gate rotation'). Registration
+#: lives in plans/extensions.py's tracker section (positional gate).
+SETOPS_COHORTS_ORACLE = """
     WITH c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997),
          c98 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998)
     SELECT 'both' AS segment, o_custkey FROM (SELECT o_custkey FROM c97 INTERSECT SELECT o_custkey FROM c98)
     UNION ALL
     SELECT 'only_1997' AS segment, o_custkey FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c98)
-    """,
-    doc="INTERSECT / EXCEPT set ops (SURVEY §2.6: absent in the reference, "
-    "engine exposes): year-cohort retention segments. Spark plans both as "
-    "aggregated joins (left_semi/left_anti after distinct).",
-)
+    """
+
+
 def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (SURVEY §2.6: absent in the reference,
+    engine exposes): year-cohort retention segments. Spark plans both as
+    aggregated joins (left_semi/left_anti after distinct)."""
     o = tbl(spark, sf_dir, "orders")
     c97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
     c98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey").distinct()
