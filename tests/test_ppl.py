@@ -156,3 +156,83 @@ def test_terciles_rank_null_ppl_last_not_head(spark):
     b = {r.doc_id: r.bucket_name for r in perplexity_terciles(scored).collect()}
     assert b[99] == "tail"
     assert b[1] == "head"
+
+
+def test_threshold_buckets_agree_with_ntile_modulo_boundary_ties(spark, sf_dir):
+    """The scale-safe threshold path (approx_percentile cuts + broadcast
+    join — no per-lang global sort) must agree with the exact ntile path
+    everywhere except boundary ties: ntile splits equal-COUNT, thresholds
+    split by VALUE, so only docs whose rounded ppl equals one of the two
+    per-lang cut values (or sits inside the sketch's rank-error window,
+    zero here at accuracy=1e5 >> corpus size) may differ."""
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        perplexity_threshold_buckets,
+        perplexity_thresholds,
+    )
+    from yelp_business_data_pipeline_spark.plans.registry import tbl
+
+    d = tbl(spark, sf_dir, "documents")
+    scored = score_perplexity(d, fit_bigram_lm(d), carry=("lang",)).filter(
+        F.col("ppl").isNotNull()
+    )
+    nt = {r.doc_id: r.bucket_name for r in perplexity_terciles(scored).collect()}
+    th = {
+        r.doc_id: r.bucket_name
+        for r in perplexity_threshold_buckets(scored).collect()
+    }
+    assert set(nt) == set(th) and len(nt) > 50
+    cuts = {
+        r.lang: {r.ppl_cut_1, r.ppl_cut_2}
+        for r in perplexity_thresholds(scored).collect()
+    }
+    ppl = {r.doc_id: (r.lang, r.ppl) for r in scored.collect()}
+    diff = [i for i in nt if nt[i] != th[i]]
+    for i in diff:
+        lang, p = ppl[i]
+        assert p in cuts[lang], (
+            f"doc {i} bucket differs ({nt[i]} vs {th[i]}) but its "
+            f"ppl {p} is not a boundary value {cuts[lang]}"
+        )
+    # the disagreement set must be a small minority, not a third of a lang
+    assert len(diff) <= max(3, len(nt) // 20), (len(diff), len(nt))
+
+
+def test_threshold_buckets_plan_has_no_window_sort(spark, sf_dir):
+    """The plan pin behind the 100-TB claim: the threshold path must
+    contain NO Window operator (the ntile path's per-lang global sort)
+    and must bucket via a broadcast join of the percentile aggregate."""
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        perplexity_threshold_buckets,
+    )
+    from yelp_business_data_pipeline_spark.plans.registry import tbl
+
+    d = tbl(spark, sf_dir, "documents")
+    scored = score_perplexity(d, fit_bigram_lm(d), carry=("lang",)).filter(
+        F.col("ppl").isNotNull()
+    )
+    plan = (
+        perplexity_threshold_buckets(scored)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    # approx_percentile is a TypedImperativeAggregate: ObjectHashAggregate,
+    # partial-aggregated map-side (never SortAggregate — the countDistinct
+    # mixing trap pinned in test_plans.py)
+    assert "ObjectHashAggregate" in plan and "SortAggregate" not in plan
+
+
+def test_threshold_buckets_null_ppl_and_tokenless_docs_land_in_tail(spark):
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        perplexity_threshold_buckets,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(1, 7)] + [(99, "en", None)],
+        "doc_id long, lang string, ppl double",
+    )
+    b = {
+        r.doc_id: r.bucket_name
+        for r in perplexity_threshold_buckets(scored).collect()
+    }
+    assert b[99] == "tail" and b[1] == "head" and b[6] == "tail"

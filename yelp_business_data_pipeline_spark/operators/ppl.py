@@ -177,3 +177,78 @@ def perplexity_terciles(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("bucket")
         ),
     )
+
+
+def perplexity_thresholds(
+    scored: DataFrame,
+    by: str = "lang",
+    ppl_col: str = "ppl",
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """(by, c1, c2) — per-group 1/3 and 2/3 ppl cut points via
+    ``approx_percentile`` (Greenwald-Khanna sketch: bounded memory per
+    group, partial-aggregated map-side, mergeable — rank error at most
+    group_size/accuracy). One small aggregate; the result is
+    |groups| rows and broadcasts."""
+    return (
+        scored.filter(F.col(ppl_col).isNotNull())
+        .groupBy(by)
+        .agg(
+            F.percentile_approx(
+                ppl_col, F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)), accuracy
+            ).alias("_c")
+        )
+        .select(
+            by,
+            F.col("_c")[0].alias("ppl_cut_1"),
+            F.col("_c")[1].alias("ppl_cut_2"),
+        )
+    )
+
+
+def perplexity_threshold_buckets(
+    scored: DataFrame,
+    by: str = "lang",
+    ppl_col: str = "ppl",
+    accuracy: int = 100_000,
+) -> DataFrame:
+    """Scale-safe head/middle/tail: bucket by COMPARISON against two
+    per-group cut points instead of ranking — the production CCNet
+    screen at 100 TB.
+
+    :func:`perplexity_terciles` is exact and cross-engine reproducible
+    (it stays the oracle-twin path) but its ``ntile(3) OVER (PARTITION
+    BY lang ORDER BY ppl, id)`` funnels an entire language's corpus
+    through ONE task's sort — and at web scale 'en' IS most of the
+    corpus. This variant never sorts: one bounded
+    :func:`perplexity_thresholds` aggregate (sketch-based, map-side
+    partial), broadcast-joined back, then a three-way comparison —
+    the plan is scan -> partial agg -> broadcast join, no Window, no
+    per-group global sort.
+
+    Agreement with the ntile path is modulo boundary ties: documents
+    whose rounded ppl equals a cut value can land on either side (ntile
+    splits equal-COUNT, thresholds split by VALUE), plus the sketch's
+    documented rank error (<= group_size/accuracy positions around each
+    cut). Docs strictly between cuts agree exactly — pinned in
+    tests/test_ppl.py. NULL ppl (tokenless sentinel) buckets to 'tail',
+    matching the ntile path's NULLS-LAST placement."""
+    cuts = perplexity_thresholds(scored, by=by, ppl_col=ppl_col, accuracy=accuracy)
+    bucket = (
+        F.when(F.col(ppl_col).isNull(), F.lit(3))
+        .when(F.col(ppl_col) <= F.col("ppl_cut_1"), F.lit(1))
+        .when(F.col(ppl_col) <= F.col("ppl_cut_2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        scored.join(F.broadcast(cuts), by, "left")
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "bucket_name",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("bucket"),
+            ),
+        )
+        .drop("ppl_cut_1", "ppl_cut_2")
+    )
