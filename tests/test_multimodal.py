@@ -284,3 +284,102 @@ def test_bmp_header_dims_never_drive_the_loop(spark):
     # negative/zero claimed width -> empty pixel stream, zero features
     struct.pack_into("<i", bmp, 18, -5)
     assert decode_bmp_features(bytes(bmp)) == [0.0] * 8
+
+
+def _make_png_header(width: int = 320, height: int = 200) -> bytes:
+    """A real PNG signature + IHDR chunk (the spec requires IHDR first),
+    plus a few bytes of fake chunk data — enough for any header prober;
+    pixel decode would need zlib+filters (the codec boundary)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk + b"\x00\x00"
+
+
+def _make_jpeg_header(width: int = 640, height: int = 480,
+                      progressive: bool = False) -> bytes:
+    """SOI + APP0(JFIF) + DQT stub + SOF0/SOF2 — the marker walk a real
+    camera JPEG presents before scan data."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = sof_marker + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
+def test_png_jpeg_header_probe_through_arrow_path(spark):
+    """VERDICT r8 item 5: PNG IHDR and JPEG SOF dimensions via pure
+    struct parsing flow through probe_media_meta's mapInPandas path;
+    full pixel decode still raises (the documented codec boundary)."""
+    import pytest as _pytest
+
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        extract_media_features,
+        media_meta_expr,
+        parse_jpeg_meta,
+        parse_png_meta,
+        probe_media_meta,
+    )
+
+    png, jpg = _make_png_header(320, 200), _make_jpeg_header(640, 480)
+    assert parse_png_meta(png) == {
+        "width": 320, "height": 200, "bit_depth": 8, "color_type": 2
+    }
+    assert parse_jpeg_meta(jpg) == {
+        "width": 640, "height": 480, "precision": 8, "progressive": False
+    }
+    prog = _make_jpeg_header(64, 32, progressive=True)
+    assert parse_jpeg_meta(prog)["progressive"] is True
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg))],
+        "media_id long, payload binary",
+    )
+    df = df.withColumn("media_meta", media_meta_expr(F.col("payload"), "image"))
+    probed = {r.media_id: r.media_meta for r in probe_media_meta(df).collect()}
+    assert (probed[1].width, probed[1].height) == (320, 200)
+    assert (probed[2].width, probed[2].height) == (640, 480)
+    assert probed[1].n_bytes == len(png)  # untouched fields carry through
+    # decode stays the loud boundary: headers parse, pixels don't
+    with _pytest.raises(Exception, match="payload is not BMP"):
+        extract_media_features(df).collect()
+
+
+def test_png_jpeg_probe_rejects_corrupt_headers_best_effort(spark):
+    """Truncated/corrupt PNG and JPEG payloads (and a corrupt JPEG
+    segment length that would stall a naive marker walk) return None
+    from the parsers and keep NULL dims through the Arrow path — never
+    an executor error."""
+    import struct
+
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        media_meta_expr,
+        parse_jpeg_meta,
+        parse_png_meta,
+        probe_media_meta,
+    )
+
+    cases = [
+        _make_png_header()[:20],                     # truncated before dims
+        b"\x89PNG\r\n\x1a\x00" + b"\x00" * 30,       # bad signature byte
+        _make_png_header()[:12] + b"IDAT" + b"\x00" * 20,  # IHDR not first
+        _make_jpeg_header()[:3],                     # truncated after SOI
+        b"\xff\xd8\xff\xdb" + struct.pack(">H", 0) + bytes(10),  # len<2
+        b"\xff\xd8\xff\xd9",                         # EOI before any SOF
+        b"\xff\xd8" + b"\x00" * 8,                   # lost marker sync
+    ]
+    for blob in cases:
+        assert parse_png_meta(blob) is None, blob[:12]
+        assert parse_jpeg_meta(blob) is None, blob[:12]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(cases)],
+        "media_id long, payload binary",
+    )
+    df = df.withColumn("media_meta", media_meta_expr(F.col("payload"), "image"))
+    for r in probe_media_meta(df).collect():
+        assert r.media_meta.width is None and r.media_meta.height is None

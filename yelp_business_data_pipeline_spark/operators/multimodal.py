@@ -8,8 +8,11 @@ sizing, Arrow-batched ``mapInPandas`` UDF signature, batch shape — is real
 and tested. Decoding is format-tiered (round 8): WAV and BMP payloads
 REALLY decode end to end with stdlib parsers (``wave`` / ``struct`` — see
 ``decode_wav_features`` / ``decode_bmp_features`` and the
-``probe_media_meta`` header prober); formats that need codec libraries not
-in this container (png/jpeg/mp3/mp4/...) raise ``NotImplementedError``
+``probe_media_meta`` header prober); PNG IHDR and JPEG SOF headers also
+parse with plain ``struct`` (round 9 — real width/height for the two most
+common web image formats, no codec library needed); PIXEL decoding for
+formats that need codec libraries (png/jpeg/mp3/mp4/...) raises
+``NotImplementedError``
 loudly (strict mode), and tests may swap in the deterministic
 ``_fake_features``. Swapping in a real codec-backed decoder is a
 one-function change with the same batch interface.
@@ -195,6 +198,87 @@ def parse_bmp_meta(blob: bytes | None) -> dict | None:
     }
 
 
+#: PNG file signature (8 bytes), followed immediately by the IHDR chunk.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: JPEG start-of-frame markers that carry dimensions: C0-CF minus DHT
+#: (C4), JPG (C8), DAC (CC).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_png_meta(blob: bytes | None) -> dict | None:
+    """Parse a PNG IHDR header: width, height, bit depth, color type —
+    pure ``struct``, no codec library (the IHDR chunk is REQUIRED to be
+    first by the PNG spec, so one fixed-offset read covers every valid
+    file). None for empty/non-PNG/truncated payloads (best-effort probe
+    contract; full pixel decode stays the loud codec boundary)."""
+    if not blob or len(blob) < 26 or blob[:8] != _PNG_SIG:
+        return None
+    if blob[12:16] != b"IHDR":
+        return None  # spec violation — don't guess
+    import struct
+
+    width, height = struct.unpack_from(">II", blob, 16)
+    bit_depth, color_type = blob[24], blob[25]
+    if width == 0 or height == 0:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+    }
+
+
+def parse_jpeg_meta(blob: bytes | None) -> dict | None:
+    """Parse JPEG dimensions from the first SOF marker: walk the marker
+    segments from SOI (each carries its own 2-byte big-endian length, so
+    the walk needs no entropy decoding) until a start-of-frame, then read
+    precision/height/width. The walk is clamped to the payload and every
+    step advances, so a corrupt length field terminates instead of
+    spinning (the BMP loop-bounds rule). None when no SOF is found before
+    scan data / end of payload."""
+    if not blob or len(blob) < 4 or blob[0] != 0xFF or blob[1] != 0xD8:
+        return None
+    import struct
+
+    pos, n = 2, len(blob)
+    while pos + 3 < n:
+        if blob[pos] != 0xFF:
+            return None  # lost marker sync — not parseable
+        # fill bytes: any number of 0xFF may pad before the marker id
+        while pos < n and blob[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            return None
+        marker = blob[pos]
+        pos += 1
+        if marker == 0xD9 or marker == 0xDA:
+            return None  # EOI / start-of-scan before any SOF
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone markers carry no length
+        if pos + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", blob, pos)
+        if seg_len < 2:
+            return None  # corrupt length would stall the walk
+        if marker in _JPEG_SOF:
+            if pos + 7 > n:
+                return None
+            precision = blob[pos + 2]
+            height, width = struct.unpack_from(">HH", blob, pos + 3)
+            if width == 0 or height == 0:
+                return None
+            return {
+                "width": width,
+                "height": height,
+                "precision": precision,
+                "progressive": marker == 0xC2,
+            }
+        pos += seg_len
+    return None
+
+
 def decode_bmp_features(blob: bytes | None) -> list[float]:
     """Real image decode: parse the BMP header, walk the pixel array
     row by row STRIPPING the 4-byte row padding, and emit mean byte
@@ -260,10 +344,13 @@ def probe_media_meta(
     meta_col: str = "media_meta",
 ) -> DataFrame:
     """Fill the decoder-owned meta fields (width/height/duration_ms) by
-    actually parsing the payload headers (WAV/BMP stdlib parsers; other
-    formats keep their NULLs — probing is best-effort by design, unlike
-    feature extraction which must not silently skip). Same Arrow batch
-    shape as extract_media_features; blobs never leave the executors."""
+    actually parsing the payload headers (WAV/BMP/PNG/JPEG stdlib
+    parsers — PNG IHDR and JPEG SOF are plain ``struct`` reads, so the
+    two most common web image formats get real dimensions with no codec
+    library; other formats keep their NULLs — probing is best-effort by
+    design, unlike feature extraction which must not silently skip).
+    Same Arrow batch shape as extract_media_features; blobs never leave
+    the executors."""
     cols = [c for c in df.columns]
 
     def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -272,12 +359,16 @@ def probe_media_meta(
             for blob, meta in zip(pdf[payload_col], pdf[meta_col]):
                 meta = dict(meta) if meta is not None else {}
                 wav = parse_wav_meta(blob)
-                bmp = parse_bmp_meta(blob)
+                img = (
+                    parse_bmp_meta(blob)
+                    or parse_png_meta(blob)
+                    or parse_jpeg_meta(blob)
+                )
                 if wav is not None:
                     meta["duration_ms"] = wav["duration_ms"]
-                elif bmp is not None:
-                    meta["width"] = bmp["width"]
-                    meta["height"] = bmp["height"]
+                elif img is not None:
+                    meta["width"] = img["width"]
+                    meta["height"] = img["height"]
                 metas.append(meta)
             pdf = pdf.copy()
             pdf[meta_col] = metas
