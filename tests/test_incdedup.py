@@ -186,3 +186,88 @@ def test_index_shapes_are_store_ready(spark):
     assert set(bi.columns) == {"band", "band_hash", "index_id"}
     # k=8, r=2 -> 4 bands per doc with >=3 tokens
     assert bi.count() == 8
+
+
+@pytest.fixture(scope="module")
+def index_warehouse(spark):
+    import shutil
+    from pathlib import Path
+
+    def _clean():
+        for t in ("tb_fp_index", "tb_band_index"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = Path("spark-warehouse") / t
+            if loc.exists():
+                shutil.rmtree(loc)
+
+    _clean()
+    yield
+    _clean()
+
+
+def test_bucketed_store_keeps_store_side_exchange_free(spark, sf_dir, index_warehouse):
+    """The docstring claim behind the 100-TB shape (incdedup.py:16-19):
+    a store bucketed on its hash key makes the RECURRING per-batch join
+    exchange-free on the store side — the only shuffles left are the
+    batch's own (fresh side each run), so per-crawl cost never rescans
+    or reshuffles the accumulated index. Pinned by Exchange counts:
+    bucketed store = batch-side exchanges only; plain-parquet control =
+    one more Exchange per store-side distribution requirement."""
+    from yelp_business_data_pipeline_spark.sources.catalog import save_bucketed
+
+    from .test_plans import plan_str
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_docs = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    fp_idx = exact_fingerprint_index(store_docs)
+    band_idx = minhash_band_index(store_docs)
+    save_bucketed(fp_idx, "tb_fp_index", ["fingerprint"], n_buckets=4)
+    save_bucketed(band_idx, "tb_band_index", ["band", "band_hash"], n_buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # exact path: store window + agg + join all hash on fingerprint
+        ex_b = plan_str(
+            exact_dups_against_index(batch, spark.table("tb_fp_index")), "simple"
+        )
+        ex_c = plan_str(exact_dups_against_index(batch, fp_idx), "simple")
+        # near-dup path: guard window + join hash on (band, band_hash)
+        nd_b = plan_str(
+            near_dup_candidates_against_index(batch, spark.table("tb_band_index")),
+            "simple",
+        )
+        nd_c = plan_str(
+            near_dup_candidates_against_index(batch, band_idx), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def n_ex(p: str) -> int:
+        return p.count("Exchange hashpartitioning")
+
+    # exact: bucketed plan's single exchange is the batch side joining
+    # into the store's bucket layout; control re-shuffles the store for
+    # its window/agg too
+    assert n_ex(ex_b) == 1, ex_b
+    assert n_ex(ex_c) == n_ex(ex_b) + 1, ex_c
+    assert "fingerprint" not in _store_side_exchange_keys(ex_b)
+    # near-dup: batch bands shuffle to the join + the final distinct's
+    # exchange; the control adds the store-side (band, band_hash) shuffle
+    assert n_ex(nd_b) == 2, nd_b
+    assert n_ex(nd_c) == n_ex(nd_b) + 1, nd_c
+
+
+def _store_side_exchange_keys(plan: str) -> str:
+    """Keys of exchanges feeding a Window/HashAggregate (store-side ops);
+    the batch side has neither, so any 'fingerprint' here means the
+    bucketed scan failed to satisfy the store's distribution."""
+    out = []
+    lines = plan.split("\n")
+    for i, l in enumerate(lines):
+        if "Exchange hashpartitioning" in l:
+            above = "".join(lines[max(0, i - 3):i])
+            if "Window" in above or "HashAggregate" in above:
+                out.append(l)
+    return " ".join(out)
