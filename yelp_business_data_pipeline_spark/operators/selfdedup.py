@@ -200,28 +200,47 @@ def remove_duplicate_spans(
     span are dropped, survivors re-joined with single spaces.
 
     The span list per doc is collected into an array (bounded by that
-    doc's span count) and the cut is a higher-order-function filter over
-    the token array — pure codegen'd JVM expressions, no Python in the
-    row path, and the corpus-side frame is only joined (left) against
-    the per-doc span aggregate, never re-shuffled itself when AQE
-    broadcasts the span side."""
+    doc's span count) and the cut is pure codegen'd JVM expressions, no
+    Python in the row path; the corpus-side frame is only joined (left)
+    against the per-doc span aggregate, never re-shuffled itself when
+    AQE broadcasts the span side.
+
+    Cut shape (r9 — the 6.65x probe row's fix): ``duplicate_spans``
+    emits DISJOINT merged intervals per doc, so instead of testing every
+    token index against every span (O(tokens x spans) — the old
+    exists-per-index HOF), the kept text is the concatenation of the
+    COMPLEMENT gaps: sort the spans (array_sort on the struct orders by
+    span_start first), zip (0, end_1, end_2, ...) with (start_1,
+    start_2, ..., n_tokens) into gap windows, and ``slice`` the token
+    array once per gap — O(tokens + spans) per doc. A/B at scaledata
+    sf1: 8.9 -> see BASELINE.md probe table."""
     out = out_col or text_col
     spans = duplicate_spans(df, id_col, text_col, k, min_count, scope, impl)
     span_arrays = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - 1)
-    kept = F.filter(
-        idx,
-        lambda i: ~F.exists(
-            F.col("_spans"),
-            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
-        ),
+    ss = F.array_sort(F.col("_spans"))
+    gap_starts = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.transform(ss, lambda s: s["span_end"]),
     )
-    cleaned = F.concat_ws(
-        " ", F.transform(kept, lambda i: F.element_at(toks, (i + 1).cast("int")))
+    gap_ends = F.concat(
+        F.transform(ss, lambda s: s["span_start"]),
+        F.array(F.size(toks).cast("bigint")),
     )
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda a, b: F.slice(
+                toks,
+                (a + 1).cast("int"),
+                F.greatest(b - a, F.lit(0).cast("bigint")).cast("int"),
+            ),
+        )
+    )
+    cleaned = F.concat_ws(" ", kept)
     return (
         df.join(span_arrays, id_col, "left")
         .withColumn(
