@@ -1,0 +1,137 @@
+"""The composed pretraining screen — rule gates + learned classifier +
+LM-perplexity bucket as ONE per-doc verdict frame with one driver-visible
+cost number (VERDICT r8 item 8; the ``quality_gate_panel`` precedent
+extended to the two model-based legs that landed in round 8).
+
+A production LLM data pipeline does not run its quality legs as separate
+jobs that each re-emit a corpus — it computes one ``keep`` verdict per
+document. This module composes the three families this repo already
+pins individually:
+
+- **rule gates** (``text.py``): Gopher repetition flags (Arrow counter
+  kernel + JVM thresholds), Gopher quality filters, C4 document rules —
+  all per-row expressions riding one corpus scan;
+- **learned classifier** (``qualityclf.py``): broadcast weight table +
+  the shared dsir gram stream, one groupBy(doc) exchange;
+- **LM perplexity** (``ppl.py``): bigram-count join + broadcast
+  unigrams, one groupBy(doc) exchange, then the SCALE-SAFE threshold
+  bucketing (``perplexity_threshold_buckets`` — approx_percentile cuts
+  + broadcast join, no per-lang global sort; the r9 production path).
+
+Scan accounting (honest, the dsir plan-read rule): the rule leg is one
+corpus scan; the classifier and perplexity legs each scan the corpus
+once more for their exploded streams (gram semantics and backoff
+arithmetic are pinned bit-exact against their standalone operators, so
+the streams are NOT unified here — fusing them would re-derive both
+constructions and orphan the pins); model fits add the classifier's
+bounded driver sample and the LM's count aggregations. The three per-doc
+legs then join on the doc id and aggregate once. What the composition
+buys is ONE cost number and ONE output frame instead of three jobs that
+each pay scheduling, plus shared model fits across the legs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ppl import fit_bigram_lm, perplexity_threshold_buckets, score_perplexity
+from .qualityclf import QualityModel, score_quality
+from .text import (
+    c4_doc_flags,
+    gopher_quality_flags,
+    gopher_repetition_flags,
+    gopher_repetition_metrics,
+)
+
+
+def pretrain_screen(
+    df: DataFrame,
+    clf_model: QualityModel,
+    lm: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
+    by: str = "lang",
+    clf_threshold: float = 0.5,
+    min_words: int = 20,
+    min_stopword_hits: int = 1,
+    min_kept_lines: int = 1,
+    ppl_accuracy: int = 100_000,
+) -> DataFrame:
+    """One row per doc: every leg's verdict plus the conjunction.
+
+    Columns: (id, [carry...], rep_ok, qual_ok, c4_ok, rules_ok,
+    quality_score, clf_ok, ppl, ppl_bucket, ppl_ok, keep).
+
+    ``ppl_ok`` keeps head+middle (CCNet drops the tail tercile);
+    tokenless docs (NULL ppl) bucket to tail and are dropped — garbage
+    by construction. ``keep = rules_ok AND clf_ok AND ppl_ok``. The
+    ``by`` column must be present in ``carry`` (perplexity cuts are
+    per-``by`` group)."""
+    if by not in carry:
+        raise ValueError(
+            f"pretrain_screen: by={by!r} must be carried through the legs "
+            f"(carry={carry!r}) — perplexity cut points are per-{by} and "
+            "the panel grain needs it"
+        )
+    rules = (
+        # text rides the Arrow kernel (carry) so the quality/C4 gates are
+        # JVM exprs over the SAME scan — the quality_gate_panel shape
+        gopher_repetition_metrics(
+            df, id_col=id_col, text_col=text_col, carry=(text_col,)
+        )
+        .withColumn("rep_ok", gopher_repetition_flags())
+        .withColumn(
+            "qual_ok",
+            gopher_quality_flags(
+                F.col(text_col),
+                min_words=min_words,
+                min_stopword_hits=min_stopword_hits,
+            )["passes_gopher_quality"],
+        )
+        .withColumn(
+            "c4_ok",
+            c4_doc_flags(F.col(text_col), min_kept_lines=min_kept_lines)["passes_c4"],
+        )
+        .select(
+            id_col,
+            "rep_ok",
+            "qual_ok",
+            "c4_ok",
+            (F.col("rep_ok") & F.col("qual_ok") & F.col("c4_ok")).alias("rules_ok"),
+        )
+    )
+    clf = score_quality(df, clf_model, id_col=id_col, text_col=text_col).select(
+        id_col,
+        "quality_score",
+        (F.col("quality_score") >= clf_threshold).alias("clf_ok"),
+    )
+    scored = score_perplexity(df, lm, id_col=id_col, text_col=text_col, carry=carry)
+    buck = perplexity_threshold_buckets(
+        scored, by=by, ppl_col="ppl", accuracy=ppl_accuracy
+    ).select(
+        id_col,
+        *carry,
+        "ppl",
+        F.col("bucket_name").alias("ppl_bucket"),
+        (F.col("bucket_name") != "tail").alias("ppl_ok"),
+    )
+    return (
+        buck.join(rules, id_col)
+        .join(clf, id_col)
+        .select(
+            id_col,
+            *carry,
+            "rep_ok",
+            "qual_ok",
+            "c4_ok",
+            "rules_ok",
+            "quality_score",
+            "clf_ok",
+            "ppl",
+            "ppl_bucket",
+            "ppl_ok",
+            (F.col("rules_ok") & F.col("clf_ok") & F.col("ppl_ok")).alias("keep"),
+        )
+    )
