@@ -335,6 +335,12 @@ def test_png_jpeg_header_probe_through_arrow_path(spark):
     }
     prog = _make_jpeg_header(64, 32, progressive=True)
     assert parse_jpeg_meta(prog)["progressive"] is True
+    # all four progressive-DCT frame markers flag, other SOFs don't
+    for marker, want in ((0xC1, False), (0xC6, True), (0xCA, True), (0xCE, True)):
+        blob = bytearray(prog)
+        blob[blob.index(0xC2, 2)] = marker  # the SOF marker byte
+        meta = parse_jpeg_meta(bytes(blob))
+        assert meta["progressive"] is want and meta["width"] == 64, hex(marker)
 
     df = spark.createDataFrame(
         [(1, bytearray(png)), (2, bytearray(jpg))],

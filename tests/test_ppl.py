@@ -236,3 +236,23 @@ def test_threshold_buckets_null_ppl_and_tokenless_docs_land_in_tail(spark):
         for r in perplexity_threshold_buckets(scored).collect()
     }
     assert b[99] == "tail" and b[1] == "head" and b[6] == "tail"
+
+
+def test_threshold_buckets_null_group_key_is_its_own_group(spark):
+    """Lang-ID failures (NULL group key) are routine on crawl data; they
+    must bucket against THEIR OWN cut points (eqNullSafe join), exactly
+    like the ntile path partitions them — not be silently forced into
+    'tail' by a never-matching equi-join."""
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        perplexity_threshold_buckets,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, None, float(i)) for i in range(1, 10)]
+        + [(100 + i, "en", float(i)) for i in range(1, 10)],
+        "doc_id long, lang string, ppl double",
+    )
+    th = {r.doc_id: r.bucket_name for r in perplexity_threshold_buckets(scored).collect()}
+    nt = {r.doc_id: r.bucket_name for r in perplexity_terciles(scored).collect()}
+    assert th == nt  # unique ppls, exact cuts: full agreement incl. NULL lang
+    assert {th[1], th[5], th[9]} == {"head", "middle", "tail"}

@@ -273,7 +273,10 @@ def parse_jpeg_meta(blob: bytes | None) -> dict | None:
                 "width": width,
                 "height": height,
                 "precision": precision,
-                "progressive": marker == 0xC2,
+                # all four progressive-DCT frame types (huffman 0xC2,
+                # extended 0xC6, arithmetic 0xCA, differential 0xCE) —
+                # not just baseline-progressive SOF2
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
             }
         pos += seg_len
     return None

@@ -233,7 +233,9 @@ def perplexity_threshold_buckets(
     cut). Docs strictly between cuts agree exactly — pinned in
     tests/test_ppl.py. NULL ppl (tokenless sentinel) buckets to 'tail',
     matching the ntile path's NULLS-LAST placement."""
-    cuts = perplexity_thresholds(scored, by=by, ppl_col=ppl_col, accuracy=accuracy)
+    cuts = perplexity_thresholds(
+        scored, by=by, ppl_col=ppl_col, accuracy=accuracy
+    ).withColumnRenamed(by, "_cut_key")
     bucket = (
         F.when(F.col(ppl_col).isNull(), F.lit(3))
         .when(F.col(ppl_col) <= F.col("ppl_cut_1"), F.lit(1))
@@ -241,7 +243,14 @@ def perplexity_threshold_buckets(
         .otherwise(F.lit(3))
     )
     return (
-        scored.join(F.broadcast(cuts), by, "left")
+        # eqNullSafe: a NULL group key (lang-ID failure — routine on crawl
+        # data) is its own group in BOTH the cuts aggregate and the ntile
+        # twin; a plain equi-join would never match its cuts row and
+        # silently force every such doc into 'tail'
+        scored.join(
+            F.broadcast(cuts), F.col(by).eqNullSafe(F.col("_cut_key")), "left"
+        )
+        .drop("_cut_key")
         .withColumn("bucket", bucket)
         .withColumn(
             "bucket_name",
