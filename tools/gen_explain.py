@@ -269,7 +269,39 @@ COMMENTARY = {
         "broadcast (both roles), the bigram join is the one shuffled "
         "probe, and the tercile split is an ntile window per language "
         "over the ROUNDED ppl (rank-stable across engines). No Python "
-        "stage anywhere."
+        "stage anywhere. This ntile path is the exact ORACLE TWIN; the "
+        "production bucket path is the threshold variant below "
+        "(perplexity_threshold_buckets) whose plan has no Window at all."
+    ),
+    "incremental_dedup_panel": (
+        "Cross-snapshot dedup (driver-gated since the r9 rotation): the "
+        "batch side builds fingerprints/band rows fresh each run while "
+        "the store side is two compact hash indexes — the plan shows "
+        "the keeper window + min/max aggregate and the band equi-join "
+        "all keyed on the store hash columns. With the indexes "
+        "persisted bucketed (sources.catalog.save_bucketed) those "
+        "store-side exchanges VANISH (pinned in tests/test_incdedup.py: "
+        "1-vs-2 and 2-vs-3 Exchange counts), so the recurring per-crawl "
+        "cost is batch-sized work into a fixed layout."
+    ),
+    "embedding_similarity_panel": (
+        "The r9 merge of the two embedding gate slots, both branch "
+        "plans verbatim inside the union: brute-force cosine top-k "
+        "(broadcast query set x partitioned corpus, higher-order dot "
+        "product — JVM, no UDF — per-query rank window over the "
+        "bounded top set) and exact near-dup pairs on a bounded window "
+        "(the guarded all-pairs regime; LSH blocking is the scale "
+        "path, recall-pinned in pytest)."
+    ),
+    "pretrain_screen_panel": (
+        "The composed pretraining screen: three per-doc legs joined on "
+        "the doc id — rule gates (one corpus scan: the Arrow repetition "
+        "kernel with text carried so quality/C4 are JVM exprs on the "
+        "same pass), classifier scoring (broadcast weight table + ONE "
+        "groupBy(doc) exchange), and the perplexity leg bucketed via "
+        "the THRESHOLD path (approx_percentile cuts broadcast back — "
+        "no per-lang sort anywhere in this plan). One job, one cost "
+        "number for the whole quality stack."
     ),
     "bm25_topk_panel": (
         "BM25 with an in-plan posting filter: the token array filters "
@@ -314,7 +346,35 @@ def _cc_star_round_plan(spark, sf):
     return connected_components(pairs, max_iter=4, algorithm="star", checkpoint=False)
 
 
+def _perplexity_threshold_plan(spark, sf):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        fit_bigram_lm,
+        perplexity_threshold_buckets,
+        score_perplexity,
+    )
+    from yelp_business_data_pipeline_spark.plans.registry import tbl
+
+    d = tbl(spark, sf, "documents")
+    scored = score_perplexity(d, fit_bigram_lm(d), carry=("lang",)).filter(
+        F.col("ppl").isNotNull()
+    )
+    return perplexity_threshold_buckets(scored, by="lang")
+
+
 SPECIAL = {
+    "perplexity_threshold_buckets (the production CCNet bucket path)": (
+        _perplexity_threshold_plan,
+        "The scale-safe alternative to the ntile tercile: per-lang 1/3 "
+        "and 2/3 ppl cuts via approx_percentile (ObjectHashAggregate, "
+        "partial-aggregated map-side, bounded sketch memory) broadcast "
+        "back for a three-way comparison — NO Window operator in this "
+        "plan, so no language ever funnels through one task's sort. At "
+        "web scale 'en' IS most of the corpus; the ntile twin stays the "
+        "exact oracle path while this is what production runs "
+        "(agreement modulo boundary ties pinned in tests/test_ppl.py).",
+    ),
     "pagerank (one round, checkpoint=False)": (
         _pagerank_round_plan,
         "The per-round shape the bench query repeats 8x: ONE equi-join "
