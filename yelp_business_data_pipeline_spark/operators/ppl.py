@@ -233,9 +233,22 @@ def perplexity_threshold_buckets(
     cut). Docs strictly between cuts agree exactly — pinned in
     tests/test_ppl.py. NULL ppl (tokenless sentinel) buckets to 'tail',
     matching the ntile path's NULLS-LAST placement."""
-    cuts = perplexity_thresholds(
-        scored, by=by, ppl_col=ppl_col, accuracy=accuracy
-    ).withColumnRenamed(by, "_cut_key")
+    cuts = perplexity_thresholds(scored, by=by, ppl_col=ppl_col, accuracy=accuracy)
+    return bucket_by_thresholds(scored, cuts, by=by, ppl_col=ppl_col)
+
+
+def bucket_by_thresholds(
+    scored: DataFrame,
+    cuts: DataFrame,
+    by: str = "lang",
+    ppl_col: str = "ppl",
+) -> DataFrame:
+    """Bucket against PROVIDED per-group cut points — the frozen-model
+    half of the threshold path: fit the cuts once on the reference
+    corpus (:func:`perplexity_thresholds`), persist the |groups|-row
+    frame, and apply it to every new crawl batch (the streaming screen
+    rides exactly this — cut points must NOT drift per micro-batch).
+    ``cuts`` carries (by, ppl_cut_1, ppl_cut_2)."""
     bucket = (
         F.when(F.col(ppl_col).isNull(), F.lit(3))
         .when(F.col(ppl_col) <= F.col("ppl_cut_1"), F.lit(1))
@@ -248,7 +261,9 @@ def perplexity_threshold_buckets(
         # twin; a plain equi-join would never match its cuts row and
         # silently force every such doc into 'tail'
         scored.join(
-            F.broadcast(cuts), F.col(by).eqNullSafe(F.col("_cut_key")), "left"
+            F.broadcast(cuts.withColumnRenamed(by, "_cut_key")),
+            F.col(by).eqNullSafe(F.col("_cut_key")),
+            "left",
         )
         .drop("_cut_key")
         .withColumn("bucket", bucket)

@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ppl import fit_bigram_lm, perplexity_threshold_buckets, score_perplexity
+from .ppl import (
+    bucket_by_thresholds,
+    fit_bigram_lm,
+    perplexity_threshold_buckets,
+    score_perplexity,
+)
 from .qualityclf import QualityModel, score_quality
 from .text import (
     c4_doc_flags,
@@ -58,6 +63,7 @@ def pretrain_screen(
     min_stopword_hits: int = 1,
     min_kept_lines: int = 1,
     ppl_accuracy: int = 100_000,
+    ppl_cuts: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc: every leg's verdict plus the conjunction.
 
@@ -68,7 +74,14 @@ def pretrain_screen(
     tokenless docs (NULL ppl) bucket to tail and are dropped — garbage
     by construction. ``keep = rules_ok AND clf_ok AND ppl_ok``. The
     ``by`` column must be present in ``carry`` (perplexity cuts are
-    per-``by`` group)."""
+    per-``by`` group).
+
+    ``ppl_cuts``: pass a persisted (by, ppl_cut_1, ppl_cut_2) frame to
+    run the FROZEN screen — every model input (classifier weights, LM
+    tables, cut points) fit on the reference corpus, none refit on
+    ``df``. This is the crawl-batch / streaming regime: per-batch cut
+    refits would drift the verdict with batch composition. Default None
+    recomputes the cuts from ``df`` itself (the corpus-survey regime)."""
     if by not in carry:
         raise ValueError(
             f"pretrain_screen: by={by!r} must be carried through the legs "
@@ -108,9 +121,13 @@ def pretrain_screen(
         (F.col("quality_score") >= clf_threshold).alias("clf_ok"),
     )
     scored = score_perplexity(df, lm, id_col=id_col, text_col=text_col, carry=carry)
-    buck = perplexity_threshold_buckets(
-        scored, by=by, ppl_col="ppl", accuracy=ppl_accuracy
-    ).select(
+    if ppl_cuts is not None:
+        bucketed = bucket_by_thresholds(scored, ppl_cuts, by=by, ppl_col="ppl")
+    else:
+        bucketed = perplexity_threshold_buckets(
+            scored, by=by, ppl_col="ppl", accuracy=ppl_accuracy
+        )
+    buck = bucketed.select(
         id_col,
         *carry,
         "ppl",

@@ -314,6 +314,89 @@ def stream_incremental_dedup(
     )
 
 
+def stream_pretrain_screen(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    checkpoint_dir: str,
+    clf_model,
+    lm,
+    ppl_cuts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "lang",
+    clf_threshold: float = 0.5,
+    min_words: int = 20,
+    min_stopword_hits: int = 1,
+    min_kept_lines: int = 1,
+    max_files_per_trigger: int | None = None,
+    on_batch_complete: Callable[[int], None] | None = None,
+):
+    """The production crawl loop's quality half: the composed pretraining
+    screen (operators/screen.py) applied to a file stream with FROZEN
+    models — classifier weights, LM count tables, and perplexity cut
+    points all fit on the reference corpus BEFORE the stream starts,
+    none refit per micro-batch (a per-batch cut refit would drift the
+    verdict with batch composition; ``ppl_cuts`` comes from
+    ``ppl.perplexity_thresholds`` over the reference corpus and is a
+    |groups|-row frame). Per micro-batch: one deterministic row per doc
+    id (the dirty-batch collapse of ``stream_incremental_dedup``), the
+    screen's three legs, then kept docs merge_upsert into ``out_path``.
+
+    Exactly-once TABLE STATE under crash-replay: the verdict is a pure
+    function of (doc, frozen models), so a replayed batch recomputes the
+    identical kept set and the keyed merge_upsert absorbs it. Rejected
+    docs are dropped (persist only the screened corpus); run the batch
+    ``pretrain_screen`` over a snapshot for per-doc audit columns.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.screen import pretrain_screen
+    from ..sources.writers import merge_upsert
+
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(source_dir)
+    data_cols = [f.name for f in schema.fields]
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        wid = Window.partitionBy(id_col).orderBy(F.col(text_col).asc_nulls_first())
+        unique = (
+            batch_df.withColumn("_idrn", F.row_number().over(wid))
+            .filter(F.col("_idrn") == 1)
+            .drop("_idrn")
+        )
+        verdicts = pretrain_screen(
+            unique,
+            clf_model,
+            lm,
+            id_col=id_col,
+            text_col=text_col,
+            carry=(by,),
+            by=by,
+            clf_threshold=clf_threshold,
+            min_words=min_words,
+            min_stopword_hits=min_stopword_hits,
+            min_kept_lines=min_kept_lines,
+            ppl_cuts=ppl_cuts,
+        )
+        kept = unique.join(
+            verdicts.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        ).select(*data_cols)
+        merge_upsert(kept, out_path, keys=[id_col])
+        if on_batch_complete is not None:
+            on_batch_complete(epoch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(queries) -> None:
     """Drain a set of AvailableNow streams to completion (the reference's
     'job DAG finished' barrier before the unified rebuild)."""
