@@ -878,3 +878,128 @@ def test_stream_pretrain_screen_frozen_models(spark, tmp_path, sf_dir):
     run().awaitTermination()
     again = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert again == got_all
+
+
+def test_stream_crawl_pipeline_full_loop(spark, tmp_path, sf_dir):
+    """The complete production crawl day in one query — dedup against
+    the accumulated store FIRST, then the frozen screen. Batch 2 carries
+    a cross-snapshot dup (dropped before the screen ever prices it), a
+    within-batch dup, and novel docs; a rejected-but-novel doc is
+    INDEXED so batch 3's re-crawl of it cannot re-enter the corpus; a
+    crash-replay of a committed batch changes nothing."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        fit_bigram_lm,
+        perplexity_thresholds,
+        score_perplexity,
+    )
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        train_quality_classifier,
+    )
+    from yelp_business_data_pipeline_spark.operators.screen import pretrain_screen
+    from yelp_business_data_pipeline_spark.streaming import stream_crawl_pipeline
+
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_quality_classifier(
+        ref, F.col("lang") == "en", buckets=4096, n_train=256
+    )
+    lm = fit_bigram_lm(ref)
+    cuts = perplexity_thresholds(
+        score_perplexity(ref, lm, carry=("lang",)).filter(F.col("ppl").isNotNull())
+    )
+    knobs = dict(min_words=20, min_stopword_hits=1, min_kept_lines=0)
+
+    # crawl docs drawn from the reference corpus so verdicts are mixed;
+    # recompute each doc's expected verdict with the frozen batch screen
+    pool = [
+        (r.doc_id, r.text, r.lang)
+        for r in ref.select("doc_id", "text", "lang").orderBy("doc_id").limit(12).collect()
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    verdict = {
+        r.doc_id: r.keep
+        for r in pretrain_screen(
+            spark.createDataFrame(pool, schema), model, lm, carry=("lang",),
+            ppl_cuts=cuts, **knobs
+        ).collect()
+    }
+    kept_ids = [i for i, _, _ in pool if verdict[i]]
+    rej_ids = [i for i, _, _ in pool if not verdict[i]]
+    assert kept_ids and rej_ids  # mixed corpus: both paths exercised
+    texts = {i: (t, lang) for i, t, lang in pool}
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    out, store, ckpt = (
+        str(tmp_path / "corpus"), str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+
+    def run(**kw):
+        return stream_crawl_pipeline(
+            spark, str(src), schema, out, store, ckpt, model, lm, cuts,
+            **knobs, **kw
+        )
+
+    def dump(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t, "lang": lang})
+                for i, t, lang in rows
+            )
+        )
+
+    k1, k2 = kept_ids[0], kept_ids[1] if len(kept_ids) > 1 else kept_ids[0]
+    r1 = rej_ids[0]
+
+    # batch 1: one keeper and one rejected doc — both must be INDEXED,
+    # only the keeper lands in the corpus
+    dump("b1.json", [(k1, *texts[k1]), (r1, *texts[r1])])
+    run().awaitTermination()
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [k1]
+    assert spark.read.parquet(store).count() == 2
+
+    # batch 2: a cross-snapshot dup of the keeper (new id, same text —
+    # dropped by dedup BEFORE the screen), a within-batch dup pair, a
+    # re-crawl of the REJECTED doc (same id: dup of its own store row ->
+    # novel again by arbitration? No: same id matches its own row and
+    # rank-2 gives NULL -> it IS re-screened, re-rejected, idempotent),
+    # and a fresh keeper
+    dup_of_k1 = (900, texts[k1][0], texts[k1][1])
+    twin_a = (901, texts[k2][0], texts[k2][1])
+    twin_b = (902, texts[k2][0], texts[k2][1])
+    dump("b2.json", [dup_of_k1, twin_a, twin_b, (r1, *texts[r1])])
+    run().awaitTermination()
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    want = sorted({k1} | ({901} if k2 != k1 and verdict[k2] else set()))
+    assert got == want, (got, want)
+    # store indexed the novel reps only: 900 is a dup (never indexed),
+    # 902 collapsed within-batch into 901
+    idx = sorted(r.index_id for r in spark.read.parquet(store).collect())
+    assert 900 not in idx and 902 not in idx
+
+    # batch 3: re-crawl the rejected doc under a NEW id — the store
+    # remembers its fingerprint, so it dedups out before the screen and
+    # stays out of the corpus forever
+    dump("b3.json", [(903, *texts[r1])])
+
+    def _crash(epoch_id: int) -> None:
+        raise RuntimeError("injected crash between sink write and checkpoint commit")
+
+    q = run(on_batch_complete=_crash)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    run().awaitTermination()  # replay
+    final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert final == want  # 903 never entered; replay changed nothing
+    assert 903 not in {
+        r.index_id for r in spark.read.parquet(store).collect()
+    }  # dup of r1's row, never novel

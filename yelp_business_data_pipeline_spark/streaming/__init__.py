@@ -2,6 +2,7 @@ from .pipeline import (
     run_available_now,
     stream_cdc_upsert,
     stream_incremental_dedup,
+    stream_crawl_pipeline,
     stream_pretrain_screen,
     streaming_dedup_events,
     stream_domain_etl,
@@ -12,6 +13,7 @@ __all__ = [
     "run_available_now",
     "stream_cdc_upsert",
     "stream_incremental_dedup",
+    "stream_crawl_pipeline",
     "stream_pretrain_screen",
     "streaming_dedup_events",
     "stream_domain_etl",
