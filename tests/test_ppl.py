@@ -256,3 +256,26 @@ def test_threshold_buckets_null_group_key_is_its_own_group(spark):
     nt = {r.doc_id: r.bucket_name for r in perplexity_terciles(scored).collect()}
     assert th == nt  # unique ppls, exact cuts: full agreement incl. NULL lang
     assert {th[1], th[5], th[9]} == {"head", "middle", "tail"}
+
+
+def test_frozen_cuts_unseen_group_is_no_cuts_never_silent_tail(spark):
+    """Frozen-model regime: a language absent from the reference-corpus
+    cuts frame must come back bucket 'no_cuts' — the screen has no
+    opinion about a language it was not fit on; silently calling it
+    'tail' would discard whole languages invisibly."""
+    from yelp_business_data_pipeline_spark.operators.ppl import bucket_by_thresholds
+
+    scored = spark.createDataFrame(
+        [(1, "en", 2.0), (2, "de", 2.0), (3, "de", None)],
+        "doc_id long, lang string, ppl double",
+    )
+    cuts = spark.createDataFrame(
+        [("en", 1.5, 3.0)], "lang string, ppl_cut_1 double, ppl_cut_2 double"
+    )
+    b = {r.doc_id: r.bucket_name for r in bucket_by_thresholds(scored, cuts).collect()}
+    # seen lang buckets normally; unseen lang with a REAL ppl is no_cuts;
+    # tokenless (NULL ppl) stays tail regardless of cuts availability
+    assert b == {1: "middle", 2: "no_cuts", 3: "tail"}
+    # and the composed screen drops no_cuts docs VISIBLY (ppl_ok False
+    # through membership, with ppl_bucket naming why) — checked where
+    # pretrain_screen maps buckets (bucket_name.isin('head','middle'))

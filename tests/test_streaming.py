@@ -1003,3 +1003,31 @@ def test_stream_crawl_pipeline_full_loop(spark, tmp_path, sf_dir):
     assert 903 not in {
         r.index_id for r in spark.read.parquet(store).collect()
     }  # dup of r1's row, never novel
+
+
+def test_dirty_batch_collapse_is_deterministic_over_all_columns(spark):
+    """Two same-id rows with IDENTICAL text but different other fields
+    (two crawl files disagreeing on lang) must pick the same winner on
+    every execution and layout — the tie-break orders over every
+    remaining column, not just text, or a crash-replay could choose the
+    other row and flip downstream verdicts."""
+    from yelp_business_data_pipeline_spark.streaming.pipeline import (
+        _collapse_one_row_per_id,
+    )
+
+    rows = [
+        (7, "same text", "en"),
+        (7, "same text", None),
+        (7, "same text", "de"),
+        (8, "other", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    picks = set()
+    for n in (1, 3, 7):
+        out = {
+            r.doc_id: r.lang
+            for r in _collapse_one_row_per_id(df.repartition(n), "doc_id", "text").collect()
+        }
+        assert set(out) == {7, 8}
+        picks.add(out[7])
+    assert picks == {None}  # nulls-first over lang: one winner, every layout

@@ -273,9 +273,10 @@ def parse_jpeg_meta(blob: bytes | None) -> dict | None:
                 "width": width,
                 "height": height,
                 "precision": precision,
-                # all four progressive-DCT frame types (huffman 0xC2,
-                # extended 0xC6, arithmetic 0xCA, differential 0xCE) —
-                # not just baseline-progressive SOF2
+                # all four progressive-DCT frame types (ITU T.81: SOF2
+                # huffman 0xC2, SOF6 differential huffman 0xC6, SOF10
+                # arithmetic 0xCA, SOF14 differential arithmetic 0xCE) —
+                # not just SOF2
                 "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
             }
         pos += seg_len

@@ -248,12 +248,30 @@ def bucket_by_thresholds(
     corpus (:func:`perplexity_thresholds`), persist the |groups|-row
     frame, and apply it to every new crawl batch (the streaming screen
     rides exactly this — cut points must NOT drift per micro-batch).
-    ``cuts`` carries (by, ppl_cut_1, ppl_cut_2)."""
+    ``cuts`` carries (by, ppl_cut_1, ppl_cut_2).
+
+    A group ABSENT from ``cuts`` (a language the reference corpus never
+    saw — inevitable on open crawl) gets bucket 0 / ``'no_cuts'``, never
+    a silent 'tail': the screen has no opinion about a language it was
+    not fit on, and hiding that as "worst fluency" would discard whole
+    languages invisibly. Callers choose the policy (the composed screen
+    drops them — visibly, with the bucket naming why). The self-fit path
+    (:func:`perplexity_threshold_buckets`) can never emit it: every
+    group with a non-NULL ppl row produces its own cuts row, and
+    all-NULL groups bucket 'tail' on the NULL check first."""
+    missing = F.col("ppl_cut_1").isNull() & F.col(ppl_col).isNotNull()
     bucket = (
         F.when(F.col(ppl_col).isNull(), F.lit(3))
+        .when(missing, F.lit(0))
         .when(F.col(ppl_col) <= F.col("ppl_cut_1"), F.lit(1))
         .when(F.col(ppl_col) <= F.col("ppl_cut_2"), F.lit(2))
         .otherwise(F.lit(3))
+    )
+    name = (
+        F.when(F.col("bucket") == 0, F.lit("no_cuts"))
+        .when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
     )
     return (
         # eqNullSafe: a NULL group key (lang-ID failure — routine on crawl
@@ -267,12 +285,6 @@ def bucket_by_thresholds(
         )
         .drop("_cut_key")
         .withColumn("bucket", bucket)
-        .withColumn(
-            "bucket_name",
-            F.element_at(
-                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-                F.col("bucket"),
-            ),
-        )
+        .withColumn("bucket_name", name)
         .drop("ppl_cut_1", "ppl_cut_2")
     )

@@ -132,7 +132,11 @@ def pretrain_screen(
         *carry,
         "ppl",
         F.col("bucket_name").alias("ppl_bucket"),
-        (F.col("bucket_name") != "tail").alias("ppl_ok"),
+        # membership, not != 'tail': frozen cuts can emit 'no_cuts' for a
+        # language the reference corpus never saw — those docs are
+        # dropped too, but VISIBLY (ppl_bucket says why), never kept by
+        # accident of a negative comparison
+        F.col("bucket_name").isin("head", "middle").alias("ppl_ok"),
     )
     return (
         buck.join(rules, id_col)

@@ -201,6 +201,109 @@ def stream_cdc_upsert(
     )
 
 
+def _json_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """The shared crawl-ingest reader: schema-pinned JSON file source,
+    optional per-trigger file cap."""
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(source_dir)
+
+
+def _collapse_one_row_per_id(
+    batch_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One DETERMINISTIC row per doc id (self-healing: a batch
+    re-delivering the same id in two files must not wedge the stream on
+    merge_upsert's duplicate-key raise at every replay). The tie-break
+    orders over text AND every remaining column — two same-id rows with
+    identical text but different other fields (lang, source, ...) must
+    pick the same winner on every execution, or a crash-replay could
+    choose the other row and change downstream verdicts, breaking the
+    exactly-once table-state contract."""
+    from pyspark.sql import Window
+
+    order = [F.col(text_col).asc_nulls_first()] + [
+        F.col(c).asc_nulls_first()
+        for c in batch_df.columns
+        if c not in (id_col, text_col)
+    ]
+    wid = Window.partitionBy(id_col).orderBy(*order)
+    return (
+        batch_df.withColumn("_idrn", F.row_number().over(wid))
+        .filter(F.col("_idrn") == 1)
+        .drop("_idrn")
+    )
+
+
+def _within_batch_fp_reps(
+    unique: DataFrame, id_col: str, text_col: str, prefix_tokens: int
+) -> DataFrame:
+    """Within-batch exact dedup: keep the smallest id per fingerprint
+    (min-id window — deterministic, the incdedup arbitration rule)."""
+    from pyspark.sql import Window
+
+    from ..operators.text import fingerprint
+
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        unique.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
+        .withColumn("_m1", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_m1"))
+        .drop("_fp", "_m1")
+    )
+
+
+def _annotate_against_store(
+    reps: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    prefix_tokens: int,
+) -> DataFrame:
+    """Annotate batch representatives against the persistent fingerprint
+    store (``dup_of`` NULL = novel); before the store's first write the
+    whole batch is novel, with ``dup_of`` mirroring id_col's ACTUAL type
+    (string-keyed corpora exist) so the annotated schema is identical
+    between the first batch and every later one."""
+    from ..operators.incdedup import exact_dups_against_index
+
+    sp = reps.sparkSession
+    jvm = sp._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        return exact_dups_against_index(
+            reps, sp.read.parquet(store_path), id_col, text_col, prefix_tokens
+        )
+    return reps.withColumn(
+        "dup_of", F.lit(None).cast(reps.schema[id_col].dataType)
+    )
+
+
+def _persist_frozen_inputs(lm, ppl_cuts: DataFrame):
+    """Cache the frozen model frames (LM count tables + cut points)
+    before a stream starts: they are consumed by EVERY micro-batch, and
+    without the cache each foreachBatch would re-run the full
+    reference-corpus aggregations behind them (lazy lineage). MEMORY_AND_DISK:
+    a web-scale bigram table spills instead of evicting. At true scale,
+    prefer passing parquet-backed frames (write the fitted tables once,
+    read them back) — this cache is the in-session safety net, not a
+    substitute."""
+    from pyspark import StorageLevel
+
+    uni, bi, total = lm
+    frames = (uni, bi, total, ppl_cuts)
+    for f in frames:
+        f.persist(StorageLevel.MEMORY_AND_DISK)
+    return (uni, bi, total), ppl_cuts
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -247,50 +350,17 @@ def stream_incremental_dedup(
     ``incremental_dedup_panel`` machinery over a snapshot when an audit
     trail is needed.
     """
-    from pyspark.sql import Window
-
-    from ..operators.incdedup import exact_dups_against_index, exact_fingerprint_index
-    from ..operators.text import fingerprint
+    from ..operators.incdedup import exact_fingerprint_index
     from ..sources.writers import merge_upsert
 
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.json(source_dir)
+    raw = _json_file_stream(spark, source_dir, schema, max_files_per_trigger)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        sp = batch_df.sparkSession
-        # one deterministic row per doc id FIRST (self-healing: a batch
-        # re-delivering the same id in two files must not wedge the
-        # stream on merge_upsert's duplicate-key raise at every replay)
-        wid = Window.partitionBy(id_col).orderBy(F.col(text_col).asc_nulls_first())
-        unique = (
-            batch_df.withColumn("_idrn", F.row_number().over(wid))
-            .filter(F.col("_idrn") == 1)
-            .drop("_idrn")
+        unique = _collapse_one_row_per_id(batch_df, id_col, text_col)
+        reps = _within_batch_fp_reps(unique, id_col, text_col, prefix_tokens)
+        annotated = _annotate_against_store(
+            reps, store_path, id_col, text_col, prefix_tokens
         )
-        w = Window.partitionBy("_fp").orderBy(id_col)
-        reps = (
-            unique.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
-            .withColumn("_m1", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("_m1"))
-            .drop("_fp", "_m1")
-        )
-        jvm = sp._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(store_path)
-        fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
-        if fs.exists(hpath):
-            index = sp.read.parquet(store_path)
-            annotated = exact_dups_against_index(
-                reps, index, id_col, text_col, prefix_tokens
-            )
-        else:
-            # dup_of mirrors id_col's ACTUAL type (string-keyed corpora
-            # exist) so the annotated schema is identical between the
-            # first batch (no store yet) and every later batch.
-            annotated = reps.withColumn(
-                "dup_of", F.lit(None).cast(batch_df.schema[id_col].dataType)
-            )
         # persist: BOTH writes consume novel — without the cut the batch
         # window, store read, and rank-2 join all run twice per batch
         novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of").persist()
@@ -350,24 +420,15 @@ def stream_pretrain_screen(
     docs are dropped (persist only the screened corpus); run the batch
     ``pretrain_screen`` over a snapshot for per-doc audit columns.
     """
-    from pyspark.sql import Window
-
     from ..operators.screen import pretrain_screen
     from ..sources.writers import merge_upsert
 
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.json(source_dir)
+    lm, ppl_cuts = _persist_frozen_inputs(lm, ppl_cuts)
+    raw = _json_file_stream(spark, source_dir, schema, max_files_per_trigger)
     data_cols = [f.name for f in schema.fields]
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        wid = Window.partitionBy(id_col).orderBy(F.col(text_col).asc_nulls_first())
-        unique = (
-            batch_df.withColumn("_idrn", F.row_number().over(wid))
-            .filter(F.col("_idrn") == 1)
-            .drop("_idrn")
-        )
+        unique = _collapse_one_row_per_id(batch_df, id_col, text_col)
         verdicts = pretrain_screen(
             unique,
             clf_model,
@@ -450,45 +511,20 @@ def stream_crawl_pipeline(
     store row), the verdict is a pure function of (doc, frozen models),
     and both sinks are keyed merge_upserts.
     """
-    from pyspark.sql import Window
-
-    from ..operators.incdedup import exact_dups_against_index, exact_fingerprint_index
+    from ..operators.incdedup import exact_fingerprint_index
     from ..operators.screen import pretrain_screen
-    from ..operators.text import fingerprint
     from ..sources.writers import merge_upsert
 
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.json(source_dir)
+    lm, ppl_cuts = _persist_frozen_inputs(lm, ppl_cuts)
+    raw = _json_file_stream(spark, source_dir, schema, max_files_per_trigger)
     data_cols = [f.name for f in schema.fields]
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        sp = batch_df.sparkSession
-        wid = Window.partitionBy(id_col).orderBy(F.col(text_col).asc_nulls_first())
-        unique = (
-            batch_df.withColumn("_idrn", F.row_number().over(wid))
-            .filter(F.col("_idrn") == 1)
-            .drop("_idrn")
+        unique = _collapse_one_row_per_id(batch_df, id_col, text_col)
+        reps = _within_batch_fp_reps(unique, id_col, text_col, prefix_tokens)
+        annotated = _annotate_against_store(
+            reps, store_path, id_col, text_col, prefix_tokens
         )
-        w = Window.partitionBy("_fp").orderBy(id_col)
-        reps = (
-            unique.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
-            .withColumn("_m1", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("_m1"))
-            .drop("_fp", "_m1")
-        )
-        jvm = sp._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(store_path)
-        fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
-        if fs.exists(hpath):
-            annotated = exact_dups_against_index(
-                reps, sp.read.parquet(store_path), id_col, text_col, prefix_tokens
-            )
-        else:
-            annotated = reps.withColumn(
-                "dup_of", F.lit(None).cast(batch_df.schema[id_col].dataType)
-            )
         # persist: the screen leg AND the index write both consume novel
         novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of").persist()
         try:
