@@ -22,6 +22,7 @@ def test_query_matches_oracle(name, spark, sf_dir):
         ("tfidf_top_terms", "TFIDF_ORACLE"),
         ("sessionize_events", "SESSIONIZE_USER_ORACLE"),
         ("setops_customer_cohorts", "SETOPS_COHORTS_ORACLE"),
+        ("approx_aggregates", "APPROX_AGGREGATES_ORACLE"),
     ],
 )
 def test_demoted_twins_still_match(name, const, spark, sf_dir):

@@ -1297,28 +1297,35 @@ def salted_agg_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("revenue", F.col("revenue").cast("double"))
 
 
-@query(
-    "approx_aggregates",
-    """
+#: Exact DuckDB twin of approx_aggregates — demoted to a rows-only
+#: tracker in the r9 rotation's third swap (green r2-r8, and its
+#: tolerance semantics carry an INDEPENDENT tighter pin in
+#: test_queries_oracle.py::test_approx_aggregates_accuracy); slot given
+#: to bm25_topk_panel, completing 100% driver-executed coverage of the
+#: repo's exact twins. Pinned in test_demoted_twins_still_match per the
+#: rotation contract; registration lives in plans/extensions.py's
+#: tracker section (positional gate).
+APPROX_AGGREGATES_ORACLE = """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
            TRUE AS hll_within_5pct,
            TRUE AS tdigest_in_p40_p60
     FROM orders GROUP BY o_orderpriority
-    """,
-    doc="Approximate aggregates — the 100 TB substitutes for exact "
-    "distinct/percentile: approx_count_distinct (HyperLogLog++, fixed "
-    "memory vs the exact two-shuffle distinct) and percentile_approx "
-    "(t-digest, single pass). Half-oracled: the sketch values themselves "
-    "are engine-specific, so the query emits (a) the exact n_orders, "
-    "hash-checked, and (b) per-group TOLERANCE PREDICATES — Spark compares "
-    "its sketch against the exact aggregates computed in the same pass and "
-    "must emit TRUE (HLL within 5% of exact distinct, t-digest median "
-    "inside the exact p40-p60 band); the oracle emits literal TRUE. "
-    "A sketch drifting out of tolerance hash-mismatches the driver gate. "
-    "Tighter relative-error pins live in tests/test_approx.py.",
-)
+    """
+
+
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact
+    distinct/percentile: approx_count_distinct (HyperLogLog++, fixed
+    memory vs the exact two-shuffle distinct) and percentile_approx
+    (t-digest, single pass). Half-oracled: the sketch values themselves
+    are engine-specific, so the query emits (a) the exact n_orders,
+    hash-checked, and (b) per-group TOLERANCE PREDICATES — Spark
+    compares its sketch against the exact aggregates computed in the
+    same pass and must emit TRUE (HLL within 5% of exact distinct,
+    t-digest median inside the exact p40-p60 band); the oracle emits
+    literal TRUE. A drifting sketch hash-mismatches the twin compare.
+    Tighter relative-error pins live in tests/test_approx.py."""
     o = tbl(spark, sf_dir, "orders")
     # Two aggregations, NOT one: countDistinct plans through Expand while
     # percentile_approx is a TypedImperativeAggregate — combined in one agg
