@@ -1,0 +1,383 @@
+"""HTML main-text extraction — the crawl stage BEFORE every text operator.
+
+The reference pipeline starts from already-extracted text
+(``Review_ETL.py`` reads clean JSON strings); a 100-TB crawl corpus starts
+from raw HTML, and the WARC→text step (trafilatura / jusText in the
+public pipelines behind C4, CCNet, RefinedWeb) is where most bytes die.
+This module implements that stage with the stdlib ``html.parser`` only —
+no lxml/bs4 in the container — as a deterministic, Arrow-batched,
+shuffle-free kernel:
+
+- :func:`parse_html` — ONE pure-Python parser (the single source of
+  truth; tests pin it on a handwritten fixture matrix: entities,
+  unclosed tags, nested anchors, comments, script/style payloads,
+  truncated markup). Emits a title plus per-block records (tag, text,
+  word count, link density, boilerplate-tag flag).
+- block classification — jusText-style (Pomikálek 2011, public) reduced
+  to its deterministic core: a block is content iff it is NOT under a
+  boilerplate container (nav/header/footer/aside/form), its link density
+  is <= ``max_link_density``, and it has >= ``min_words`` words.
+  (jusText's stopword-density criterion lives one operator over —
+  ``text.stopword_ratio`` / the Gopher gate — and composes downstream;
+  fusing it here would double-count the screen's stopword leg.)
+- :func:`extract_main_text` — doc-grain Spark surface: one struct-typed
+  Arrow UDF pass, zero shuffle (plan-pinned in tests). At 100 TB this is
+  the embarrassingly-parallel WET-from-WARC map: no exchange, memory
+  bounded by the Arrow batch size, and every downstream operator
+  (lang-ID, dedup, quality, LM) reads the extracted column.
+- :func:`html_blocks` — block-grain ``mapInPandas`` fan-out for per-block
+  analytics (link-farm detection, template mining).
+- :func:`wrap_documents_as_html` — the inverse, JVM-expression-only: wraps
+  a text corpus in a synthetic page template (head/script/nav boilerplate,
+  one ``<p>`` per line, link-bearing footer) with proper entity escaping.
+  It exists so the extractor can be exercised and driver-tracked on the
+  standard ``documents`` table with a LIVE roundtrip invariant (extracted
+  text == whitespace-normalized source lines) rather than static fixtures.
+
+Determinism: the parser is pure (no clocks, no RNG, no locale); block
+order is document order; whitespace inside a block normalizes to single
+spaces (``' '.join(text.split())``) so extraction is stable across
+chunked character callbacks.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Elements whose entire subtree is invisible text-wise.
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "iframe"})
+
+#: Elements that open/close a text block. Inline markup (a, b, span, em,
+#: code, ...) does NOT break a block — exactly the jusText segmentation
+#: rule ("blocks are separated by block-level tags").
+BLOCK_TAGS = frozenset(
+    {
+        "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "dd", "dt",
+        "td", "th", "caption", "figcaption", "blockquote", "pre",
+        "summary", "title",
+        # structural containers: they don't hold running text themselves
+        # in well-formed pages, but bare text directly under them must
+        # still land in SOME block, so they flush too
+        "div", "section", "article", "main", "body", "ul", "ol",
+        "table", "tr", "nav", "header", "footer", "aside", "form",
+    }
+)
+
+#: Containers whose descendant blocks are boilerplate by position.
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
+
+#: HTML void elements (never pushed on the open-element stack).
+_VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base",
+     "col", "embed", "source", "track", "wbr"}
+)
+
+
+class _BlockParser(HTMLParser):
+    """Streaming block segmenter. Tolerates real-crawl malformation the
+    same way browsers do where stdlib allows: unclosed tags (close pops
+    to the nearest matching open tag, ignores stray closes), nested
+    anchors (``a`` depth counter, never negative), attributes containing
+    ``>`` (HTMLParser handles quoting), comments/doctype/CDATA dropped,
+    entities decoded (``convert_charrefs=True`` default)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self.title_parts: list[str] = []
+        self._stack: list[str] = []  # open block/skip-relevant tags
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._a_depth = 0
+        self._in_title = False
+        self._texts: list[str] = []
+        self._link_chars = 0
+        self._cur_tag = ""
+        self._cur_boiler = False
+
+    # -- block lifecycle ------------------------------------------------
+    def _flush(self) -> None:
+        text = " ".join("".join(self._texts).split())
+        if text:
+            self.blocks.append(
+                {
+                    "tag": self._cur_tag or "body",
+                    "text": text,
+                    "n_chars": len(text),
+                    "n_words": len(text.split(" ")),
+                    "link_chars": min(self._link_chars, len(text)),
+                    "boilerplate_tag": self._cur_boiler,
+                }
+            )
+        self._texts = []
+        self._link_chars = 0
+
+    def _open_block(self, tag: str) -> None:
+        self._flush()
+        self._cur_tag = tag
+        self._cur_boiler = self._boiler_depth > 0
+
+    # -- HTMLParser callbacks --------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            if tag in ("br", "hr"):
+                self._texts.append(" ")
+            return
+        if tag in SKIP_TAGS:
+            self._skip_depth += 1
+            self._stack.append(tag)
+            return
+        if tag == "a":
+            self._a_depth += 1
+            self._stack.append(tag)
+            return
+        if tag in BLOCK_TAGS:
+            if tag in BOILERPLATE_TAGS:
+                self._boiler_depth += 1
+            if tag == "title":
+                self._flush()
+                self._in_title = True
+            self._open_block(tag)
+            self._stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            return
+        if tag not in self._stack:
+            return  # stray close — browsers ignore it
+        # pop to the matching open tag, unwinding anything left open
+        while self._stack:
+            open_tag = self._stack.pop()
+            if open_tag in SKIP_TAGS:
+                self._skip_depth -= 1
+            elif open_tag == "a":
+                self._a_depth = max(0, self._a_depth - 1)
+            elif open_tag in BLOCK_TAGS:
+                if open_tag in BOILERPLATE_TAGS:
+                    self._boiler_depth -= 1
+                if open_tag == "title":
+                    self.title_parts.append(" ".join("".join(self._texts).split()))
+                    self._in_title = False
+                    self._texts = []  # title text is NOT a body block
+                    self._link_chars = 0
+                self._flush()
+                # the enclosing block (if any) resumes: re-derive its tag
+                self._cur_tag = next(
+                    (t for t in reversed(self._stack) if t in BLOCK_TAGS), ""
+                )
+                self._cur_boiler = self._boiler_depth > 0
+            if open_tag == tag:
+                break
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth > 0 or not data:
+            return
+        self._texts.append(data)
+        if self._a_depth > 0:
+            self._link_chars += len(" ".join(data.split()))
+
+    def close(self) -> None:  # truncated markup: flush what we have
+        super().close()
+        if self._in_title:
+            self.title_parts.append(" ".join("".join(self._texts).split()))
+            self._texts = []
+        self._flush()
+
+
+def parse_html(html: str | None) -> dict:
+    """Parse one HTML document into ``{"title": str, "blocks": [...]}``.
+
+    Never raises on malformed input (crawl data is hostile): stdlib
+    parser errors degrade to whatever was segmented before the failure
+    point. Each block dict carries ``tag, text, n_chars, n_words,
+    link_chars, boilerplate_tag`` with whitespace-normalized text and
+    entities decoded.
+    """
+    p = _BlockParser()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:  # noqa: BLE001 — hostile input must not kill the task
+        p._flush()
+    return {"title": " ".join(t for t in p.title_parts if t), "blocks": p.blocks}
+
+
+def classify_blocks(
+    blocks: list[dict],
+    *,
+    max_link_density: float = 0.33,
+    min_words: int = 5,
+) -> list[bool]:
+    """jusText-core verdict per block (deterministic, no stopword leg —
+    see module docstring). Link density is anchored-chars / block-chars;
+    an empty block cannot occur (the parser drops them)."""
+    out = []
+    for b in blocks:
+        density = b["link_chars"] / b["n_chars"] if b["n_chars"] else 1.0
+        out.append(
+            not b["boilerplate_tag"]
+            and b["tag"] != "title"
+            and density <= max_link_density
+            and b["n_words"] >= min_words
+        )
+    return out
+
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),  # '\n'-joined good blocks
+        T.StructField("n_blocks", T.IntegerType(), True),
+        T.StructField("n_good_blocks", T.IntegerType(), True),
+        T.StructField("text_chars", T.LongType(), True),  # all blocks
+        T.StructField("kept_chars", T.LongType(), True),  # good blocks
+        T.StructField("link_chars", T.LongType(), True),  # all blocks
+    ]
+)
+
+
+def _extract_one(html: str | None, max_link_density: float, min_words: int) -> tuple:
+    parsed = parse_html(html)
+    blocks = parsed["blocks"]
+    good = classify_blocks(
+        blocks, max_link_density=max_link_density, min_words=min_words
+    )
+    kept = [b["text"] for b, g in zip(blocks, good) if g]
+    return (
+        parsed["title"],
+        "\n".join(kept),
+        len(blocks),
+        sum(good),
+        sum(b["n_chars"] for b in blocks),
+        sum(len(t) for t in kept),
+        sum(b["link_chars"] for b in blocks),
+    )
+
+
+def extract_main_text(
+    df: DataFrame,
+    html_col: str = "html",
+    *,
+    max_link_density: float = 0.33,
+    min_words: int = 5,
+    out_col: str = "extracted",
+) -> DataFrame:
+    """Add ``out_col`` (struct per :data:`EXTRACT_SCHEMA`) — title + main
+    text + block/char accounting — via ONE Arrow-batched scalar UDF.
+
+    Plan shape (pinned in tests/test_htmlx.py): a single ArrowEvalPython
+    over the scan, no Exchange — the 100-TB WET map. Memory is bounded by
+    the Arrow batch (maxRecordsPerBatch x mean page size); the parser is
+    O(page bytes) with no quadratic backtracking (HTMLParser is a single
+    forward scan)."""
+
+    @F.pandas_udf(EXTRACT_SCHEMA)
+    def _extract(htmls: pd.Series) -> pd.DataFrame:
+        rows = [_extract_one(h, max_link_density, min_words) for h in htmls]
+        return pd.DataFrame(rows, columns=[f.name for f in EXTRACT_SCHEMA.fields])
+
+    return df.withColumn(out_col, _extract(F.col(html_col)))
+
+
+BLOCKS_SCHEMA_FIELDS = (
+    T.StructField("block_idx", T.IntegerType(), False),
+    T.StructField("tag", T.StringType(), True),
+    T.StructField("block_text", T.StringType(), True),
+    T.StructField("n_words", T.IntegerType(), True),
+    T.StructField("link_density", T.DoubleType(), True),
+    T.StructField("boilerplate_tag", T.BooleanType(), True),
+    T.StructField("good", T.BooleanType(), True),
+)
+
+
+def html_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    *,
+    max_link_density: float = 0.33,
+    min_words: int = 5,
+) -> DataFrame:
+    """Block-grain fan-out: one output row per segmented block (document
+    order preserved by ``block_idx``), for link-farm / template analytics.
+    ``link_density`` is rounded to 6 decimals per the repo rounding rule
+    (rank-stable across engines). Same zero-shuffle mapInPandas shape as
+    the multimodal frame expander."""
+    id_field = df.schema[id_col]
+    schema = T.StructType([id_field, *BLOCKS_SCHEMA_FIELDS])
+    cols = [id_col, html_col]
+
+    def _expand(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for did, html in zip(pdf[id_col], pdf[html_col]):
+                blocks = parse_html(html)["blocks"]
+                good = classify_blocks(
+                    blocks, max_link_density=max_link_density, min_words=min_words
+                )
+                for i, (b, g) in enumerate(zip(blocks, good)):
+                    out[id_col].append(did)
+                    out["block_idx"].append(i)
+                    out["tag"].append(b["tag"])
+                    out["block_text"].append(b["text"])
+                    out["n_words"].append(b["n_words"])
+                    out["link_density"].append(
+                        round(b["link_chars"] / b["n_chars"], 6) if b["n_chars"] else 1.0
+                    )
+                    out["boilerplate_tag"].append(b["boilerplate_tag"])
+                    out["good"].append(g)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(_expand, schema=schema)
+
+
+def _escape_html(c: Column) -> Column:
+    """Entity-escape text for embedding in markup (& first, then < >)."""
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def wrap_documents_as_html(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    out_col: str = "html",
+) -> DataFrame:
+    """Render each document as a synthetic page — head/title/script, nav
+    link bar, one ``<p>`` per source line, link-bearing footer — entirely
+    with JVM string expressions (no UDF; stays inside WholeStageCodegen).
+
+    The template is the extraction test-bench: after
+    :func:`extract_main_text`, the title must round-trip ``Doc {id}``, the
+    nav/footer/script must vanish (boilerplate containers + link density),
+    and the main text must equal the whitespace-normalized source lines —
+    a LIVE invariant the ``html_extract_panel`` tracker counts per
+    document. Entities round-trip too: source ``&``/``<``/``>`` are
+    escaped here and decoded back by the parser."""
+    paras = F.concat_ws(
+        "",
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda line: F.concat(F.lit("<p>"), _escape_html(line), F.lit("</p>")),
+        ),
+    )
+    page = F.concat(
+        F.lit("<html><head><title>"),
+        F.concat(F.lit("Doc "), F.col(id_col).cast("string")),
+        F.lit("</title><script>var page={id:"),
+        F.col(id_col).cast("string"),
+        F.lit("};</script></head><body>"),
+        F.lit('<nav><a href="/">home</a> <a href="/docs">docs</a></nav>'),
+        F.lit('<div class="content">'),
+        paras,
+        F.lit("</div><footer><a href=\"/tos\">terms</a> &amp; conditions</footer>"),
+        F.lit("</body></html>"),
+    )
+    return df.withColumn(out_col, page)
