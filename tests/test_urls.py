@@ -1,0 +1,143 @@
+"""URL canonicalization (operators/urls.py): handwritten canonical-form
+matrix, idempotency over the synthesized corpus, the exact DuckDB twin
+(URL_CANONICAL_ORACLE — rotation queue), JVM-only plan shape, and the
+registrable-domain heuristic boundary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators.urls import (
+    canonical_url,
+    canonicalize_urls,
+    registrable_domain,
+    url_host,
+)
+
+CASES = [
+    # scheme+host case-fold, default port dropped, empty path -> /
+    ("HTTP://WWW.Example.COM:80", "http://www.example.com/"),
+    ("https://example.com:443/x", "https://example.com/x"),
+    # non-default and non-http(s) default-looking ports are kept
+    ("https://example.com:8080/x", "https://example.com:8080/x"),
+    ("ftp://example.com:80/x", "ftp://example.com:80/x"),
+    # trailing host dots, duplicate slashes
+    ("http://example.com./a//b///c", "http://example.com/a/b/c"),
+    # userinfo stripped
+    ("http://bot:pw@example.com/a", "http://example.com/a"),
+    # fragment dropped; params sorted; tracking and empty params dropped
+    (
+        "http://e.com/p?z=1&utm_source=x&a=2&&fbclid=y#frag",
+        "http://e.com/p?a=2&z=1",
+    ),
+    # query that is ONLY tracking params vanishes entirely
+    ("http://e.com/p?utm_campaign=c&gclid=g", "http://e.com/p"),
+    # duplicate params kept (documented multi-value semantics)
+    ("http://e.com/p?a=1&a=1&a=0", "http://e.com/p?a=0&a=1&a=1"),
+    # percent-encoding preserved byte-for-byte (documented boundary)
+    ("http://e.com/a%2fb?k=%2F", "http://e.com/a%2fb?k=%2F"),
+    # a '#' before '?' cuts the query with the fragment
+    ("http://e.com/p#f?a=1", "http://e.com/p"),
+    # non-URLs and NULL canonicalize to NULL
+    ("plain text line 33", None),
+    ("   ", None),
+    (None, None),
+]
+
+
+def test_canonical_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r.i: r.canonical_url
+        for r in canonicalize_urls(df).collect()
+    }
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_canonicalization_is_idempotent(spark, sf_dir):
+    """canonical(canonical(u)) == canonical(u) over the full synthesized
+    corpus — the property that makes the canonical form a safe dedup KEY
+    (re-canonicalizing a stored frontier never reshuffles groups)."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    # reuse the tracker's synthesis by canonicalizing the panel's min
+    # canonicals, plus the matrix rows
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    once = canonical_url(F.col("url"))
+    twice = canonical_url(once)
+    bad = df.select(once.alias("a"), twice.alias("b")).where(
+        ~(F.col("a").eqNullSafe(F.col("b")))
+    )
+    assert bad.count() == 0
+    rows = QUERIES["url_canonical_panel"].spark(spark, sf_dir).collect()
+    firsts = [r.first_canonical for r in rows if r.first_canonical]
+    df2 = spark.createDataFrame([(u,) for u in firsts], "url string")
+    bad2 = df2.select(
+        F.col("url").alias("a"), canonical_url(F.col("url")).alias("b")
+    ).where(~(F.col("a").eqNullSafe(F.col("b"))))
+    assert bad2.count() == 0 and firsts
+
+
+def test_panel_matches_duckdb_twin_exactly(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        URL_CANONICAL_ORACLE,
+    )
+
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(
+        (tuple(r) for r in QUERIES["url_canonical_panel"].spark(spark, sf_dir).collect()),
+        key=key,
+    )
+    want = sorted(
+        (tuple(r) for r in duck_con(sf_dir).execute(URL_CANONICAL_ORACLE).fetchall()),
+        key=key,
+    )
+    assert got == want and len(got) > 1
+    # non-vacuous: the NULL-host group exists (non-URL rows) and every
+    # URL row canonicalized
+    null_row = [r for r in got if r[0] is None]
+    assert len(null_row) == 1 and null_row[0][2] == 0
+
+
+def test_canonicalization_is_jvm_only(spark, sf_dir):
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["url_canonical_panel"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan  # no UDF anywhere on the path
+
+
+def test_registrable_domain_heuristic(spark):
+    df = spark.createDataFrame(
+        [("a.b.example.com",), ("example.com",), ("localhost",)], "h string"
+    )
+    got = [r[0] for r in df.select(registrable_domain(F.col("h"))).collect()]
+    # last-two-labels; single-label hosts yield '' (documented boundary:
+    # public-suffix table needed for .co.uk-style suffixes)
+    assert got == ["example.com", "example.com", ""]
+
+
+def test_host_extraction_null_for_non_urls(spark):
+    df = spark.createDataFrame([("no scheme here",), ("http://H.X/",)], "u string")
+    got = [r[0] for r in df.select(url_host(F.col("u"))).collect()]
+    assert got == [None, "h.x"]
+
+
+def test_registry_tail_layout():
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    names = list(QUERIES)
+    assert names.index("url_canonical_panel") >= 50
+    assert QUERIES["url_canonical_panel"].oracle is None

@@ -1,0 +1,142 @@
+"""URL canonicalization — the crawl frontier's dedup key.
+
+Web pipelines dedup by URL before they ever fetch (the frontier and the
+re-crawl ledger are URL-keyed; content dedup — operators/dedup.py,
+incdedup.py — runs after extraction). This module gives that key a
+deterministic canonical form with PURE JVM expressions (no UDF, stays in
+WholeStageCodegen, pushdown-friendly), and every regex is class-based so
+the same pattern means the same thing under Java regex (Spark) and RE2
+(DuckDB) — the BPE_ISH_PATTERN portability rule. That is what makes the
+exact DuckDB twin (URL_CANONICAL_ORACLE in plans/extensions.py, rotation
+queue) possible.
+
+Canonical form (RFC 3986 normalization reduced to its deterministic,
+engine-portable core):
+
+- scheme and host lowercase; trailing dots stripped from the host
+- fragment dropped; default ports dropped (http:80, https:443)
+- empty path becomes ``/``; runs of ``/`` collapse to one
+- query params split on ``&``, empty segments and tracking params
+  (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``) dropped, the rest
+  SORTED (codepoint order) and rejoined — param order never splits a
+  dedup group
+- strings without a ``scheme://`` prefix canonicalize to NULL — a
+  countable, loud absence, never a silently passed-through non-URL
+
+Documented boundaries (stated, not silent): duplicate params are kept
+(dropping them changes semantics for multi-value params), percent-encoding
+is preserved byte-for-byte (case-folding ``%2f``→``%2F`` needs a callback
+replace, not available as a portable SQL expression), and
+``registrable_domain`` is a last-two-labels heuristic (the real rule needs
+the public-suffix list — a lookup table join when a deployment ships one).
+
+No reference counterpart (the reference starts from Yelp JSON ids);
+public recipes: RFC 3986 §6, the SafeBrowsing/crawler canonicalization
+folklore, tracking-param lists from public crawler configs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tracking params dropped during canonicalization. Class-based regex —
+#: identical under Java regex and RE2 (anchored, no lookaround).
+TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)="
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+#: scheme -> default port (dropped when explicit)
+DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def _after_scheme(u: Column) -> Column:
+    return F.regexp_replace(u, _SCHEME_RE, "")
+
+
+def url_scheme(u: Column) -> Column:
+    """Lowercased scheme, '' when the string has no ``scheme://``."""
+    return F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+
+
+def url_host(u: Column) -> Column:
+    """Lowercased host (no port, no userinfo, trailing dots stripped);
+    NULL when there is no scheme. Userinfo (``user:pw@host``) is rare and
+    hostile-input-shaped; strip anything through the last ``@`` in the
+    authority — class-based, portable."""
+    authority = F.regexp_extract(_after_scheme(u), "^([^/?#]*)", 1)
+    no_user = F.regexp_replace(authority, "^.*@", "")
+    host = F.lower(F.regexp_extract(no_user, "^([^:]*)", 1))
+    host = F.regexp_replace(host, "[.]+$", "")
+    return F.when(url_scheme(u) != "", host)
+
+
+def url_port_part(u: Column) -> Column:
+    """``:port`` suffix to keep in the canonical form — '' when absent or
+    when it is the scheme's default."""
+    authority = F.regexp_extract(_after_scheme(u), "^([^/?#]*)", 1)
+    no_user = F.regexp_replace(authority, "^.*@", "")
+    port = F.regexp_extract(no_user, ":([0-9]+)$", 1)
+    scheme = url_scheme(u)
+    is_default = F.lit(False)
+    for sch, p in DEFAULT_PORTS.items():
+        is_default = is_default | ((scheme == sch) & (port == p))
+    return F.when((port == "") | is_default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+
+
+def url_path(u: Column) -> Column:
+    """Path with ``//`` runs collapsed and '' promoted to '/'. Fragment is
+    cut first so a ``#`` cannot smuggle path bytes."""
+    no_frag = F.regexp_replace(_after_scheme(u), "#.*$", "")
+    tail = F.regexp_replace(no_frag, "^[^/?#]*", "")  # drop authority
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def url_query_part(u: Column) -> Column:
+    """``?k=v&...`` with tracking/empty params dropped and the remainder
+    sorted; '' when nothing survives."""
+    no_frag = F.regexp_replace(_after_scheme(u), "#.*$", "")
+    query = F.regexp_extract(no_frag, "[?](.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    joined = F.array_join(F.array_sort(params), "&")
+    return F.when(joined == "", F.lit("")).otherwise(F.concat(F.lit("?"), joined))
+
+
+def canonical_url(u: Column) -> Column:
+    """The canonical form (module docstring); NULL for non-URL strings and
+    NULL inputs."""
+    t = F.trim(u)
+    return F.when(
+        url_scheme(t) != "",
+        F.concat(
+            url_scheme(t),
+            F.lit("://"),
+            url_host(t),
+            url_port_part(t),
+            url_path(t),
+            url_query_part(t),
+        ),
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last-two-labels heuristic (``a.b.example.com`` -> ``example.com``).
+    Correct for generic TLDs; two-level public suffixes (``.co.uk``) need
+    the public-suffix table — the documented boundary above."""
+    return F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Column-level convenience: add the canonical form (NULL = not a URL).
+    Frontier dedup is then exact dedup on ``out_col`` (operators/dedup.py)
+    or a cross-snapshot incdedup store keyed by it."""
+    return df.withColumn(out_col, canonical_url(F.col(url_col)))
