@@ -141,3 +141,23 @@ def test_registry_tail_layout():
     names = list(QUERIES)
     assert names.index("url_canonical_panel") >= 50
     assert QUERIES["url_canonical_panel"].oracle is None
+
+
+def test_frontier_dedup(spark):
+    from yelp_business_data_pipeline_spark.operators.urls import frontier_dedup
+
+    rows = [
+        (1, "HTTP://E.com:80/a?utm_source=x&k=1"),
+        (2, "http://e.com/a?k=1"),  # same canonical as row 1
+        (3, "http://e.com/a?k=2"),  # different query -> kept
+        (4, "not a url"),
+        (5, "also not a url"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    kept = frontier_dedup(df, order_by=[F.col("id")])
+    got = {r.id: r.canonical_url for r in kept.collect()}
+    assert set(got) == {1, 3}  # lowest-id survivor per canonical group
+    assert got[1] == "http://e.com/a?k=1"
+    with_junk = frontier_dedup(df, order_by=[F.col("id")], keep_non_urls=True)
+    ids = {r.id for r in with_junk.collect()}
+    assert ids == {1, 3, 4, 5}  # NULL canonicals never collapse together

@@ -140,3 +140,34 @@ def canonicalize_urls(
     Frontier dedup is then exact dedup on ``out_col`` (operators/dedup.py)
     or a cross-snapshot incdedup store keyed by it."""
     return df.withColumn(out_col, canonical_url(F.col(url_col)))
+
+
+def frontier_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    order_by: list[Column] | None = None,
+    *,
+    canonical_col: str = "canonical_url",
+    keep_non_urls: bool = False,
+) -> DataFrame:
+    """Crawl-frontier dedup: canonicalize, keep ONE row per canonical form
+    (first under ``order_by`` — discovery time, priority, id — the
+    ``exact_dedup`` determinism contract; default: the url string itself).
+
+    NULL canonicals (non-URL rows) are never a dedup group — collapsing
+    every unparseable string into one survivor would silently drop
+    frontier entries. Default policy drops them (an unfetchable frontier
+    row is noise); ``keep_non_urls=True`` passes them all through for
+    quarantine-style handling. Cross-SNAPSHOT frontier dedup is the same
+    key through the incremental store (operators/incdedup.py keyed by
+    ``canonical_col``) — this function is the within-batch stage."""
+    from .dedup import exact_dedup
+
+    out = canonicalize_urls(df, url_col, canonical_col)
+    urls = out.filter(F.col(canonical_col).isNotNull())
+    deduped = exact_dedup(
+        urls, [canonical_col], order_by if order_by is not None else [F.col(url_col)]
+    )
+    if keep_non_urls:
+        return deduped.unionByName(out.filter(F.col(canonical_col).isNull()))
+    return deduped
