@@ -60,6 +60,19 @@ def test_parse_html_full_page_blocks():
         ("<p>trunc &am", [("p", "trunc &am")]),
         # whitespace runs collapse; br is a space, not a block break
         ("<p>two\n   spaced<br>words</p>", [("p", "two spaced words")]),
+        # an svg <title>/<path> inside a paragraph is invisible and must
+        # NOT split the block (accessible-icon markup is everywhere)
+        (
+            '<p>Hello there my good <svg viewBox="0 0 1 1"><title>star</title>'
+            "<path/></svg> friends of five words</p>",
+            [("p", "Hello there my good friends of five words")],
+        ),
+        # a stray block close inside a skip subtree must not pop the
+        # enclosing block either
+        (
+            "<p>before <template><p>ghost</p></template> after</p>",
+            [("p", "before after")],
+        ),
         (None, []),
         ("", []),
         ("   \n\t ", []),
@@ -67,6 +80,26 @@ def test_parse_html_full_page_blocks():
 )
 def test_parse_html_malformation_matrix(html, expected):
     assert [(b["tag"], b["text"]) for b in parse_html(html)["blocks"]] == expected
+
+
+def test_tabs_and_crlf_normalize_like_the_panel(spark, sf_dir):
+    """A document containing tabs/CR must keep the live roundtrip
+    invariant: the kernel and the panel's JVM expected-text expression
+    pin the SAME whitespace class."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [(0, "a\tb  c\r", "en", "srcX", 8), (1, "x\x0by", "en", "srcX", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = QUERIES["html_extract_panel"].spark(spark, td).collect()
+    assert len(rows) == 1
+    assert rows[0].n_roundtrip == rows[0].n_docs == 2
 
 
 def test_nested_anchors_link_chars_never_exceed_text():

@@ -39,6 +39,8 @@ CASES = [
     ("http://e.com/a%2fb?k=%2F", "http://e.com/a%2fb?k=%2F"),
     # a '#' before '?' cuts the query with the fragment
     ("http://e.com/p#f?a=1", "http://e.com/p"),
+    # padded input: every component helper trims (scraped hrefs)
+    ("  http://A.com/x  ", "http://a.com/x"),
     # non-URLs and NULL canonicalize to NULL
     ("plain text line 33", None),
     ("   ", None),
@@ -130,9 +132,11 @@ def test_registrable_domain_heuristic(spark):
 
 
 def test_host_extraction_null_for_non_urls(spark):
-    df = spark.createDataFrame([("no scheme here",), ("http://H.X/",)], "u string")
+    df = spark.createDataFrame(
+        [("no scheme here",), ("http://H.X/",), ("  http://pad.ded/x",)], "u string"
+    )
     got = [r[0] for r in df.select(url_host(F.col("u"))).collect()]
-    assert got == [None, "h.x"]
+    assert got == [None, "h.x", "pad.ded"]  # padded input still resolves
 
 
 def test_registry_tail_layout():

@@ -35,19 +35,33 @@ shuffle-free kernel:
   text == whitespace-normalized source lines) rather than static fixtures.
 
 Determinism: the parser is pure (no clocks, no RNG, no locale); block
-order is document order; whitespace inside a block normalizes to single
-spaces (``' '.join(text.split())``) so extraction is stable across
-chunked character callbacks.
+order is document order; whitespace inside a block collapses to single
+spaces under the pinned ``_WS_RE`` class (Java-regex ``\\s`` parity — see
+the constant) so extraction is stable across chunked character callbacks
+and byte-identical to the panel's JVM expected-text expression.
 """
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: Whitespace collapsed during block normalization — pinned to Java
+#: regex ``\\s`` ([ \\t\\n\\x0B\\f\\r]) rather than Python ``str.split()``'s
+#: wider Unicode class, so the panel's JVM-side expected-text expression
+#: and the kernel agree byte-for-byte (exotic Unicode spaces are content
+#: bytes, not separators — both sides preserve them).
+_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _norm_ws(s: str) -> str:
+    return " ".join(t for t in _WS_RE.split(s) if t)
+
 
 #: Elements whose entire subtree is invisible text-wise.
 SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "iframe"})
@@ -102,7 +116,7 @@ class _BlockParser(HTMLParser):
 
     # -- block lifecycle ------------------------------------------------
     def _flush(self) -> None:
-        text = " ".join("".join(self._texts).split())
+        text = _norm_ws("".join(self._texts))
         if text:
             self.blocks.append(
                 {
@@ -124,13 +138,18 @@ class _BlockParser(HTMLParser):
 
     # -- HTMLParser callbacks --------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _VOID_TAGS:
-            if tag in ("br", "hr"):
-                self._texts.append(" ")
-            return
         if tag in SKIP_TAGS:
             self._skip_depth += 1
             self._stack.append(tag)
+            return
+        if self._skip_depth > 0:
+            # the ENTIRE subtree is invisible: block tags in here (an
+            # svg <title>, markup inside <template>/<noscript>) must not
+            # split or open blocks, anchors must not count link chars
+            return
+        if tag in _VOID_TAGS:
+            if tag in ("br", "hr"):
+                self._texts.append(" ")
             return
         if tag == "a":
             self._a_depth += 1
@@ -150,6 +169,19 @@ class _BlockParser(HTMLParser):
             return
         if tag not in self._stack:
             return  # stray close — browsers ignore it
+        if self._skip_depth > 0:
+            # inside a skip subtree only skip-tag closes count (they
+            # balance _skip_depth); a </p> in here must not pop an OUTER
+            # open block
+            if tag not in SKIP_TAGS:
+                return
+            while self._stack:
+                open_tag = self._stack.pop()
+                if open_tag in SKIP_TAGS:
+                    self._skip_depth -= 1
+                if open_tag == tag:
+                    break
+            return
         # pop to the matching open tag, unwinding anything left open
         while self._stack:
             open_tag = self._stack.pop()
@@ -161,7 +193,7 @@ class _BlockParser(HTMLParser):
                 if open_tag in BOILERPLATE_TAGS:
                     self._boiler_depth -= 1
                 if open_tag == "title":
-                    self.title_parts.append(" ".join("".join(self._texts).split()))
+                    self.title_parts.append(_norm_ws("".join(self._texts)))
                     self._in_title = False
                     self._texts = []  # title text is NOT a body block
                     self._link_chars = 0
@@ -179,12 +211,12 @@ class _BlockParser(HTMLParser):
             return
         self._texts.append(data)
         if self._a_depth > 0:
-            self._link_chars += len(" ".join(data.split()))
+            self._link_chars += len(_norm_ws(data))
 
     def close(self) -> None:  # truncated markup: flush what we have
         super().close()
         if self._in_title:
-            self.title_parts.append(" ".join("".join(self._texts).split()))
+            self.title_parts.append(_norm_ws("".join(self._texts)))
             self._texts = []
         self._flush()
 

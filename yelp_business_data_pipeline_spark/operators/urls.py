@@ -51,12 +51,17 @@ DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 
 def _after_scheme(u: Column) -> Column:
-    return F.regexp_replace(u, _SCHEME_RE, "")
+    return F.regexp_replace(F.trim(u), _SCHEME_RE, "")
 
 
 def url_scheme(u: Column) -> Column:
-    """Lowercased scheme, '' when the string has no ``scheme://``."""
-    return F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    """Lowercased scheme, '' when the string has no ``scheme://``.
+
+    Every component helper trims its input first (scraped hrefs carry
+    padding routinely) so ``url_host('  http://a.com')`` and
+    ``canonical_url`` agree — the anchored scheme regex would otherwise
+    silently NULL the host while the canonical form survived."""
+    return F.lower(F.regexp_extract(F.trim(u), _SCHEME_RE, 1))
 
 
 def url_host(u: Column) -> Column:
@@ -111,17 +116,16 @@ def url_query_part(u: Column) -> Column:
 
 def canonical_url(u: Column) -> Column:
     """The canonical form (module docstring); NULL for non-URL strings and
-    NULL inputs."""
-    t = F.trim(u)
+    NULL inputs. Component helpers trim internally (see url_scheme)."""
     return F.when(
-        url_scheme(t) != "",
+        url_scheme(u) != "",
         F.concat(
-            url_scheme(t),
+            url_scheme(u),
             F.lit("://"),
-            url_host(t),
-            url_port_part(t),
-            url_path(t),
-            url_query_part(t),
+            url_host(u),
+            url_port_part(u),
+            url_path(u),
+            url_query_part(u),
         ),
     )
 
