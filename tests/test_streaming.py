@@ -1031,3 +1031,151 @@ def test_dirty_batch_collapse_is_deterministic_over_all_columns(spark):
         assert set(out) == {7, 8}
         picks.add(out[7])
     assert picks == {None}  # nulls-first over lang: one winner, every layout
+
+
+def test_stream_web_crawl_pipeline_from_raw_pages(spark, tmp_path, sf_dir):
+    """The raw-page crawl loop: (url, html) in — frontier dedup before
+    parsing, extraction, content dedup, frozen screen. Tracking-param
+    mirrors collapse in-batch, a re-crawl under new params is
+    frontier-dropped, a body mirror under a brand-new url is
+    content-dropped (but its canonical still enters the frontier), a
+    non-URL row dies at stage 2, and a full checkpoint-wipe replay of
+    every file changes no table."""
+    import shutil
+
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        fit_bigram_lm,
+        perplexity_thresholds,
+        score_perplexity,
+    )
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        train_quality_classifier,
+    )
+    from yelp_business_data_pipeline_spark.operators.screen import pretrain_screen
+    from yelp_business_data_pipeline_spark.operators.text import lang_id
+    from yelp_business_data_pipeline_spark.streaming import stream_web_crawl_pipeline
+
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_quality_classifier(
+        ref, F.col("lang") == "en", buckets=4096, n_train=256
+    )
+    lm = fit_bigram_lm(ref)
+    cuts = perplexity_thresholds(
+        score_perplexity(ref, lm, carry=("lang",)).filter(F.col("ppl").isNotNull())
+    )
+    knobs = dict(min_words=20, min_stopword_hits=1, min_kept_lines=0)
+
+    pool = [
+        (r.doc_id, r.text)
+        for r in ref.select("doc_id", "text").orderBy("doc_id").limit(24).collect()
+    ]
+    texts = dict(pool)
+
+    def page(i: int, text: str) -> str:
+        return (
+            f"<html><head><title>T{i}</title></head><body>"
+            '<nav><a href="/">home</a></nav>'
+            f"<p>{text}</p>"
+            '<footer><a href="/t">terms</a></footer></body></html>'
+        )
+
+    # expected verdicts: the batch frozen screen over (canonical, text,
+    # lang_id(text)) — exactly what the stream derives after extraction
+    canon = {i: f"http://site{i}.example.com/a" for i, _ in pool}
+    docs = spark.createDataFrame(
+        [(canon[i], t) for i, t in pool], "canonical_url string, text string"
+    ).withColumn("lang", lang_id(F.col("text")))
+    verdict = {
+        r.canonical_url: r.keep
+        for r in pretrain_screen(
+            docs, model, lm, id_col="canonical_url", carry=("lang",),
+            by="lang", ppl_cuts=cuts, **knobs
+        ).collect()
+    }
+    kept = [i for i, _ in pool if verdict[canon[i]]]
+    rej = [i for i, _ in pool if not verdict[canon[i]]]
+    # batch 2 needs a keeper DISTINCT from batch 1's, or its "fresh
+    # keeper" silently aliases k1 and the store assertion goes vacuous
+    assert len(kept) >= 2 and rej
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    out, frontier, store, ckpt = (
+        str(tmp_path / "corpus"),
+        str(tmp_path / "frontier"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("html", T.StringType())]
+    )
+
+    def run():
+        return stream_web_crawl_pipeline(
+            spark, str(src), schema, out, frontier, store, ckpt,
+            model, lm, cuts, **knobs
+        )
+
+    def dump(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"url": u, "html": h}) for u, h in rows)
+        )
+
+    k1, k2, r1 = kept[0], kept[1], rej[0]
+
+    # batch 1: the keeper under TWO tracking-param mirrors (one canonical
+    # survives the batch), a rejected doc, and a junk non-URL row
+    dump(
+        "b1.json",
+        [
+            (f"HTTP://Site{k1}.Example.com:80/a?utm_source=x", page(k1, texts[k1])),
+            (f"http://site{k1}.example.com/a?gclid=g", page(k1, texts[k1])),
+            (f"http://site{r1}.example.com/a", page(r1, texts[r1])),
+            ("not a url at all", page(999, "junk junk junk")),
+        ],
+    )
+    run().awaitTermination()
+    corpus = {r.canonical_url: r for r in spark.read.parquet(out).collect()}
+    assert set(corpus) == {canon[k1]}
+    assert corpus[canon[k1]].text == texts[k1]  # roundtrip through HTML
+    assert corpus[canon[k1]].title == f"T{k1}"
+    assert {r.canonical_url for r in spark.read.parquet(frontier).collect()} == {
+        canon[k1], canon[r1]
+    }
+    n_store_b1 = spark.read.parquet(store).count()
+    assert n_store_b1 == 2  # keeper AND rejected doc are content-indexed
+
+    # batch 2: a re-crawl of the keeper under NEW tracking params
+    # (frontier-dropped before parsing), the keeper's BODY under a
+    # brand-new url (content-dropped, canonical still recorded), and a
+    # fresh keeper
+    mirror = f"http://mirror-of-{k1}.example.com/copy"
+    dump(
+        "b2.json",
+        [
+            (f"http://site{k1}.example.com/a?utm_campaign=again", page(k1, texts[k1])),
+            (mirror, page(k1, texts[k1])),
+            (f"http://site{k2}.example.com/a", page(k2, texts[k2])),
+        ],
+    )
+    run().awaitTermination()
+    corpus2 = {r.canonical_url for r in spark.read.parquet(out).collect()}
+    assert corpus2 == {canon[k1], canon[k2]}
+    front2 = {r.canonical_url for r in spark.read.parquet(frontier).collect()}
+    assert front2 == {canon[k1], canon[r1], canon[k2], mirror}
+    # the mirror body never re-entered the corpus or the content store
+    assert spark.read.parquet(store).count() == n_store_b1 + 1  # + k2 only
+
+    # full replay: wipe the checkpoint so EVERY file re-delivers — the
+    # frontier short-circuits all of it; no table changes
+    before = {
+        p: sorted(map(tuple, spark.read.parquet(p).collect()))
+        for p in (out, frontier, store)
+    }
+    shutil.rmtree(ckpt)
+    run().awaitTermination()
+    after = {
+        p: sorted(map(tuple, spark.read.parquet(p).collect()))
+        for p in (out, frontier, store)
+    }
+    assert after == before

@@ -4,6 +4,7 @@ from .pipeline import (
     stream_incremental_dedup,
     stream_crawl_pipeline,
     stream_pretrain_screen,
+    stream_web_crawl_pipeline,
     streaming_dedup_events,
     stream_domain_etl,
     streaming_event_counts,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_incremental_dedup",
     "stream_crawl_pipeline",
     "stream_pretrain_screen",
+    "stream_web_crawl_pipeline",
     "streaming_dedup_events",
     "stream_domain_etl",
     "streaming_event_counts",

@@ -259,6 +259,15 @@ def _within_batch_fp_reps(
     )
 
 
+def _path_exists(sp: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works for any configured filesystem,
+    not just local paths) — shared by every store-backed batch stage."""
+    jvm = sp._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def _annotate_against_store(
     reps: DataFrame,
     store_path: str,
@@ -274,10 +283,7 @@ def _annotate_against_store(
     from ..operators.incdedup import exact_dups_against_index
 
     sp = reps.sparkSession
-    jvm = sp._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
+    if _path_exists(sp, store_path):
         return exact_dups_against_index(
             reps, sp.read.parquet(store_path), id_col, text_col, prefix_tokens
         )
@@ -553,6 +559,153 @@ def stream_crawl_pipeline(
             )
         finally:
             novel.unpersist()
+        if on_batch_complete is not None:
+            on_batch_complete(epoch_id)
+
+    return (
+        raw.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_web_crawl_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    out_path: str,
+    frontier_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    clf_model,
+    lm,
+    ppl_cuts: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    by: str = "lang",
+    canonical_col: str = "canonical_url",
+    prefix_tokens: int = 2,
+    clf_threshold: float = 0.5,
+    min_words: int = 20,
+    min_stopword_hits: int = 1,
+    min_kept_lines: int = 1,
+    extract_min_words: int = 1,
+    max_link_density: float = 0.33,
+    max_files_per_trigger: int | None = None,
+    on_batch_complete: Callable[[int], None] | None = None,
+):
+    """The crawl loop from RAW PAGES: ``(url, html)`` files in, screened
+    text corpus + URL frontier + content-fingerprint store out — one
+    always-on query composing the whole front-end this engine ships.
+
+    Per micro-batch, in COST order (each stage shrinks the set the next,
+    more expensive stage prices):
+
+    1. dirty-batch collapse — one deterministic row per raw url;
+    2. FRONTIER dedup (operators/urls.py): canonicalize, keep one page
+       per canonical form within the batch, anti-join the persistent
+       frontier store — a canonical fetched ONCE is never re-processed,
+       whether it was kept, rejected, or a content dup (re-crawls and
+       tracking-param mirrors die here, before any parsing);
+    3. EXTRACTION (operators/htmlx.py): main text from HTML (zero-shuffle
+       Arrow map) + lang-ID on the extracted text (the screen's group
+       key) — the doc id from here on IS the canonical url;
+    4. CONTENT identity: within-batch fingerprint dedup + annotation
+       against the content store — the same page body under a brand-new
+       url (scraper mirrors) must not re-enter;
+    5. the FROZEN screen (rules + classifier + perplexity bucket), kept
+       docs merge_upsert into ``out_path``;
+    6. stores: every batch canonical -> ``frontier_path``; fingerprints
+       of every novel doc (kept AND rejected) -> ``store_path``.
+
+    Exactly-once table state under crash-replay: every stage is a pure
+    function of (page bytes, frozen models, store state at commit), all
+    three sinks are keyed merge_upserts, and the within-batch picks are
+    deterministic (canonical min-url, fingerprint min-id windows).
+
+    Non-URL rows (canonical NULL) are dropped at stage 2 — the
+    frontier_dedup contract; count them upstream if fetch-queue hygiene
+    needs the number."""
+    from ..operators.htmlx import extract_main_text
+    from ..operators.incdedup import exact_fingerprint_index
+    from ..operators.screen import pretrain_screen
+    from ..operators.text import lang_id
+    from ..operators.urls import frontier_dedup
+    from ..sources.writers import merge_upsert
+
+    lm, ppl_cuts = _persist_frozen_inputs(lm, ppl_cuts)
+    raw = _json_file_stream(spark, source_dir, schema, max_files_per_trigger)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        pages = _collapse_one_row_per_id(batch_df, url_col, html_col)
+        fresh = frontier_dedup(
+            pages, url_col, [F.col(url_col)], canonical_col=canonical_col
+        )
+        if _path_exists(sp, frontier_path):
+            fresh = fresh.join(
+                sp.read.parquet(frontier_path), canonical_col, "left_anti"
+            )
+        # one id-grain frame drives both store writes and the doc stage
+        fresh = fresh.persist()
+        try:
+            docs = (
+                extract_main_text(
+                    fresh,
+                    html_col,
+                    max_link_density=max_link_density,
+                    min_words=extract_min_words,
+                )
+                .select(
+                    F.col(canonical_col),
+                    F.col("extracted.title").alias("title"),
+                    F.col("extracted.text").alias("text"),
+                )
+                .withColumn(by, lang_id(F.col("text")))
+            )
+            reps = _within_batch_fp_reps(docs, canonical_col, "text", prefix_tokens)
+            annotated = _annotate_against_store(
+                reps, store_path, canonical_col, "text", prefix_tokens
+            )
+            novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of").persist()
+            try:
+                verdicts = pretrain_screen(
+                    novel,
+                    clf_model,
+                    lm,
+                    id_col=canonical_col,
+                    text_col="text",
+                    carry=(by,),
+                    by=by,
+                    clf_threshold=clf_threshold,
+                    min_words=min_words,
+                    min_stopword_hits=min_stopword_hits,
+                    min_kept_lines=min_kept_lines,
+                    ppl_cuts=ppl_cuts,
+                )
+                kept = novel.join(
+                    verdicts.filter(F.col("keep")).select(canonical_col),
+                    canonical_col,
+                    "left_semi",
+                ).select(canonical_col, by, "title", "text")
+                merge_upsert(kept, out_path, keys=[canonical_col])
+                merge_upsert(
+                    exact_fingerprint_index(
+                        novel, canonical_col, "text", prefix_tokens
+                    ),
+                    store_path,
+                    keys=["index_id"],
+                )
+                # frontier LAST: content-dup pages record here too, so a
+                # re-crawl of a mirror url is frontier-dropped next time
+                merge_upsert(
+                    fresh.select(canonical_col), frontier_path, keys=[canonical_col]
+                )
+            finally:
+                novel.unpersist()
+        finally:
+            fresh.unpersist()
         if on_batch_complete is not None:
             on_batch_complete(epoch_id)
 
