@@ -133,3 +133,141 @@ def test_duckdb_list_filter_twin(spark):
     for doc_id, n_kept, clean in rows:
         assert got[doc_id][0] == n_kept, doc_id
         assert got[doc_id][1] == (clean and n_kept >= 3), doc_id
+
+
+# ---------------------------------------------------------------------------
+# c4_span_dedup — the corpus-wide three-line span dedup (Raffel §2.2)
+# ---------------------------------------------------------------------------
+
+
+def _span_dedup_model(docs, span_lines=3):
+    """From-scratch python reference: global smallest-(id, start) winner
+    per duplicated span, union of losing spans' line indexes dropped."""
+    lined = {i: (t or "").split("\n") for i, t in docs}
+    occ = {}
+    for i, ls in lined.items():
+        for p in range(len(ls) - span_lines + 1):
+            occ.setdefault("\n".join(ls[p : p + span_lines]), []).append((i, p))
+    drops = {i: set() for i in lined}
+    for places in occ.values():
+        if len(places) > 1:
+            win = min(places)
+            for i, p in places:
+                if (i, p) != win:
+                    drops[i].update(range(p, p + span_lines))
+    return {
+        i: (
+            "\n".join(l for j, l in enumerate(ls) if j not in drops[i]),
+            len(drops[i]),
+        )
+        for i, ls in lined.items()
+    }
+
+
+SPAN_DOCS = [
+    (1, "a\nb\nc\nd"),                     # global winner of 'a b c'
+    (2, "x\na\nb\nc\ny"),                  # loser -> x\ny
+    (3, "a\nb\nc"),                        # loser -> empty
+    (4, "short"),                          # < 3 lines: untouched
+    (5, "p\nq\nr\np\nq\nr\np\nq\nr"),      # within-doc repeats
+    (6, "w1\na\nb\nc\nw2\na\nb\nc"),       # two losing occurrences, one doc
+    (7, ""),                               # empty text
+]
+
+
+def test_span_dedup_matches_python_model(spark):
+    from yelp_business_data_pipeline_spark.operators.text import c4_span_dedup
+
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean"], r["lines_removed"])
+        for r in c4_span_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == _span_dedup_model(SPAN_DOCS)
+    # spot-check the hand-derived facts the model encodes
+    assert got[1] == ("a\nb\nc\nd", 0)       # winner keeps its lines
+    assert got[2] == ("x\ny", 3)
+    assert got[3] == ("", 3)                 # whole doc was the dup
+    assert got[4] == ("short", 0)
+    assert got[5] == ("p\nq\nr", 6)          # overlap union, one survivor
+    assert got[6] == ("w1\nw2", 6)           # both in-doc occurrences lose
+    assert got[7] == ("", 0)
+
+
+def test_span_dedup_exactly_one_occurrence_survives(spark):
+    """The C4 sentence: of a span occurring N times corpus-wide, exactly
+    one occurrence remains afterwards."""
+    from yelp_business_data_pipeline_spark.operators.text import c4_span_dedup
+
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    out = c4_span_dedup(df, "doc_id", "text").collect()
+    survivors = 0
+    for r in out:
+        ls = r["clean"].split("\n")
+        for p in range(len(ls) - 2):
+            if "\n".join(ls[p : p + 3]) == "a\nb\nc":
+                survivors += 1
+    assert survivors == 1
+
+
+def test_span_dedup_layout_invariance(spark):
+    from yelp_business_data_pipeline_spark.operators.text import c4_span_dedup
+
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    a = sorted(
+        map(tuple, c4_span_dedup(df.repartition(7), "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(tuple, c4_span_dedup(df.coalesce(1), "doc_id", "text").collect())
+    )
+    assert a == b
+
+
+def test_span_dedup_guards(spark):
+    from yelp_business_data_pipeline_spark.operators.text import c4_span_dedup
+
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        c4_span_dedup(df, "doc_id", "text", span_lines=0)
+    with pytest.raises(ValueError, match="already exists"):
+        c4_span_dedup(df.withColumn("clean", F.lit("x")), "doc_id", "text")
+
+
+def test_span_dedup_is_jvm_only(spark):
+    from yelp_business_data_pipeline_spark.operators.text import c4_span_dedup
+
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    plan = (
+        c4_span_dedup(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_span_dedup_panel_matches_duckdb_twin_exactly(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        C4_SPAN_DEDUP_ORACLE,
+    )
+
+    srows = [
+        tuple(r)
+        for r in QUERIES["c4_span_dedup_panel"].spark(spark, sf_dir).collect()
+    ]
+    drows = [
+        tuple(r)
+        for r in duck_con(sf_dir).execute(C4_SPAN_DEDUP_ORACLE).fetchall()
+    ]
+    assert srows == drows
+    assert len(srows) > 0
+    # the synthesis must actually exercise removal
+    assert sum(r[4] for r in srows) > 0  # docs_changed
+
+
+def test_span_dedup_registry_tail_layout():
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    names = list(QUERIES)
+    assert names.index("c4_span_dedup_panel") >= 50
+    assert QUERIES["c4_span_dedup_panel"].oracle is None

@@ -945,3 +945,101 @@ def c4_doc_flags(text: Column, min_kept_lines: int = 3, min_words: int = 5) -> C
             ~lorem & ~curly & ~policy & (kept >= F.lit(min_kept_lines))
         ).alias("passes_c4"),
     )
+
+
+def c4_span_dedup(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_lines: int = 3,
+    out_col: str = "clean",
+):
+    """C4's corpus-wide span deduplication (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-[sentence] span occurring more
+    than once in the data set") — the other half of the C4 stage next to
+    :func:`c4_kept_lines`. Sentence proxy: the document's ``\\n`` lines,
+    the same unit the rest of the c4 family uses.
+
+    Semantics (deterministic, layout-free):
+
+    - every run of ``span_lines`` consecutive lines is a span; its key is
+      the full md5 of the joined lines (no truncated-hash collisions);
+    - for each span text occurring more than once in the CORPUS, the
+      single occurrence with the smallest ``(id, start)`` wins and keeps
+      its lines; every other occurrence marks its lines for removal;
+    - a doc's cleaned text drops the union of its marked line indexes
+      (overlapping losing spans union, the ExactSubstr interval rule),
+      so one pass never leaves a partial duplicate behind.
+
+    Single pass by design, like C4 itself: removal can create NEW
+    adjacencies whose spans were never compared — C4 does not iterate,
+    and neither does this.
+
+    Spark shape at 100 TB: one posexplode carries only ``(id, start,
+    md5)`` — never span text — into a partial-agg'd groupBy(hash) that
+    keeps ONLY hashes with 2+ occurrences (the duplicated fraction, tiny
+    on a deduped corpus); losers join back on the hash, collapse to a
+    per-doc drop-index set (bounded by the doc's own line count), and one
+    final join rebuilds the text with an indexed ``F.filter`` — JVM
+    expressions end to end, no UDF, no window over the corpus. DuckDB
+    twin: C4_SPAN_DEDUP_ORACLE (plans/extensions.py), re-deriving spans,
+    winners, and the rebuilt text from scratch.
+
+    Returns ``df`` + ``out_col`` (cleaned text) + ``lines_removed``.
+    ``id_col`` must be non-null and orderable (the winner rule).
+    """
+    if span_lines < 1:
+        raise ValueError(f"c4_span_dedup: span_lines must be >= 1, got {span_lines}")
+    if out_col in df.columns or "lines_removed" in df.columns:
+        raise ValueError("c4_span_dedup: output column already exists")
+    lines = F.split(F.col(text_col), "\n")
+    d = df.withColumn("_lines", lines)
+    # span start indexes 0..n_lines-span_lines (empty when too short;
+    # NEVER F.sequence with start > stop — Spark generates DESCENDING)
+    starts = F.when(
+        F.size("_lines") >= span_lines,
+        F.sequence(F.lit(0), F.size("_lines") - span_lines),
+    ).otherwise(F.array().cast("array<int>"))
+    span_hashes = F.transform(
+        starts,
+        lambda i: F.md5(F.array_join(F.slice("_lines", i + 1, span_lines), "\n")),
+    )
+    occ = d.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(span_hashes).alias("_pos", "_h"),
+    )
+    dup_winners = (
+        occ.groupBy("_h")
+        .agg(
+            F.min(F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))).alias("_win"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") > 1)
+        .select("_h", "_win")
+    )
+    losers = occ.join(dup_winners, "_h").filter(
+        ~((F.col("_id") == F.col("_win.i")) & (F.col("_pos") == F.col("_win.p")))
+    )
+    drops = (
+        losers.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(span_lines - 1))
+            ).alias("_li"),
+        )
+        .groupBy("_id")
+        .agg(F.collect_set("_li").alias("_drop"))
+    )
+    joined = d.join(
+        drops, on=F.col(id_col) == F.col("_id"), how="left"
+    )
+    kept = F.filter(
+        F.col("_lines"), lambda l, i: ~F.array_contains(F.col("_drop"), i)
+    )
+    return joined.select(
+        *df.columns,
+        F.when(F.col("_drop").isNull(), F.col(text_col))
+        .otherwise(F.array_join(kept, "\n"))
+        .alias(out_col),
+        F.coalesce(F.size("_drop"), F.lit(0)).alias("lines_removed"),
+    )
