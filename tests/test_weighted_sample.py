@@ -114,3 +114,133 @@ def test_zero_hash_draw_races_last_not_first(spark, monkeypatch):
     assert 0 not in top3  # loses while >= k positive-draw rows exist
     all_ranks = {r.k: r.sample_rank for r in S.weighted_sample(df, "k", "w", 6).collect()}
     assert all_ranks[0] == 6  # selected only as the last resort, ranked last
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing (sampling.temperature_mix_rates / temperature_sample)
+# ---------------------------------------------------------------------------
+
+TMIX_DOCS = [
+    # (doc_id, domain, tok) — skewed 3-domain corpus
+    *[(i, "big", 100) for i in range(40)],
+    *[(i, "mid", 100) for i in range(40, 55)],
+    *[(i, "small", 100) for i in range(55, 60)],
+    (60, "empty", 0),  # zero-token domain
+]
+
+
+def _round9(x: float) -> float:
+    """Spark/DuckDB ROUND (half away from zero; inputs here positive) —
+    NOT python's banker's round."""
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+def _tmix_model(rows, alpha, budget, salt="tmix:"):
+    tot = {}
+    for _i, d, t in rows:
+        tot[d] = tot.get(d, 0) + t
+    z = sum(t**alpha for t in tot.values() if t > 0)
+    rates = {}
+    for d, t in tot.items():
+        if t == 0:
+            rates[d] = (t, 0.0, 0.0, 0.0)
+        else:
+            q = t**alpha / z
+            raw = budget * q / t
+            rates[d] = (t, _round9(q), _round9(min(1.0, raw)), _round9(raw))
+    kept = {
+        i
+        for i, d, _t in rows
+        if tot[d] > 0 and _unit(i, salt) < rates[d][2]
+    }
+    return rates, kept
+
+
+def test_temperature_rates_match_python_model(spark):
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        temperature_mix_rates,
+    )
+
+    df = spark.createDataFrame(TMIX_DOCS, "doc_id long, domain string, tok long")
+    got = {
+        r["domain"]: (r["tokens"], r["share"], r["rate"], r["implied_epochs"])
+        for r in temperature_mix_rates(df, "domain", "tok", 0.5, 3000).collect()
+    }
+    model, _ = _tmix_model(TMIX_DOCS, 0.5, 3000)
+    assert got == model
+    # the designed shape: cap marks up-sampling demand, never applied
+    assert got["small"][2] == 1.0 and got["small"][3] > 1.0
+    assert got["big"][2] < 1.0 and got["big"][2] == got["big"][3]
+    # zero-token domain: rate 0.0, no NaN anywhere
+    assert got["empty"] == (0, 0.0, 0.0, 0.0)
+    # temperature flattens: small domain's share exceeds its natural p
+    assert got["small"][1] > 500 / 6000
+
+
+def test_temperature_sample_kept_set_is_exact_and_layout_free(spark):
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(TMIX_DOCS, "doc_id long, domain string, tok long")
+    _, kept_model = _tmix_model(TMIX_DOCS, 0.5, 3000)
+    a = {
+        r["doc_id"]
+        for r in temperature_sample(df.repartition(7), "doc_id", "domain", "tok", 0.5, 3000).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in temperature_sample(df.coalesce(1), "doc_id", "domain", "tok", 0.5, 3000).collect()
+    }
+    assert a == b == kept_model
+    # the capped domain keeps everything
+    assert {i for i in a if 55 <= i < 60} == set(range(55, 60))
+
+
+def test_temperature_guards(spark):
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        temperature_mix_rates,
+    )
+
+    df = spark.createDataFrame(TMIX_DOCS, "doc_id long, domain string, tok long")
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_rates(df, "domain", "tok", 0.0, 100)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix_rates(df, "domain", "tok", 1.5, 100)
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mix_rates(df, "domain", "tok", 0.5, 0)
+
+
+def test_temperature_alpha_one_is_natural_mix(spark):
+    """alpha=1 must reproduce natural shares: rate identical per domain
+    (budget/T), so mixing changes nothing but global scale."""
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        temperature_mix_rates,
+    )
+
+    df = spark.createDataFrame(TMIX_DOCS, "doc_id long, domain string, tok long")
+    rows = temperature_mix_rates(df, "domain", "tok", 1.0, 3000).collect()
+    rates = {r["domain"]: r["rate"] for r in rows if r["tokens"] > 0}
+    assert len(set(rates.values())) == 1
+    assert abs(next(iter(rates.values())) - 3000 / 6000) < 1e-9
+
+
+def test_temperature_mix_panel_matches_duckdb_twin_exactly(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        TEMPERATURE_MIX_ORACLE,
+    )
+
+    srows = [
+        tuple(r)
+        for r in QUERIES["temperature_mix_panel"].spark(spark, sf_dir).collect()
+    ]
+    drows = [
+        tuple(r)
+        for r in duck_con(sf_dir).execute(TEMPERATURE_MIX_ORACLE).fetchall()
+    ]
+    assert srows == drows
+    names = list(QUERIES)
+    assert names.index("temperature_mix_panel") >= 50
+    assert QUERIES["temperature_mix_panel"].oracle is None

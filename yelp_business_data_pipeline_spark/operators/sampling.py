@@ -248,3 +248,82 @@ def weighted_sample(
             F.col(rank_col) <= k
         )
     return ranked.drop("_race")
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    stratum: str = "source",
+    token_col: str = "tok",
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based corpus mixture weights (the multilingual-LM
+    exponentiated-smoothing rule — Lample & Conneau 2019 §3.1, XLM-R;
+    the same family as GPT-3's hand-set mixture, Brown et al. 2020
+    Table 2.2 — derived here from data instead of hand-set):
+
+    - domain token shares ``p_d = t_d / T`` flatten to ``q_d = t_d^alpha
+      / sum_e t_e^alpha`` (``alpha=1`` natural, ``alpha -> 0`` uniform);
+    - a token ``budget`` turns weights into per-domain sampling rates
+      ``rate_d = min(1, budget * q_d / t_d)`` — the cap marks domains
+      whose full data can't meet their target without up-sampling
+      (reported as ``implied_epochs``, the UniMax-style diagnostic —
+      Chung et al. 2023; this operator never up-samples).
+
+    Output (one row per domain — always a SMALL frame, broadcastable):
+    ``stratum, tokens (exact bigint), share, rate, implied_epochs``.
+    ``share`` and ``rate`` are rounded to 9 decimals BEFORE any
+    comparison downstream (the rounded-before-threshold rule the
+    semantic-decontam cosines established) so the kept SET is identical
+    across engines despite last-ulp ``pow`` differences. Zero-token
+    domains get rate 0.0 (nothing to sample), never NaN.
+
+    Plan shape: one partial-agg'd groupBy(stratum) over the corpus, a
+    1-row total, and arithmetic on the domains frame — the corpus is
+    scanned once and never shuffled."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"temperature_mix_rates: alpha must be in (0, 1], got {alpha}")
+    if budget < 1:
+        raise ValueError(f"temperature_mix_rates: budget must be >= 1, got {budget}")
+    doms = df.groupBy(stratum).agg(
+        F.sum(token_col).cast("bigint").alias("tokens")
+    )
+    t = F.col("tokens").cast("double")
+    pw = F.pow(t, F.lit(float(alpha)))
+    denom = doms.agg(F.sum(pw).alias("_z"))
+    q = pw / F.col("_z")
+    raw_rate = F.lit(float(budget)) * q / t
+    return doms.crossJoin(F.broadcast(denom)).select(
+        stratum,
+        "tokens",
+        F.round(F.when(t > 0, q).otherwise(0.0), 9).alias("share"),
+        F.round(
+            F.when(t > 0, F.least(F.lit(1.0), raw_rate)).otherwise(0.0), 9
+        ).alias("rate"),
+        F.round(F.when(t > 0, raw_rate).otherwise(0.0), 9).alias("implied_epochs"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str = "source",
+    token_col: str = "tok",
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+    salt: str = "tmix:",
+) -> DataFrame:
+    """Deterministic temperature mixing: compute
+    :func:`temperature_mix_rates` and keep each row whose portable
+    :func:`hash_unit` draw falls under its domain's rate — the
+    :func:`stratified_sample` contract (``_rate`` kept as a column for
+    downstream budgeting/reporting) with rates DERIVED from the corpus
+    instead of caller-supplied. Two corpus scans total (one to weigh
+    domains, one to sample — the rates frame is tiny and broadcast), no
+    corpus shuffle, repartition-invariant kept set."""
+    rates = temperature_mix_rates(df, stratum, token_col, alpha, budget)
+    out = df.join(
+        F.broadcast(rates.select(stratum, F.col("rate").alias("_rate"))),
+        stratum,
+    )
+    return out.filter(hash_unit(key, salt) < F.col("_rate"))
