@@ -122,3 +122,99 @@ def test_layout_invariance(spark):
     s1 = sorted(tuple(r) for r in bm25_scores(d, TERMS).collect())
     s2 = sorted(tuple(r) for r in bm25_scores(d.repartition(7), TERMS).collect())
     assert s1 == s2
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index (build once / query many)
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_index_path_equals_direct_path_exactly(spark, sf_dir):
+    """The amortization contract: scoring from (postings, stats) must be
+    row-identical to scoring from the corpus — df folds off the fetched
+    postings, stats cover the same doc population (incl. NULL text)."""
+    from yelp_business_data_pipeline_spark.operators.bm25 import (
+        bm25_scores_from_index,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+
+    d = _corpus(spark, sf_dir).unionByName(
+        spark.createDataFrame([(10**9, None, "zz", "zz", 0)], _corpus(spark, sf_dir).schema)
+    )
+    postings, stats = build_bm25_index(d)
+    direct = sorted(map(tuple, bm25_scores(d, TERMS).collect()))
+    via = sorted(map(tuple, bm25_scores_from_index(postings, stats, TERMS).collect()))
+    assert direct == via and len(direct) > 0
+    dk = sorted(map(tuple, bm25_topk(d, TERMS, k=15).collect()))
+    vk = sorted(map(tuple, bm25_topk_from_index(postings, stats, TERMS, k=15).collect()))
+    assert dk == vk
+
+
+def test_index_save_load_roundtrip_and_partition_pruning(spark, sf_dir, tmp_path):
+    from yelp_business_data_pipeline_spark.operators.bm25 import (
+        _term_bucket_py,
+        bm25_topk,
+        bm25_topk_from_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    d = _corpus(spark, sf_dir)
+    postings, stats = build_bm25_index(d)
+    path = str(tmp_path / "bm25idx")
+    save_bm25_index(postings, stats, path, n_buckets=16)
+    p2, s2, nb = load_bm25_index(spark, path)
+    assert nb == 16
+    # every stored _pt equals the python bucket twin — the pruning list
+    # and the stored partitioning can never disagree
+    for r in p2.select("term", "_pt").distinct().collect():
+        assert r["_pt"] == _term_bucket_py(r["term"], 16)
+    # queries over the loaded index equal the direct path
+    direct = sorted(map(tuple, bm25_topk(d, TERMS, k=15).collect()))
+    via = sorted(
+        map(tuple, bm25_topk_from_index(p2, s2, TERMS, k=15, n_buckets=16).collect())
+    )
+    assert direct == via
+    # and the bucket filter reaches the SCAN as a partition filter: the
+    # inverted-index access path reads <= |terms| bucket directories
+    plan = (
+        bm25_topk_from_index(p2, s2, TERMS, k=15, n_buckets=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "_pt" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_index_guards(spark, sf_dir):
+    from yelp_business_data_pipeline_spark.operators.bm25 import (
+        bm25_scores_from_index,
+        build_bm25_index,
+        save_bm25_index,
+    )
+
+    postings, stats = build_bm25_index(_corpus(spark, sf_dir))
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_scores_from_index(postings, stats, [])
+    # n_buckets given but the frame has no _pt: loud, never silent
+    # mispruning
+    with pytest.raises(ValueError, match="_pt"):
+        bm25_scores_from_index(postings, stats, TERMS, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        save_bm25_index(postings, stats, "/tmp/never-written", n_buckets=0)
+
+
+def test_index_tracker_equals_gate_panel(spark, sf_dir):
+    """bm25_index_topk (rows-only tracker) is DEFINED as equal to the
+    driver-gated bm25_topk_panel — so BM25_TOPK_ORACLE covers both."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    a = sorted(map(tuple, QUERIES["bm25_topk_panel"].spark(spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["bm25_index_topk"].spark(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+    assert list(QUERIES).index("bm25_index_topk") >= 50
+    assert QUERIES["bm25_index_topk"].oracle is None

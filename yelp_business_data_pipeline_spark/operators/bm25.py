@@ -128,3 +128,162 @@ def bm25_topk(
     )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index — build once, query many
+# ---------------------------------------------------------------------------
+
+
+def build_bm25_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The index-once/query-many shape: ``bm25_scores`` re-reads the
+    corpus per query; at 100 TB the corpus explode should be paid ONCE.
+
+    Returns ``(postings, stats)``:
+
+    - ``postings``: one row per distinct (term, doc) — ``(term, doc_id,
+      tf, dl)``, ``dl`` denormalized onto every posting so queries never
+      touch the raw corpus. One full explode + one (term, doc) shuffle —
+      the amortized build cost.
+    - ``stats``: ONE row ``(n_docs, avgdl)`` over the SAME doc
+      population as the direct path (NULL text counts as length 0 —
+      the ``_toks`` coalesce), so index-path scores are bit-identical.
+
+    :func:`bm25_topk_from_index` over these frames equals
+    :func:`bm25_topk` over the corpus EXACTLY (pinned in pytest):
+    per-term document frequency is the term's posting-row count, which
+    the query-time fetch already has."""
+    toks = _toks(text_col)
+    postings = (
+        df.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"),
+                  F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    stats = df.select(F.size(toks).alias("_dl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    return postings, stats
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the ``_pt`` partition column: portable md5
+    (the ``portable_hash`` definition) mod n_buckets — the SAME number
+    the stored expression computes, so query-time pruning lists are
+    derivable without a JVM round-trip."""
+    import hashlib
+
+    return int(hashlib.md5(("pt:" + term).encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def save_bm25_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the index partitioned by a stable term-hash bucket
+    ``_pt`` (md5-based — NOT term itself: a directory per term would be
+    millions of partitions; 64 buckets keeps listings sane while a
+    k-term query prunes to <= k directories). ``n_buckets`` is written
+    INTO the stats row so readers can never prune with a mismatched
+    bucket count (which would silently drop real postings)."""
+    from .dedup import portable_hash
+
+    if n_buckets < 1:
+        raise ValueError(f"save_bm25_index: n_buckets must be >= 1, got {n_buckets}")
+    (
+        postings.withColumn(
+            "_pt", F.pmod(portable_hash(F.col("term"), salt="pt:"), F.lit(n_buckets))
+        )
+        .write.mode("overwrite")
+        .partitionBy("_pt")
+        .parquet(f"{path}/postings")
+    )
+    stats.withColumn("n_buckets", F.lit(int(n_buckets))).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+
+
+def load_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    """(postings, stats, n_buckets). One 1-row driver read (the stats
+    frame) recovers the bucket count the index was WRITTEN with — the
+    pruning list must come from the same modulus or queries would skip
+    directories that hold real postings."""
+    postings = spark.read.parquet(f"{path}/postings")
+    stats_full = spark.read.parquet(f"{path}/stats")
+    n_buckets = int(stats_full.select("n_buckets").first()[0])
+    return postings, stats_full.select("n_docs", "avgdl"), n_buckets
+
+
+def bm25_scores_from_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """BM25 over the persisted index: the corpus is never touched. The
+    posting fetch filters ``term IN (query)`` — and, when the index was
+    loaded from disk (``n_buckets`` given and ``_pt`` present), also
+    ``_pt IN (buckets(query))``, a LITERAL list Spark pushes into
+    PartitionFilters: a k-term query lists/reads <= k of the bucket
+    directories, the inverted-index access path (plan-pinned in
+    pytest). Identical output to :func:`bm25_scores` (pinned)."""
+    if not terms:
+        raise ValueError("bm25_scores_from_index: empty query term list")
+    terms = sorted(set(terms))
+    p = postings
+    if n_buckets is not None:
+        if "_pt" not in p.columns:
+            raise ValueError(
+                "bm25_scores_from_index: n_buckets given but postings has "
+                "no _pt partition column — pass the frames from "
+                "load_bm25_index, or omit n_buckets"
+            )
+        pts = sorted({_term_bucket_py(t, n_buckets) for t in terms})
+        p = p.filter(F.col("_pt").isin(pts))
+    p = p.filter(F.col("term").isin(terms))
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        ).alias("_idf"),
+        "avgdl",
+    )
+    scored = p.join(F.broadcast(idf), "term")
+    contrib = F.col("_idf") * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+        F.round(F.sum(contrib), 6).alias("score"),
+    )
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Top-k via the index — same deterministic cut and rank as
+    :func:`bm25_topk` (TakeOrderedAndProject, rounded score desc, id
+    asc), equal output pinned in pytest."""
+    top = (
+        bm25_scores_from_index(postings, stats, terms, k1, b, n_buckets)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
