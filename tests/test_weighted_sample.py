@@ -244,3 +244,114 @@ def test_temperature_mix_panel_matches_duckdb_twin_exactly(spark, sf_dir):
     names = list(QUERIES)
     assert names.index("temperature_mix_panel") >= 50
     assert QUERIES["temperature_mix_panel"].oracle is None
+
+
+# ---------------------------------------------------------------------------
+# UniMax allocation (sampling.unimax_mix_allocation)
+# ---------------------------------------------------------------------------
+
+
+def _unimax_model(tokens_by_domain, budget, e):
+    """From-scratch waterfilling: sort caps asc, find the capped prefix,
+    split the rest at the water level."""
+    doms = sorted(tokens_by_domain.items(), key=lambda kv: (kv[1] * e, kv[0]))
+    caps = [t * e for _, t in doms]
+    n = len(doms)
+    pfx = 0.0
+    k, pk = 0, 0.0
+    for j, c in enumerate(caps, 1):
+        if pfx + c * (n - j + 1) <= budget:
+            k, pk = j, pfx + c
+        pfx += c
+    u = (budget - pk) / (n - k) if k < n else None
+    out = {}
+    for j, (d, t) in enumerate(doms, 1):
+        alloc = caps[j - 1] if j <= k else u
+        out[d] = (
+            t,
+            _round9(caps[j - 1]),
+            _round9(alloc),
+            _round9(alloc / t) if t > 0 else 0.0,
+            _round9(u) if u is not None else None,
+        )
+    return out
+
+
+def _unimax_spark(spark, rows, budget, e):
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        unimax_mix_allocation,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, domain string, tok long")
+    return {
+        r["domain"]: (
+            r["tokens"], r["cap_tokens"], r["alloc_tokens"], r["epochs"],
+            r["water_level"],
+        )
+        for r in unimax_mix_allocation(df, "domain", "tok", budget, e).collect()
+    }
+
+
+def test_unimax_matches_python_model_all_regimes(spark):
+    tot = {"big": 4000, "mid": 1500, "small": 500, "empty": 0}
+    for budget, e in [(3000, 2.0), (500, 1.0), (100000, 3.0), (5999, 1.0)]:
+        got = _unimax_spark(spark, TMIX_DOCS, budget, e)
+        assert got == _unimax_model(tot, budget, e), (budget, e)
+
+
+def test_unimax_budget_conservation_and_cap(spark):
+    got = _unimax_spark(spark, TMIX_DOCS, 3000, 2.0)
+    # nobody's allocation exceeds its cap, and the budget is spent
+    # exactly (some domain is uncapped at this budget)
+    assert all(a <= c + 1e-6 for _t, c, a, _e, _u in got.values())
+    assert abs(sum(a for _t, _c, a, _e, _u in got.values()) - 3000) < 1e-6
+    # capped domains run at exactly max_epochs
+    assert got["empty"][2] == 0.0 and got["empty"][3] == 0.0
+
+
+def test_unimax_all_capped_leaves_budget_unspent_and_null_water(spark):
+    got = _unimax_spark(spark, TMIX_DOCS, 100000, 3.0)
+    assert all(u is None for *_x, u in got.values())
+    for d, t in [("big", 4000), ("mid", 1500), ("small", 500)]:
+        assert got[d][2] == t * 3.0 and got[d][3] == 3.0
+
+
+def test_unimax_uniform_regime(spark):
+    """Budget small enough that no cap binds: pure uniform split — the
+    'fairer' end of UniMax."""
+    got = _unimax_spark(spark, TMIX_DOCS, 500, 1.0)
+    nonempty = [v for v in got.values() if v[0] > 0]
+    # empty domain caps at 0 and exits; the rest split 500 three ways
+    assert {v[2] for v in nonempty} == {_round9(500 / 3)}
+
+
+def test_unimax_guards(spark):
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        unimax_mix_allocation,
+    )
+
+    df = spark.createDataFrame(TMIX_DOCS, "doc_id long, domain string, tok long")
+    with pytest.raises(ValueError, match="budget"):
+        unimax_mix_allocation(df, "domain", "tok", 0, 1.0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_mix_allocation(df, "domain", "tok", 100, 0.0)
+
+
+def test_unimax_panel_matches_duckdb_twin_exactly(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        UNIMAX_MIX_ORACLE,
+    )
+
+    srows = [
+        tuple(r)
+        for r in QUERIES["unimax_mix_panel"].spark(spark, sf_dir).collect()
+    ]
+    drows = [
+        tuple(r) for r in duck_con(sf_dir).execute(UNIMAX_MIX_ORACLE).fetchall()
+    ]
+    assert srows == drows
+    names = list(QUERIES)
+    assert names.index("unimax_mix_panel") >= 50
+    assert QUERIES["unimax_mix_panel"].oracle is None

@@ -327,3 +327,88 @@ def temperature_sample(
         stratum,
     )
     return out.filter(hash_unit(key, salt) < F.col("_rate"))
+
+
+def unimax_mix_allocation(
+    df: DataFrame,
+    stratum: str = "source",
+    token_col: str = "tok",
+    budget: int = 1_000_000,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023: spread the budget as
+    uniformly as possible across domains, but never take more than
+    ``max_epochs`` passes over any domain). The iterative
+    give-equal-shares-until-caps-bind procedure has the closed
+    waterfilling form: ``alloc_d = min(cap_d, u)`` with ``cap_d =
+    max_epochs * t_d`` and the water level ``u`` set so allocations sum
+    to the budget (when the total capacity doesn't cover the budget,
+    every domain caps and the leftover is visible as epochs ==
+    max_epochs everywhere and a NULL water level).
+
+    Relational closed form, no driver iteration: sort domains by cap
+    (ties by name), prefix-sum; domain j of n is CAPPED iff serving
+    every smaller cap fully and giving everyone from j onward ``cap_j``
+    still fits the budget (``prefix_{j-1} + cap_j * (n - j + 1) <=
+    budget``); the water level is the budget left after the capped
+    prefix, split over the uncapped rest. The window runs over the
+    DOMAINS frame (rows == distinct strata, tiny by contract — the
+    rates-frame rule), never the corpus: the corpus contributes one
+    partial-agg'd groupBy, exactly like :func:`temperature_mix_rates`.
+
+    Prefix sums are ordered identically in every engine (the window
+    ORDER BY), so the capped set is bit-deterministic; outputs round to
+    9 decimals (the rounded-before-threshold rule). Output per domain:
+    ``stratum, tokens, cap_tokens, alloc_tokens, epochs, water_level``
+    (``epochs = alloc/tokens`` — > 1 means training-time repetition,
+    which UniMax permits and this operator reports but never applies;
+    zero-token domains allocate 0)."""
+    if budget < 1:
+        raise ValueError(f"unimax_mix_allocation: budget must be >= 1, got {budget}")
+    if max_epochs <= 0.0:
+        raise ValueError(
+            f"unimax_mix_allocation: max_epochs must be > 0, got {max_epochs}"
+        )
+    doms = df.groupBy(stratum).agg(
+        F.sum(token_col).cast("bigint").alias("tokens")
+    )
+    cap = (F.col("tokens").cast("double") * F.lit(float(max_epochs))).alias("_cap")
+    w = Window.orderBy(F.asc("_cap"), F.asc(stratum))
+    j = F.row_number().over(w)
+    pfx = F.sum("_cap").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    b = F.lit(float(budget))
+    ranked = doms.select(stratum, "tokens", cap).select(
+        stratum,
+        "tokens",
+        "_cap",
+        ((pfx - F.col("_cap")) + F.col("_cap") * (n - j + 1) <= b).alias("_capped"),
+        n.alias("_n"),
+    )
+    totals = ranked.agg(
+        F.coalesce(F.sum(F.when(F.col("_capped"), F.col("_cap"))), F.lit(0.0)).alias("_pk"),
+        F.coalesce(F.sum(F.when(F.col("_capped"), 1)), F.lit(0)).alias("_k"),
+    )
+    u = F.when(
+        F.col("_k") < F.col("_n"),
+        (b - F.col("_pk")) / (F.col("_n") - F.col("_k")),
+    )
+    alloc = F.when(F.col("_capped"), F.col("_cap")).otherwise(u)
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        stratum,
+        "tokens",
+        F.round(F.col("_cap"), 9).alias("cap_tokens"),
+        F.round(alloc, 9).alias("alloc_tokens"),
+        F.round(
+            F.when(F.col("tokens") > 0, alloc / F.col("tokens").cast("double"))
+            .otherwise(0.0),
+            9,
+        ).alias("epochs"),
+        F.round(u, 9).alias("water_level"),
+    )
