@@ -165,3 +165,49 @@ def test_frontier_dedup(spark):
     with_junk = frontier_dedup(df, order_by=[F.col("id")], keep_non_urls=True)
     ids = {r.id for r in with_junk.collect()}
     assert ids == {1, 3, 4, 5}  # NULL canonicals never collapse together
+
+
+def test_ipv6_bracket_authorities_take_the_loud_null_path(spark):
+    """The first-colon host rule would truncate '[2001:db8::1]' to
+    '[2001' and collapse DISTINCT IPv6 hosts into one canonical form —
+    silently dropping real pages at frontier dedup. Bracketed
+    authorities must canonicalize to NULL (countable, never collapsed)
+    with a NULL host, like any non-URL."""
+    df = spark.createDataFrame(
+        [
+            ("http://[2001:db8::1]/p",),
+            ("http://[2001:db8::2]/p",),
+            ("http://user@[::1]:8080/x",),
+            ("http://plain.example.com/p",),
+        ],
+        "url string",
+    )
+    rows = df.select(
+        canonical_url(F.col("url")).alias("c"), url_host(F.col("url")).alias("h")
+    ).collect()
+    assert [r["c"] for r in rows[:3]] == [None, None, None]
+    assert [r["h"] for r in rows[:3]] == [None, None, None]
+    assert rows[3]["c"] == "http://plain.example.com/p"
+    # and frontier_dedup therefore never merges the two IPv6 pages
+    from yelp_business_data_pipeline_spark.operators.urls import frontier_dedup
+
+    kept = frontier_dedup(df, "url", keep_non_urls=True)
+    assert kept.count() == 4
+
+
+def test_tracking_params_match_case_insensitively(spark):
+    """'?UTM_SOURCE=x' is the same tracker as '?utm_source=x' — an
+    uppercase tracking param must not split a dedup group (param VALUES
+    stay byte-exact; only tracker NAMES fold)."""
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/p?UTM_SOURCE=x&b=2",),
+            ("https://a.com/p?utm_source=y&b=2",),
+            ("https://a.com/p?b=2&GCLID=1&FbClId=2&MsClKiD=3",),
+            ("https://a.com/p?B=2",),  # non-tracker param case is DATA
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got[0] == got[1] == got[2] == "https://a.com/p?b=2"
+    assert got[3] == "https://a.com/p?B=2"

@@ -355,3 +355,32 @@ def test_unimax_panel_matches_duckdb_twin_exactly(spark, sf_dir):
     names = list(QUERIES)
     assert names.index("unimax_mix_panel") >= 50
     assert QUERIES["unimax_mix_panel"].oracle is None
+
+
+def test_temperature_sample_null_stratum_is_a_real_domain(spark):
+    """lang-ID failure rows (NULL stratum) count in the normalizer AND
+    get sampled at their own rate — a plain equi-join would silently
+    drop them while still deflating every real domain's rate."""
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        temperature_mix_rates,
+        temperature_sample,
+    )
+
+    rows = [(i, "en", 100) for i in range(20)] + [
+        (i, None, 100) for i in range(20, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, tok long")
+    rates = {
+        r["domain"]: r["rate"]
+        for r in temperature_mix_rates(df, "domain", "tok", 1.0, 2000).collect()
+    }
+    # equal-sized domains at alpha=1: both rates = 2000/4000 = 0.5
+    assert rates == {"en": 0.5, None: 0.5}
+    kept = temperature_sample(df, "doc_id", "domain", "tok", 1.0, 2000).collect()
+    kept_null = [r for r in kept if r["domain"] is None]
+    # the NULL domain is present in the sample, at its own rate's draws
+    assert kept_null, "NULL-stratum rows were dropped by the rates join"
+    expect = {
+        i for i, d, _t in rows if d is None and _unit(i, "tmix:") < 0.5
+    }
+    assert {r["doc_id"] for r in kept_null} == expect

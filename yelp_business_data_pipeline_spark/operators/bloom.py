@@ -109,16 +109,27 @@ def _positions(value: Column, n_bits: int, n_hashes: int, impl: str) -> Column:
     )
 
 
-def _word_rows(df: DataFrame, value_col: str, n_bits: int, n_hashes: int,
-               impl: str) -> DataFrame:
-    """(word_idx, mask) rows — one per (key, hash) — for build/probe."""
+def _word_rows(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int,
+    n_hashes: int,
+    impl: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(``carry...``, word_idx, _mask) rows — one per (key, hash). THE
+    single word-layout definition: build and probe both derive their
+    word index and bit mask here, so the layout cannot drift between the
+    writer and the reader of a filter (the one failure the carried
+    build-params guard can't catch)."""
     pos = F.explode(
         _positions(F.col(value_col), n_bits, n_hashes, impl)
     ).alias("_pos")
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(pos)
+        .select(*carry, pos)
         .select(
+            *carry,
             F.expr(f"_pos div {BITS_PER_WORD}").alias("word_idx"),
             F.expr(
                 f"shiftleft(cast(1 as bigint), cast(_pos % {BITS_PER_WORD} as int))"
@@ -239,21 +250,13 @@ def bloom_may_contain(
     )
     if broadcast_filter:
         words = F.broadcast(words)
-    pos = F.posexplode(
-        _positions(F.col("_v"), n_bits, n_hashes, impl)
-    ).alias("_i", "_pos")
-    probes = (
-        df.select(F.col(value_col).alias("_v"))
-        .filter(F.col("_v").isNotNull())
-        .distinct()
-        .select("_v", pos)
-        .select(
-            "_v",
-            F.expr(f"_pos div {BITS_PER_WORD}").alias("word_idx"),
-            F.expr(
-                f"shiftleft(cast(1 as bigint), cast(_pos % {BITS_PER_WORD} as int))"
-            ).alias("_mask"),
-        )
+    probes = _word_rows(
+        df.select(F.col(value_col).alias("_v")).distinct(),
+        "_v",
+        n_bits,
+        n_hashes,
+        impl,
+        carry=("_v",),
     )
     verdicts = (
         probes.join(words, "word_idx", "left")
@@ -290,10 +293,17 @@ def bloom_prefilter(
     (true members + the sized false-positive fraction) pay the wide
     fingerprint-store join. Pinned in pytest: routing only the candidate
     fraction through :func:`~.incdedup.exact_annotate` and unioning the
-    novel rows back yields EXACTLY the direct full-join annotation."""
+    novel rows back yields EXACTLY the direct full-join annotation.
+
+    The annotated frame persists before the split (the
+    stream_crawl_pipeline both-consumers rule): a caller acts on BOTH
+    halves by definition, and without the persist each half would
+    re-run the probe plan — doubling the very cost the prefilter
+    amortizes. Callers may ``unpersist()`` via either half's lineage
+    root when done."""
     annotated = bloom_may_contain(
         df, bloom, value_col, n_bits, n_hashes, impl=impl
-    )
+    ).persist()
     novel = annotated.filter(~F.col("may_contain")).drop("may_contain")
     candidates = annotated.filter(F.col("may_contain")).drop("may_contain")
     return novel, candidates

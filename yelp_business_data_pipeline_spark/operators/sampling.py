@@ -320,11 +320,22 @@ def temperature_sample(
     downstream budgeting/reporting) with rates DERIVED from the corpus
     instead of caller-supplied. Two corpus scans total (one to weigh
     domains, one to sample — the rates frame is tiny and broadcast), no
-    corpus shuffle, repartition-invariant kept set."""
+    corpus shuffle, repartition-invariant kept set.
+
+    The rates join is NULL-SAFE on the stratum: a NULL stratum (lang-ID
+    failure — routine on crawl data, the ``bucket_by_thresholds``
+    precedent) is a real domain here — ``temperature_mix_rates`` counts
+    its tokens in the normalizer and emits its rate row, so a plain
+    equi-join would silently drop every NULL-stratum row while still
+    letting them deflate the other domains' rates."""
     rates = temperature_mix_rates(df, stratum, token_col, alpha, budget)
-    out = df.join(
-        F.broadcast(rates.select(stratum, F.col("rate").alias("_rate"))),
-        stratum,
+    r = F.broadcast(
+        rates.select(
+            F.col(stratum).alias("_stratum"), F.col("rate").alias("_rate")
+        )
+    )
+    out = df.join(r, on=F.col(stratum).eqNullSafe(F.col("_stratum"))).drop(
+        "_stratum"
     )
     return out.filter(hash_unit(key, salt) < F.col("_rate"))
 

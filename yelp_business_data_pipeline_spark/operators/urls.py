@@ -26,9 +26,13 @@ engine-portable core):
 Documented boundaries (stated, not silent): duplicate params are kept
 (dropping them changes semantics for multi-value params), percent-encoding
 is preserved byte-for-byte (case-folding ``%2f``→``%2F`` needs a callback
-replace, not available as a portable SQL expression), and
+replace, not available as a portable SQL expression),
 ``registrable_domain`` is a last-two-labels heuristic (the real rule needs
-the public-suffix list — a lookup table join when a deployment ships one).
+the public-suffix list — a lookup table join when a deployment ships one),
+and IPv6 bracket-literal authorities (``http://[2001:db8::1]/``)
+canonicalize to NULL — the loud non-URL path — rather than risk the
+first-colon host rule collapsing distinct IPv6 hosts into one frontier
+entry (see ``_bracketed_authority``).
 
 No reference counterpart (the reference starts from Yelp JSON ids);
 public recipes: RFC 3986 §6, the SafeBrowsing/crawler canonicalization
@@ -41,8 +45,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Tracking params dropped during canonicalization. Class-based regex —
-#: identical under Java regex and RE2 (anchored, no lookaround).
-TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid)="
+#: identical under Java regex and RE2 (anchored, no lookaround). Param
+#: NAMES match case-insensitively via explicit classes (``?UTM_SOURCE=``
+#: is the same tracker as ``?utm_source=``; neither engine needs an (?i)
+#: flag this way) — param VALUES stay byte-exact, they are data.
+TRACKING_PARAM_RE = (
+    "^([uU][tT][mM]_[a-zA-Z0-9_]*"
+    "|[gG][cC][lL][iI][dD]"
+    "|[fF][bB][cC][lL][iI][dD]"
+    "|[mM][sS][cC][lL][kK][iI][dD])="
+)
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
@@ -64,16 +76,32 @@ def url_scheme(u: Column) -> Column:
     return F.lower(F.regexp_extract(F.trim(u), _SCHEME_RE, 1))
 
 
+def _authority(u: Column) -> Column:
+    return F.regexp_extract(_after_scheme(u), "^([^/?#]*)", 1)
+
+
+def _bracketed_authority(u: Column) -> Column:
+    """IPv6 literal authorities (``http://[2001:db8::1]/``) — the
+    first-colon host extraction would truncate them, collapsing DISTINCT
+    IPv6 hosts into one canonical form and silently dropping real pages
+    at frontier dedup. Bracketed authorities therefore take the loud
+    non-URL path (host and canonical NULL — countable, never collapsed;
+    frontier_dedup's NULL policy keeps or quarantines them). A
+    deployment crawling IPv6-literal hosts adds a bracket-aware host
+    rule; documented boundary, not silent corruption."""
+    return F.contains(_authority(u), F.lit("["))
+
+
 def url_host(u: Column) -> Column:
     """Lowercased host (no port, no userinfo, trailing dots stripped);
-    NULL when there is no scheme. Userinfo (``user:pw@host``) is rare and
-    hostile-input-shaped; strip anything through the last ``@`` in the
-    authority — class-based, portable."""
-    authority = F.regexp_extract(_after_scheme(u), "^([^/?#]*)", 1)
-    no_user = F.regexp_replace(authority, "^.*@", "")
+    NULL when there is no scheme or the authority is an IPv6 bracket
+    literal (see _bracketed_authority). Userinfo (``user:pw@host``) is
+    rare and hostile-input-shaped; strip anything through the last ``@``
+    in the authority — class-based, portable."""
+    no_user = F.regexp_replace(_authority(u), "^.*@", "")
     host = F.lower(F.regexp_extract(no_user, "^([^:]*)", 1))
     host = F.regexp_replace(host, "[.]+$", "")
-    return F.when(url_scheme(u) != "", host)
+    return F.when((url_scheme(u) != "") & ~_bracketed_authority(u), host)
 
 
 def url_port_part(u: Column) -> Column:
@@ -118,7 +146,7 @@ def canonical_url(u: Column) -> Column:
     """The canonical form (module docstring); NULL for non-URL strings and
     NULL inputs. Component helpers trim internally (see url_scheme)."""
     return F.when(
-        url_scheme(u) != "",
+        (url_scheme(u) != "") & ~_bracketed_authority(u),
         F.concat(
             url_scheme(u),
             F.lit("://"),
