@@ -142,3 +142,138 @@ def test_corrupt_dropping_reader_survives_count_and_inference_drops(spark, tmp_p
         assert kept.filter("_corrupt_record IS NOT NULL").count() == 1
     finally:
         kept.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# training shard export (writers.shard_assignment / shard_manifest /
+# write_training_shards)
+# ---------------------------------------------------------------------------
+
+
+def _shard_py(key, n, salt="shard:"):
+    import hashlib
+
+    return int(hashlib.md5((salt + str(key)).encode()).hexdigest()[:8], 16) % n
+
+
+def _docs(spark, n=60):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body "), F.col("id")).alias("text"),
+        (F.col("id") % 7 + 1).alias("tok"),
+    )
+
+
+def test_shard_assignment_matches_python_twin(spark):
+    from yelp_business_data_pipeline_spark.sources.writers import shard_assignment
+
+    d = _docs(spark).withColumn("s", shard_assignment("doc_id", 8))
+    for r in d.collect():
+        assert r["s"] == _shard_py(r["doc_id"], 8)
+
+
+def test_write_training_shards_roundtrip_and_audit(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.sources.writers import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "export")
+    manifest = write_training_shards(
+        d, path, "doc_id", n_shards=8, token_col="tok"
+    )
+    # one file per shard directory
+    for sd in glob.glob(f"{path}/shards/shard=*"):
+        files = [f for f in glob.glob(f"{sd}/*.parquet")]
+        assert len(files) == 1, sd
+    # every row lands exactly once, in its assigned shard
+    back = spark.read.parquet(f"{path}/shards")
+    assert back.count() == 60
+    assert back.select("doc_id").distinct().count() == 60
+    for r in back.select("doc_id", "shard").collect():
+        assert r["shard"] == _shard_py(r["doc_id"], 8)
+    # THE audit contract: manifest written == manifest re-derived from
+    # the shard files == manifest re-derived from the source corpus
+    from_files = shard_manifest(
+        back.drop("shard"), "doc_id", 8, token_col="tok"
+    )
+    from_source = shard_manifest(d, "doc_id", 8, token_col="tok")
+    a = sorted(map(tuple, manifest.collect()))
+    assert a == sorted(map(tuple, from_files.collect()))
+    assert a == sorted(map(tuple, from_source.collect()))
+    # manifest totals reconcile with the corpus
+    tot = manifest.agg(F.sum("n_docs"), F.sum("n_tokens")).first()
+    assert (tot[0], tot[1]) == (60, sum((i % 7) + 1 for i in range(60)))
+
+
+def test_write_training_shards_is_deterministic_across_layouts(spark, tmp_path):
+    from yelp_business_data_pipeline_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    d = _docs(spark)
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    write_training_shards(d.repartition(13), p1, "doc_id", n_shards=4)
+    write_training_shards(d.coalesce(1), p2, "doc_id", n_shards=4)
+    for s in range(4):
+        a = [tuple(r) for r in spark.read.parquet(f"{p1}/shards/shard={s}").collect()]
+        b = [tuple(r) for r in spark.read.parquet(f"{p2}/shards/shard={s}").collect()]
+        assert a == b, f"shard {s} content/order differs across input layouts"
+        # within-shard order follows the default order_by (the key)
+        assert a == sorted(a, key=lambda t: t[0])
+
+
+def test_shard_manifest_materializes_empty_shards(spark):
+    from yelp_business_data_pipeline_spark.sources.writers import shard_manifest
+
+    d = _docs(spark, n=3)  # 3 docs over 16 shards: most shards empty
+    rows = {r["shard"]: r for r in shard_manifest(d, "doc_id", 16).collect()}
+    assert set(rows) == set(range(16))
+    empties = [s for s, r in rows.items() if r["n_docs"] == 0]
+    assert len(empties) >= 13
+    for s in empties:
+        assert rows[s]["key_checksum"] == 0 and rows[s]["n_tokens"] is None
+
+
+def test_training_shards_guards(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.sources.writers import (
+        shard_assignment,
+        write_training_shards,
+    )
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_assignment("doc_id", 0)
+    with pytest.raises(ValueError, match="already exists"):
+        write_training_shards(
+            _docs(spark).withColumn("shard", F.lit(1)), "/tmp/never", "doc_id", 4
+        )
+
+
+def test_training_shards_manifest_panel_matches_duckdb_twin(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        TRAINING_SHARDS_ORACLE,
+    )
+
+    srows = [
+        tuple(r)
+        for r in QUERIES["training_shards_manifest"].spark(spark, sf_dir).collect()
+    ]
+    drows = [
+        tuple(r)
+        for r in duck_con(sf_dir).execute(TRAINING_SHARDS_ORACLE).fetchall()
+    ]
+    assert srows == drows
+    names = list(QUERIES)
+    assert names.index("training_shards_manifest") >= 50
+    assert QUERIES["training_shards_manifest"].oracle is None

@@ -4,6 +4,9 @@ from .writers import (
     compact_parquet,
     export_csv,
     merge_upsert,
+    shard_assignment,
+    shard_manifest,
+    write_training_shards,
     write_append_idempotent,
     write_overwrite,
 )
@@ -18,6 +21,9 @@ __all__ = [
     "compact_parquet",
     "export_csv",
     "merge_upsert",
+    "shard_assignment",
+    "shard_manifest",
+    "write_training_shards",
     "write_append_idempotent",
     "write_overwrite",
 ]

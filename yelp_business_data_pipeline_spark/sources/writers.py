@@ -541,3 +541,116 @@ def compact_parquet(
     writer.parquet(staging)
     _swap_directories(fs, jvm, path, staging, backup, "compaction")
     return n_files
+
+
+def shard_assignment(key, n_shards: int, salt: str = "shard:"):
+    """Deterministic shard id in [0, n_shards) from the portable md5
+    hash of the key — layout-free (repartitioning the input can never
+    move a document between shards) and engine-portable (the manifest
+    twin recomputes it in DuckDB). Column-level so readers/auditors can
+    re-derive membership without touching the written files."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import portable_hash
+
+    if n_shards < 1:
+        raise ValueError(f"shard_assignment: n_shards must be >= 1, got {n_shards}")
+    c = key if isinstance(key, Column) else F.col(key)
+    return F.pmod(portable_hash(c.cast("string"), salt=salt), F.lit(int(n_shards)))
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    token_col: str | None = None,
+    salt: str = "shard:",
+) -> DataFrame:
+    """Per-shard accounting — the auditable contract of a shard export:
+    ``(shard, n_docs, n_tokens, key_checksum)``. The checksum is the SUM
+    of the portable md5 hash of every member key — order-insensitive and
+    exactly re-derivable from the raw corpus OR from the written shard
+    files, so 'did every document land in exactly the right shard,
+    nothing lost, nothing duplicated?' is one aggregate + one equality,
+    never a full-corpus diff. Empty shards appear with zero counts (a
+    training loader enumerates [0, n_shards) — a silently missing
+    manifest row reads as data loss)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import portable_hash
+
+    spark = df.sparkSession
+    got = (
+        df.groupBy(shard_assignment(key_col, n_shards, salt).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col(token_col)).cast("bigint")
+                if token_col
+                else F.lit(None).cast("bigint")
+            ).alias("n_tokens"),
+            F.sum(
+                portable_hash(F.col(key_col).cast("string"), salt="shardck:")
+            ).alias("key_checksum"),
+        )
+    )
+    allshards = spark.range(int(n_shards)).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    return allshards.join(got, "shard", "left").select(
+        "shard",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0) if token_col else F.lit(None).cast("bigint")).alias("n_tokens"),
+        F.coalesce("key_checksum", F.lit(0)).alias("key_checksum"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    order_by: list | None = None,
+    token_col: str | None = None,
+    salt: str = "shard:",
+) -> DataFrame:
+    """Export a training corpus as ``n_shards`` deterministic shard
+    directories plus a manifest — the pipeline-tail sink a trainer
+    consumes.
+
+    Determinism contract (pinned in pytest): shard membership is a pure
+    function of the key (``shard_assignment``), file content order
+    within a shard follows ``order_by`` (default: the key — curriculum
+    sorts plug in here), and re-running the export over the same corpus
+    writes byte-equivalent shard contents regardless of input
+    partitioning — the exactly-once discipline of the other writers at
+    the corpus-export grain.
+
+    Layout: ``path/shards/shard=K/`` parquet dirs (ONE file per shard:
+    the frame repartitions ON the shard column into ``n_shards`` tasks,
+    so each shard's rows live in exactly one task and partitionBy emits
+    exactly one file per directory — hash collisions between shard ids
+    may co-locate two shards in one task, which still writes one file
+    into each of its directories) and ``path/manifest/`` (the
+    :func:`shard_manifest` rows, including empty shards). Returns the
+    manifest as read back from disk.
+
+    At 100 TB: one hash repartition of the corpus (the unavoidable
+    placement shuffle) + an in-task sort; the manifest is a partial-agg'd
+    groupBy on the same assignment expression. Readers audit with one
+    aggregate per side (manifest == re-derived manifest)."""
+    from pyspark.sql import functions as F
+
+    if "shard" in df.columns:
+        raise ValueError("write_training_shards: column 'shard' already exists")
+    order = order_by if order_by is not None else [F.col(key_col)]
+    sharded = (
+        df.withColumn("shard", shard_assignment(key_col, n_shards, salt))
+        .repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), *order)
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/shards")
+    manifest = shard_manifest(df, key_col, n_shards, token_col, salt)
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    return df.sparkSession.read.parquet(f"{path}/manifest")
