@@ -1179,3 +1179,95 @@ def test_stream_web_crawl_pipeline_from_raw_pages(spark, tmp_path, sf_dir):
         for p in (out, frontier, store)
     }
     assert after == before
+
+
+def test_stream_incremental_dedup_bloom_prefilter_same_state(spark, tmp_path):
+    """The bloom-accelerated loop must land EXACTLY the state of the
+    direct loop on the same crawl days — bloom-negative rows skip the
+    store join as guaranteed novel, may-contain rows go through it, and
+    the filter folds batch fingerprints ahead of the store merge. Also
+    pins the crash-replay hazard window the update ORDER exists for: an
+    injected crash AFTER the sink's writes (bloom already folded) must
+    replay to the identical final state — bloom-AHEAD-of-store is the
+    safe direction."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from yelp_business_data_pipeline_spark.streaming import stream_incremental_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    out = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    bloom = str(tmp_path / "bloom")
+    kw = dict(bloom_path=bloom, bloom_bits=63 * 512, bloom_hashes=5)
+
+    b1 = [
+        {"doc_id": 1, "text": "alpha beta gamma delta"},
+        {"doc_id": 2, "text": "totally different words here"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    stream_incremental_dedup(
+        spark, str(src), schema, out, store, ckpt, **kw
+    ).awaitTermination()
+    # the filter exists and covers the store's fingerprints
+    assert spark.read.parquet(bloom).count() > 0
+
+    b2 = [
+        {"doc_id": 10, "text": "alpha beta gamma delta"},  # dup of stored 1
+        {"doc_id": 11, "text": "fresh novel content one"},
+        {"doc_id": 12, "text": "fresh novel content one"},  # within-batch dup
+        {"doc_id": 13, "text": "another new page entirely"},
+    ]
+    (src / "b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    def _crash(epoch_id: int) -> None:
+        raise RuntimeError("injected crash between sink write and checkpoint commit")
+
+    q = stream_incremental_dedup(
+        spark, str(src), schema, out, store, ckpt, on_batch_complete=_crash, **kw
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    # replay: bloom already holds batch 2's prints (folded before the
+    # crash point); every batch-2 doc probes may-contain, the store join
+    # arbitrates, and the final state matches the direct loop's exactly
+    stream_incremental_dedup(
+        spark, str(src), schema, out, store, ckpt, **kw
+    ).awaitTermination()
+    final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert final == [1, 2, 11, 13], f"bloom loop diverged: {final}"
+    assert {r.index_id for r in spark.read.parquet(store).collect()} == {1, 2, 11, 13}
+
+    # cross-check vs the direct (no-bloom) loop over the same two days
+    out2, store2, ckpt2 = (
+        str(tmp_path / "corpus2"), str(tmp_path / "store2"), str(tmp_path / "ckpt2")
+    )
+    stream_incremental_dedup(
+        spark, str(src), schema, out2, store2, ckpt2
+    ).awaitTermination()
+    direct = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out2).collect()
+    )
+    via = sorted((r.doc_id, r.text) for r in spark.read.parquet(out).collect())
+    assert direct == via
+
+    # the persistent filter still answers membership for every stored
+    # fingerprint (bloom >= store invariant)
+    from yelp_business_data_pipeline_spark.operators.bloom import bloom_may_contain
+    from yelp_business_data_pipeline_spark.operators.incdedup import (
+        exact_fingerprint_index,
+    )
+
+    idx = exact_fingerprint_index(spark.read.parquet(out))
+    ann = bloom_may_contain(
+        idx, spark.read.parquet(bloom), "fingerprint", 63 * 512, 5
+    )
+    assert ann.filter("NOT may_contain").count() == 0

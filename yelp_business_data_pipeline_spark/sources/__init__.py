@@ -3,6 +3,7 @@ from .readers import load_testdata, read_json_lines, read_parquet_table
 from .writers import (
     compact_parquet,
     export_csv,
+    merge_bloom_store,
     merge_upsert,
     shard_assignment,
     shard_manifest,
@@ -20,6 +21,7 @@ __all__ = [
     "read_parquet_table",
     "compact_parquet",
     "export_csv",
+    "merge_bloom_store",
     "merge_upsert",
     "shard_assignment",
     "shard_manifest",

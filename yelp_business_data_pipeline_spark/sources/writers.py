@@ -654,3 +654,35 @@ def write_training_shards(
     manifest = shard_manifest(df, key_col, n_shards, token_col, salt)
     manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
     return df.sparkSession.read.parquet(f"{path}/manifest")
+
+
+def merge_bloom_store(
+    new_words: DataFrame,
+    path: str,
+    n_bits: int,
+    n_hashes: int,
+) -> None:
+    """Fold freshly-built bloom words into the persistent filter at
+    ``path`` (create it on first write). Same staging+swap discipline as
+    ``merge_upsert`` — the merged frame READS the current store, so an
+    in-place overwrite would clobber its own input; a crash between
+    write and swap recovers via the standard stale-swap rule. The merge
+    itself is exact bit_or (operators/bloom.py:merge_blooms), and every
+    stored row carries its build params, so folding with mismatched
+    (n_bits, n_hashes) raises in-plan instead of corrupting the bitmap."""
+    from ..operators.bloom import merge_blooms
+
+    spark = new_words.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    _recover_stale_swap(spark, fs, jvm, path)
+    if not fs.exists(hpath):
+        new_words.write.mode("overwrite").parquet(path)
+        return
+    merged = merge_blooms(
+        [spark.read.parquet(path), new_words], n_bits, n_hashes
+    )
+    staging, backup = f"{path}__merging", f"{path}__premerge"
+    merged.write.mode("overwrite").parquet(staging)
+    _swap_directories(fs, jvm, path, staging, backup, "merge")

@@ -322,6 +322,9 @@ def stream_incremental_dedup(
     prefix_tokens: int = 2,
     max_files_per_trigger: int | None = None,
     on_batch_complete: Callable[[int], None] | None = None,
+    bloom_path: str | None = None,
+    bloom_bits: int = 63 * (1 << 20),
+    bloom_hashes: int = 5,
 ):
     """Streaming crawl-ingest dedup: the incremental (cross-snapshot)
     dedup family (operators/incdedup.py) wired into a file stream — the
@@ -355,22 +358,73 @@ def stream_incremental_dedup(
     provenance exists transiently inside the batch. Run the batch
     ``incremental_dedup_panel`` machinery over a snapshot when an audit
     trail is needed.
+
+    ``bloom_path`` (optional) maintains a persistent Bloom filter over
+    the store's fingerprints (operators/bloom.py) and splits each batch
+    on it BEFORE the store join: bloom-negative rows are GUARANTEED
+    novel (no false negatives) and skip the store read entirely — on a
+    mostly-novel crawl batch the wide store join prices only the
+    may-contain fraction. Update ORDER is the correctness invariant
+    (the frontier-written-LAST rule, inverted): the filter folds the
+    batch's novel fingerprints FIRST, then the corpus/store merge — the
+    bloom may run AHEAD of the store (a false positive costs one store
+    probe that finds nothing -> still novel) but can never fall BEHIND
+    it (a bloom-negative for an indexed print would re-insert a dup).
+    A replay therefore recomputes the identical novel set whether the
+    crash hit before or after the bloom fold (pinned). Size
+    ``bloom_bits`` for the corpus you expect (bloom_params); the stored
+    rows carry their build params, so restarting with different sizing
+    raises loudly instead of corrupting the bitmap.
     """
     from ..operators.incdedup import exact_fingerprint_index
-    from ..sources.writers import merge_upsert
+    from ..operators.text import fingerprint
+    from ..sources.writers import merge_bloom_store, merge_upsert
 
     raw = _json_file_stream(spark, source_dir, schema, max_files_per_trigger)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.bloom import bloom_prefilter, build_bloom
+
         unique = _collapse_one_row_per_id(batch_df, id_col, text_col)
         reps = _within_batch_fp_reps(unique, id_col, text_col, prefix_tokens)
-        annotated = _annotate_against_store(
-            reps, store_path, id_col, text_col, prefix_tokens
-        )
+        id_type = reps.schema[id_col].dataType
+        if bloom_path is not None and _path_exists(spark, bloom_path):
+            fps = reps.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
+            bloom_novel, candidates = bloom_prefilter(
+                fps, spark.read.parquet(bloom_path), "_fp",
+                bloom_bits, bloom_hashes,
+            )
+            annotated = _annotate_against_store(
+                candidates.drop("_fp"), store_path, id_col, text_col,
+                prefix_tokens,
+            ).unionByName(
+                bloom_novel.drop("_fp").withColumn(
+                    "dup_of", F.lit(None).cast(id_type)
+                )
+            )
+        else:
+            annotated = _annotate_against_store(
+                reps, store_path, id_col, text_col, prefix_tokens
+            )
         # persist: BOTH writes consume novel — without the cut the batch
         # window, store read, and rank-2 join all run twice per batch
         novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of").persist()
         try:
+            if bloom_path is not None:
+                # bloom folds FIRST — see the update-order invariant above
+                merge_bloom_store(
+                    build_bloom(
+                        exact_fingerprint_index(
+                            novel, id_col, text_col, prefix_tokens
+                        ).select("fingerprint"),
+                        "fingerprint",
+                        bloom_bits,
+                        bloom_hashes,
+                    ),
+                    bloom_path,
+                    bloom_bits,
+                    bloom_hashes,
+                )
             merge_upsert(novel, out_path, keys=[id_col])
             merge_upsert(
                 exact_fingerprint_index(novel, id_col, text_col, prefix_tokens),
