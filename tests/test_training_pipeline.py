@@ -301,3 +301,46 @@ def test_modern_pretraining_path_r8_quality_stack(spark):
         acc = by_stream.get(r.source, 0)
         assert r.start_offset == acc and r.bin_start == acc // 256
         by_stream[r.source] = acc + r.n_tokens
+
+
+def test_pipeline_tail_mix_then_shard_export(spark, tmp_path):
+    """The r9 tail: screened corpus -> temperature mixing (domain
+    re-weighting under a token budget) -> deterministic shard export —
+    one lazy chain, with the manifest audit closing the loop: what the
+    trainer reads off disk reconciles exactly with what the mixer kept."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        temperature_sample,
+    )
+    from yelp_business_data_pipeline_spark.operators.text import token_count
+    from yelp_business_data_pipeline_spark.sources.writers import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text", "lang", F.col("source").alias("domain"))
+        .withColumn("tok", token_count(F.col("text")))
+    )
+    mixed = temperature_sample(d, "doc_id", "domain", "tok", alpha=0.7, budget=15000)
+    n_mixed = mixed.count()
+    assert 0 < n_mixed < d.count()
+
+    path = str(tmp_path / "export")
+    manifest = write_training_shards(
+        mixed, path, "doc_id", n_shards=8, token_col="tok"
+    )
+    # the written corpus IS the mixed corpus (id-for-id), and the
+    # manifest reconciles with a re-derivation from the shard files
+    back = spark.read.parquet(f"{path}/shards")
+    assert sorted(r.doc_id for r in back.collect()) == sorted(
+        r.doc_id for r in mixed.collect()
+    )
+    rederived = shard_manifest(back.drop("shard"), "doc_id", 8, token_col="tok")
+    assert sorted(map(tuple, manifest.collect())) == sorted(
+        map(tuple, rederived.collect())
+    )
+    tot = manifest.agg(F.sum("n_docs")).first()[0]
+    assert tot == n_mixed

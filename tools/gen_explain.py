@@ -311,6 +311,32 @@ COMMENTARY = {
         "and the global cut is TakeOrderedAndProject — the scored frame "
         "never single-partitions."
     ),
+    "bloom_membership_panel": (
+        "Distributed Bloom filter, JVM end to end: the build explodes "
+        "the Kirsch-Mitzenmacher positions in-plan and partial-aggregates "
+        "bit_or BEFORE the single word_idx exchange (the shuffle carries "
+        "at most ceil(n_bits/63) rows per map task); the probe side joins "
+        "the word table BROADCAST (a 2^20-bit filter is ~16k rows) and "
+        "folds bool_and per key. No UDF, no Python anywhere."
+    ),
+    "c4_span_dedup_panel": (
+        "C4 span dedup: the posexplode stream carries (id, start, md5) — "
+        "never span text — into a partial-agg'd groupBy(hash) filtered to "
+        "2+ occurrences, so the join-back touches only the duplicated "
+        "fraction; the winner is a min(struct) AGGREGATE, not a corpus "
+        "window, and the rebuild is an indexed array filter expression."
+    ),
+    "temperature_mix_panel": (
+        "Temperature mixing: one partial-agg'd corpus groupBy to weigh "
+        "domains, arithmetic on the tiny domains frame, and a BROADCAST "
+        "rates join back — the corpus never shuffles; the sampling "
+        "predicate is the portable md5 unit draw under the rounded rate."
+    ),
+    "training_shards_manifest": (
+        "Shard manifest: ONE partial-agg'd groupBy on the md5 assignment "
+        "expression; empty shards come from a range() frame joined in — "
+        "no corpus-side work grows with n_shards."
+    ),
     "yelp_unified_panel": (
         "The reference pipeline end-to-end on literal Yelp-shaped rows: "
         "from_json raw parse, try_cast attribute flags, hours overnight "
