@@ -419,3 +419,167 @@ class TestKmvReviewFindings:
         df = spark.createDataFrame([([], [])], "ka array<long>, kb array<long>")
         est = df.select(sk.kmv_set_estimates(F.col("ka"), F.col("kb"), 8).alias("e")).first().e
         assert est.jaccard == 0.0 and est.union_est == 0.0 and est.intersection_est == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (operators/cmsketch.py)
+# ---------------------------------------------------------------------------
+
+
+def _cm_cell_py(v, i, width, salt1="cm1:", salt2="cm2:"):
+    import hashlib
+
+    h1 = int(hashlib.md5((salt1 + v).encode()).hexdigest()[:8], 16)
+    h2 = int(hashlib.md5((salt2 + v).encode()).hexdigest()[:8], 16)
+    return (h1 + i * h2) % width
+
+
+def _cm_model(values, width, depth):
+    """From-scratch CM: build the full matrix, estimate = min over rows."""
+    import collections
+
+    cells = collections.Counter()
+    for v in values:
+        for i in range(depth):
+            cells[(i, _cm_cell_py(v, i, width))] += 1
+    return {
+        v: min(cells[(i, _cm_cell_py(v, i, width))] for i in range(depth))
+        for v in set(values)
+    }
+
+
+def test_cm_matches_python_model_and_never_underestimates(spark):
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_estimate,
+    )
+
+    values = [f"k{i % 7}" for i in range(100)] + ["rare", "rare2"]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    w, d = 8, 3  # undersized on purpose: collisions live
+    sk = build_cm_sketch(df, "v", w, d)
+    est = {
+        r["v"]: r["cm_count"]
+        for r in cm_estimate(df.distinct(), sk, "v", w, d).collect()
+    }
+    assert est == _cm_model(values, w, d)
+    true = collections.Counter(values)
+    assert all(est[v] >= true[v] for v in true), "CM underestimated"
+
+
+def test_cm_error_bound_at_designed_size(spark):
+    """At (eps, delta) sizing the additive error stays within eps*N for
+    at least 1-delta of keys — deterministic corpus, one-shot check with
+    margin."""
+    import collections
+
+    from yelp_business_data_pipeline_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_estimate,
+        cm_params,
+    )
+
+    values = [f"tok{i % 97}" for i in range(3000)] + [f"u{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    w, d = cm_params(0.05, 0.1)
+    sk = build_cm_sketch(df, "v", w, d)
+    est = {
+        r["v"]: r["cm_count"]
+        for r in cm_estimate(df.distinct(), sk, "v", w, d).collect()
+    }
+    true = collections.Counter(values)
+    n = len(values)
+    within = sum(1 for v in true if est[v] - true[v] <= 0.05 * n)
+    assert within / len(true) >= 0.9
+
+
+def test_cm_merge_closure_is_exact_with_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.cmsketch import (
+        build_cm_sketch,
+        merge_cm_sketches,
+    )
+
+    df = spark.createDataFrame([(f"k{i % 11}",) for i in range(200)], "v string")
+    a = df.limit(120)
+    w, d = 16, 3
+    # counters are linear: merge over ANY split of the multiset equals
+    # the direct build over the concatenation
+    m = merge_cm_sketches(
+        [build_cm_sketch(a, "v", w, d), build_cm_sketch(df.exceptAll(a), "v", w, d)],
+        w, d,
+    )
+    direct = build_cm_sketch(df, "v", w, d)
+    assert m.exceptAll(direct).count() == 0
+    assert direct.exceptAll(m).count() == 0
+
+
+def test_cm_layout_invariance_and_null_policy(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), ("a",)], "v string"
+    )
+    t1 = build_cm_sketch(df.repartition(5), "v", 8, 2)
+    t2 = build_cm_sketch(df.coalesce(1), "v", 8, 2)
+    assert t1.exceptAll(t2).count() == 0 and t2.exceptAll(t1).count() == 0
+    rows = {
+        r["v"]: r["cm_count"]
+        for r in cm_estimate(df.distinct(), t1, "v", 8, 2).collect()
+    }
+    assert rows[None] == 0 and rows["a"] >= 2
+
+
+def test_cm_geometry_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_estimate,
+        cm_params,
+        merge_cm_sketches,
+    )
+
+    df = spark.createDataFrame([("a",)], "v string")
+    sk = build_cm_sketch(df, "v", 8, 2)
+    with pytest.raises(Exception, match="merge_cm_sketches"):
+        merge_cm_sketches([sk], 8, 3).collect()
+    with pytest.raises(Exception, match="cm_estimate"):
+        cm_estimate(df, sk, "v", 16, 2).collect()
+    with pytest.raises(ValueError):
+        build_cm_sketch(df, "v", 0, 2)
+    with pytest.raises(ValueError):
+        cm_params(2.0, 0.1)
+    with pytest.raises(ValueError, match="already exists"):
+        cm_estimate(df.withColumn("cm_count", F.lit(1)), sk, "v", 8, 2)
+
+
+def test_cm_panel_matches_duckdb_twin_exactly(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import CM_SKETCH_ORACLE
+
+    srows = [
+        tuple(r)
+        for r in QUERIES["cm_token_counts_panel"].spark(spark, sf_dir).collect()
+    ]
+    drows = [
+        tuple(r) for r in duck_con(sf_dir).execute(CM_SKETCH_ORACLE).fetchall()
+    ]
+    assert srows == drows
+    # never-underestimate shows in the panel itself
+    assert all(cc >= tc for _t, tc, cc in srows)
+    names = list(QUERIES)
+    assert names.index("cm_token_counts_panel") >= 50
+    assert QUERIES["cm_token_counts_panel"].oracle is None
