@@ -505,11 +505,16 @@ def test_cm_merge_closure_is_exact_with_overlap(spark):
         merge_cm_sketches,
     )
 
-    df = spark.createDataFrame([(f"k{i % 11}",) for i in range(200)], "v string")
-    a = df.limit(120)
+    df = spark.createDataFrame(
+        [(f"k{i % 11}", i) for i in range(200)], "v string, i long"
+    )
+    # DETERMINISTIC split (an unordered limit() could pick different
+    # rows in each plan); the halves SHARE key values k0..k5, so the
+    # same cells accumulate from both parts
+    a = df.filter("i % 2 = 0 OR v < 'k6'")
     w, d = 16, 3
-    # counters are linear: merge over ANY split of the multiset equals
-    # the direct build over the concatenation
+    # counters are linear: merge over ANY decomposition whose parts sum
+    # to the same multiset equals the direct build over that multiset
     m = merge_cm_sketches(
         [build_cm_sketch(a, "v", w, d), build_cm_sketch(df.exceptAll(a), "v", w, d)],
         w, d,

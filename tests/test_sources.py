@@ -277,3 +277,40 @@ def test_training_shards_manifest_panel_matches_duckdb_twin(spark, sf_dir):
     names = list(QUERIES)
     assert names.index("training_shards_manifest") >= 50
     assert QUERIES["training_shards_manifest"].oracle is None
+
+
+def test_shard_null_key_raises_in_plan(spark):
+    """NULL keys have no shard identity — silent __HIVE_DEFAULT_PARTITION__
+    docs that no manifest row accounts for are exactly what the manifest
+    exists to prevent. Loud in-plan raise instead."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.sources.writers import shard_manifest
+
+    d = spark.createDataFrame([(1, 5), (None, 3)], "doc_id long, tok long")
+    with pytest.raises(Exception, match="NULL shard key"):
+        shard_manifest(d, "doc_id", 4, token_col="tok").collect()
+
+
+def test_shard_curriculum_ties_still_byte_equivalent(spark, tmp_path):
+    """A non-total curriculum order (all-tied quality score) must still
+    write identical shard content order across input layouts — the key
+    is always the final tiebreaker."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    d = _docs(spark).withColumn("quality", F.lit(1.0))  # every row ties
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    write_training_shards(
+        d.repartition(11), p1, "doc_id", 4, order_by=[F.col("quality").desc()]
+    )
+    write_training_shards(
+        d.coalesce(1), p2, "doc_id", 4, order_by=[F.col("quality").desc()]
+    )
+    for s in range(4):
+        a = [tuple(r) for r in spark.read.parquet(f"{p1}/shards/shard={s}").collect()]
+        b = [tuple(r) for r in spark.read.parquet(f"{p2}/shards/shard={s}").collect()]
+        assert a == b, f"tied curriculum order diverged in shard {s}"

@@ -1271,3 +1271,47 @@ def test_stream_incremental_dedup_bloom_prefilter_same_state(spark, tmp_path):
         idx, spark.read.parquet(bloom), "fingerprint", 63 * 512, 5
     )
     assert ann.filter("NOT may_contain").count() == 0
+
+
+def test_stream_bloom_enabled_after_store_exists_seeds_from_store(spark, tmp_path):
+    """THE bloom>=store invariant at enable time: turning bloom_path on
+    for a pipeline whose fingerprint store already has entries (or
+    recreating a lost bloom dir) must seed the filter FROM THE STORE —
+    a batch-only filter would mark dups of pre-bloom documents
+    guaranteed-novel and re-insert them."""
+    from yelp_business_data_pipeline_spark.streaming import stream_incremental_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    out, store, ckpt = (
+        str(tmp_path / "corpus"), str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    # day 1: NO bloom — the store is born without a filter
+    (src / "b1.json").write_text(
+        json.dumps({"doc_id": 1, "text": "pre bloom page body"})
+    )
+    stream_incremental_dedup(
+        spark, str(src), schema, out, store, ckpt
+    ).awaitTermination()
+    # day 2: bloom enabled; the batch carries a dup of the PRE-BLOOM doc
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 20, "text": "pre bloom page body"},  # dup of 1
+                {"doc_id": 21, "text": "genuinely new page"},
+            ]
+        )
+    )
+    stream_incremental_dedup(
+        spark, str(src), schema, out, store, ckpt,
+        bloom_path=str(tmp_path / "bloom"), bloom_bits=63 * 512, bloom_hashes=5,
+    ).awaitTermination()
+    final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert final == [1, 21], f"pre-bloom dup re-inserted: {final}"

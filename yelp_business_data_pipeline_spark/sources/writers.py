@@ -557,7 +557,21 @@ def shard_assignment(key, n_shards: int, salt: str = "shard:"):
     if n_shards < 1:
         raise ValueError(f"shard_assignment: n_shards must be >= 1, got {n_shards}")
     c = key if isinstance(key, Column) else F.col(key)
-    return F.pmod(portable_hash(c.cast("string"), salt=salt), F.lit(int(n_shards)))
+    # NULL keys have no shard identity: the hash would be NULL, the
+    # writer would emit a __HIVE_DEFAULT_PARTITION__ directory, and the
+    # manifest's range() join would silently drop the group — documents
+    # on disk that no manifest row accounts for, the exact silent loss
+    # the manifest exists to make impossible. Raise in-plan instead
+    # (merge_upsert's duplicate-key discipline).
+    guard = F.assert_true(
+        c.isNotNull(),
+        F.lit("shard_assignment: NULL shard key — shard membership is a "
+              "pure function of the key; drop or fill NULL keys first"),
+    )
+    return F.when(
+        guard.isNull(),
+        F.pmod(portable_hash(c.cast("string"), salt=salt), F.lit(int(n_shards))),
+    )
 
 
 def shard_manifest(
@@ -644,7 +658,13 @@ def write_training_shards(
 
     if "shard" in df.columns:
         raise ValueError("write_training_shards: column 'shard' already exists")
-    order = order_by if order_by is not None else [F.col(key_col)]
+    # the key column is ALWAYS the final tiebreaker: a caller-supplied
+    # curriculum sort (quality score, length) is rarely a total order,
+    # and tied rows would otherwise keep shuffle-arrival order — breaking
+    # the byte-equivalence contract across input layouts
+    order = list(order_by) + [F.col(key_col)] if order_by is not None else [
+        F.col(key_col)
+    ]
     sharded = (
         df.withColumn("shard", shard_assignment(key_col, n_shards, salt))
         .repartition(int(n_shards), F.col("shard"))
@@ -679,6 +699,12 @@ def merge_bloom_store(
     _recover_stale_swap(spark, fs, jvm, path)
     if not fs.exists(hpath):
         new_words.write.mode("overwrite").parquet(path)
+        return
+    # an empty fold is a no-op on an OR-bitmap — skip the full
+    # read+rewrite+swap of the store (streaming replays and dup-heavy
+    # batches deliver empty novel sets routinely; merge_upsert's
+    # fresh.isEmpty() short-circuit, same reason)
+    if new_words.isEmpty():
         return
     merged = merge_blooms(
         [spark.read.parquet(path), new_words], n_bits, n_hashes

@@ -383,24 +383,49 @@ def stream_incremental_dedup(
     raw = _json_file_stream(spark, source_dir, schema, max_files_per_trigger)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..operators.bloom import bloom_prefilter, build_bloom
+        from ..operators.bloom import bloom_may_contain, build_bloom
 
         unique = _collapse_one_row_per_id(batch_df, id_col, text_col)
         reps = _within_batch_fp_reps(unique, id_col, text_col, prefix_tokens)
         id_type = reps.schema[id_col].dataType
+        ann = None
+        if bloom_path is not None:
+            if not _path_exists(spark, bloom_path) and _path_exists(
+                spark, store_path
+            ):
+                # bloom enabled on a pipeline whose store PRE-EXISTS (or
+                # the bloom dir was lost): seed the filter from the
+                # store's fingerprints FIRST — a filter missing stored
+                # prints would mark their future dups guaranteed-novel
+                # and re-insert them (the bloom >= store invariant)
+                merge_bloom_store(
+                    build_bloom(
+                        spark.read.parquet(store_path).select("fingerprint"),
+                        "fingerprint",
+                        bloom_bits,
+                        bloom_hashes,
+                    ),
+                    bloom_path,
+                    bloom_bits,
+                    bloom_hashes,
+                )
         if bloom_path is not None and _path_exists(spark, bloom_path):
             fps = reps.withColumn("_fp", fingerprint(F.col(text_col), prefix_tokens))
-            bloom_novel, candidates = bloom_prefilter(
+            # explicit lifecycle instead of bloom_prefilter: an always-on
+            # stream must unpersist the probe frame per batch or leak one
+            # cache entry per micro-batch into executor storage
+            ann = bloom_may_contain(
                 fps, spark.read.parquet(bloom_path), "_fp",
                 bloom_bits, bloom_hashes,
-            )
+            ).persist()
             annotated = _annotate_against_store(
-                candidates.drop("_fp"), store_path, id_col, text_col,
-                prefix_tokens,
+                ann.filter(F.col("may_contain"))
+                .drop("may_contain", "_fp"),
+                store_path, id_col, text_col, prefix_tokens,
             ).unionByName(
-                bloom_novel.drop("_fp").withColumn(
-                    "dup_of", F.lit(None).cast(id_type)
-                )
+                ann.filter(~F.col("may_contain"))
+                .drop("may_contain", "_fp")
+                .withColumn("dup_of", F.lit(None).cast(id_type))
             )
         else:
             annotated = _annotate_against_store(
@@ -410,13 +435,14 @@ def stream_incremental_dedup(
         # window, store read, and rank-2 join all run twice per batch
         novel = annotated.filter(F.col("dup_of").isNull()).drop("dup_of").persist()
         try:
+            # ONE fingerprint-index projection feeds both the bloom fold
+            # and the store merge
+            idx = exact_fingerprint_index(novel, id_col, text_col, prefix_tokens)
             if bloom_path is not None:
                 # bloom folds FIRST — see the update-order invariant above
                 merge_bloom_store(
                     build_bloom(
-                        exact_fingerprint_index(
-                            novel, id_col, text_col, prefix_tokens
-                        ).select("fingerprint"),
+                        idx.select("fingerprint"),
                         "fingerprint",
                         bloom_bits,
                         bloom_hashes,
@@ -426,13 +452,11 @@ def stream_incremental_dedup(
                     bloom_hashes,
                 )
             merge_upsert(novel, out_path, keys=[id_col])
-            merge_upsert(
-                exact_fingerprint_index(novel, id_col, text_col, prefix_tokens),
-                store_path,
-                keys=["index_id"],
-            )
+            merge_upsert(idx, store_path, keys=["index_id"])
         finally:
             novel.unpersist()
+            if ann is not None:
+                ann.unpersist()
         if on_batch_complete is not None:
             on_batch_complete(epoch_id)
 
