@@ -271,3 +271,18 @@ def test_span_dedup_registry_tail_layout():
     names = list(QUERIES)
     assert names.index("c4_span_dedup_panel") >= 50
     assert QUERIES["c4_span_dedup_panel"].oracle is None
+
+
+def test_span_dedup_winner_is_aggregate_not_corpus_window(spark):
+    """The scale claim in the docstring: the global winner comes from a
+    min(struct) AGGREGATE on the span hash — the only Window in the plan
+    would be a corpus-wide sort; there must be none."""
+    from yelp_business_data_pipeline_spark.operators.text import c4_span_dedup
+
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    plan = (
+        c4_span_dedup(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

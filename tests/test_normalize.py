@@ -92,3 +92,99 @@ def test_separator_controls_become_spaces_not_deleted(spark):
     assert _one(spark, "a\x0bb", clean_control_chars(F.col("text"))) == "a b"
     # non-separator controls still delete outright
     assert _one(spark, "a\x00b", clean_control_chars(F.col("text"))) == "ab"
+
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (normalize.fix_mojibake)
+# ---------------------------------------------------------------------------
+
+
+MOJI_ORIGINALS = [
+    "caf\u00e9",
+    "don\u2019t",
+    "ASCII only stays",
+    "na\u00efve r\u00e9sum\u00e9",
+    "emoji: \U0001f600",
+    "mixed \u00fc and \u201cquotes\u201d and \u2014 dash",
+]
+
+
+def _garble(s: str) -> str:
+    return s.encode("utf-8").decode("latin-1")
+
+
+def test_mojibake_python_model_matrix():
+    from yelp_business_data_pipeline_spark.operators.normalize import (
+        _fix_mojibake_str,
+    )
+
+    for o in MOJI_ORIGINALS:
+        assert _fix_mojibake_str(_garble(o)) == o, o
+        # clean text is a fixed point
+        assert _fix_mojibake_str(o) == o, o
+    # double-encoded repairs in one call; the op is idempotent
+    d = _garble(_garble("caf\u00e9 \u2014 ok"))
+    assert _fix_mojibake_str(d) == "caf\u00e9 \u2014 ok"
+    assert _fix_mojibake_str(_fix_mojibake_str(d)) == _fix_mojibake_str(d)
+    # strict-roundtrip boundary: a telltale that is NOT valid re-encoded
+    # UTF-8 survives byte-for-byte (never replacement chars)
+    dangling = "\u00c3 literally dangling"
+    assert _fix_mojibake_str(dangling) == dangling
+    assert _fix_mojibake_str(None) is None
+
+
+def test_mojibake_spark_column_matches_model(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.normalize import (
+        _fix_mojibake_str,
+        fix_mojibake,
+    )
+
+    rows = [(i, _garble(o)) for i, o in enumerate(MOJI_ORIGINALS)] + [
+        (99, None),
+        (100, "\u00c3 literally dangling"),
+    ]
+    df = spark.createDataFrame(rows, "i long, g string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select("i", fix_mojibake(F.col("g")).alias("f")).collect()
+    }
+    for i, g in rows:
+        assert got[i] == _fix_mojibake_str(g), (i, g)
+
+
+def test_mojibake_corpus_roundtrip_and_idempotency(spark, sf_dir):
+    """Garble the whole documents table in-plan (Spark's unvalidated
+    decode/encode — synthesis only), repair, compare to the original
+    bytes; a second repair pass changes nothing."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.normalize import fix_mojibake
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" na\u00efve caf\u00e9 \u2014")).alias("orig"),
+    )
+    g = d.withColumn(
+        "garbled", F.decode(F.encode(F.col("orig"), "UTF-8"), "ISO-8859-1")
+    )
+    r = g.withColumn("fixed", fix_mojibake(F.col("garbled")))
+    assert r.filter(F.col("fixed") != F.col("orig")).count() == 0
+    r2 = r.withColumn("fixed2", fix_mojibake(F.col("fixed")))
+    assert r2.filter(F.col("fixed2") != F.col("fixed")).count() == 0
+
+
+def test_mojibake_panel_live_invariants_and_registry(spark, sf_dir):
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["mojibake_repair_panel"].spark(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_repaired_to_original"] == r["n_docs"]
+    assert r["n_changed_by_garble"] == r["n_injected"] > 0
+    assert r["telltales_before"] > 0 and r["telltales_after"] == 0
+    names = list(QUERIES)
+    assert names.index("mojibake_repair_panel") >= 50
+    assert QUERIES["mojibake_repair_panel"].oracle is None

@@ -384,3 +384,19 @@ def test_temperature_sample_null_stratum_is_a_real_domain(spark):
         i for i, d, _t in rows if d is None and _unit(i, "tmix:") < 0.5
     }
     assert {r["doc_id"] for r in kept_null} == expect
+
+
+def test_temperature_sample_rates_join_is_broadcast(spark):
+    """The corpus never shuffles for the rates join: the tiny domains
+    frame broadcasts."""
+    from yelp_business_data_pipeline_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(TMIX_DOCS, "doc_id long, domain string, tok long")
+    plan = (
+        temperature_sample(df, "doc_id", "domain", "tok", 0.5, 3000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -100,3 +100,79 @@ def fold_accents(text: Column) -> Column:
     The canonical blocking key for names ("Núñez" -> "Nunez" matches
     "Nunez"); lossy by design — keep the original column alongside."""
     return _make_fold()(text)
+
+
+#: Telltale lead characters of UTF-8-decoded-as-Latin-1/cp1252 text
+#: ("mojibake"): every 2-4-byte UTF-8 sequence misdecoded that way
+#: STARTS with one of these. Class-based, used as a cheap per-row gate
+#: so clean (ASCII) rows never pay the codec work.
+_MOJIBAKE_TELLTALE = "[\u00c2-\u00c3\u00c5\u00d0\u00d1\u00e2\u00e3\u00ec\u00ed\u00f0-\u00f4\u0192\u201a\u0161\u017e]"
+
+
+def _fix_mojibake_str(t, max_passes: int = 3):
+    """From-scratch ftfy-core: invert UTF-8-bytes-decoded-as-cp1252 (the
+    dominant web mojibake), iterating for double-encoded text, with a
+    STRICT roundtrip as the acceptance rule — if re-encoding through
+    cp1252 (latin-1 fallback for the five cp1252 holes) or the UTF-8
+    decode fails, the text is returned unchanged. Deterministic, no
+    fuzzy scoring."""
+    import re
+
+    if t is None:
+        return None
+    pat = re.compile(_MOJIBAKE_TELLTALE)
+    for _ in range(max_passes):
+        if not pat.search(t):
+            return t
+        try:
+            b = t.encode("cp1252")
+        except UnicodeEncodeError:
+            try:
+                b = t.encode("latin-1")
+            except UnicodeEncodeError:
+                return t
+        try:
+            fixed = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return t
+        if fixed == t:
+            return t
+        t = fixed
+    return t
+
+
+def _make_mojibake_fixer():
+    # session-bound for the same reason as the other pandas_udfs here
+    @pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        return s.map(_fix_mojibake_str)
+
+    return _fix
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair the classic web-crawl encoding corruption: UTF-8 bytes that
+    were decoded as Latin-1/cp1252 somewhere upstream ("caf\u00c3\u00a9"
+    for "caf\u00e9") — the core transform of the public ftfy tool,
+    reduced to its deterministic strict-roundtrip case.
+
+    Semantics (documented boundaries, pinned in pytest):
+
+    - repair applies ONLY when the text carries a mojibake telltale lead
+      char AND the full cp1252(/latin-1)->UTF-8 roundtrip succeeds
+      STRICTLY — no replacement characters, no partial fixes; anything
+      else returns unchanged. Genuine text that happens to contain a
+      telltale but is not valid re-encoded UTF-8 survives intact;
+    - double-encoded text (garbled twice) repairs in the same call
+      (bounded iteration, stable-point stop) — the operator is
+      idempotent: ``fix(fix(x)) == fix(x)``;
+    - ASCII is untouched by construction (no telltales), so the Arrow
+      kernel's per-row regex gate keeps the common case C-speed cheap.
+
+    Codec work is genuinely outside SQL builtins — the sanctioned
+    Pandas-UDF case (the `normalize_unicode` rule). Row-local,
+    shuffle-free. Spark's own ``decode(encode(x, 'ISO-8859-1'), 'UTF-8')``
+    is the JVM-side UNVALIDATED equivalent (it emits replacement chars on
+    genuine text instead of leaving it alone) — used by the panel to
+    SYNTHESIZE mojibake in-plan, never to repair."""
+    return _make_mojibake_fixer()(text)
