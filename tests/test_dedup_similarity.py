@@ -3,6 +3,8 @@ vs the brute-force oracle, embedding near-dup blocking recall."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -731,3 +733,65 @@ def test_blocker_guards_are_on_by_default():
         .default
         == 10_000
     )
+
+
+# ---------------------------------------------------------------------------
+# soft dedup (dedup.soft_dedup_weights)
+# ---------------------------------------------------------------------------
+
+
+def test_soft_dedup_weights_model_and_unit_mass(spark):
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None)],
+        "i long, k string",
+    )
+    out = soft_dedup_weights(df, "k")
+    rows = {r["i"]: (r["dup_cluster_size"], r["sample_weight"]) for r in out.collect()}
+    third = math.floor((1 / 3) * 1e9 + 0.5) / 1e9
+    assert rows[1] == rows[2] == rows[3] == (3, third)
+    assert rows[4] == (1, 1.0)
+    # NULL keys: no identity, never a cluster — each row stands alone
+    assert rows[5] == rows[6] == (1, 1.0)
+    # unit mass: every cluster contributes 1.0 (modulo the documented
+    # 1e-9 rounding); NULL rows contribute 1.0 each
+    total = out.agg(F.sum("sample_weight")).first()[0]
+    assert abs(total - (2 + 2)) < 1e-6  # clusters a,b + two NULL rows
+
+
+def test_soft_dedup_guards_and_layout(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame([(1, "a")], "i long, k string")
+    with pytest.raises(ValueError, match="already exists"):
+        soft_dedup_weights(df.withColumn("sample_weight", F.lit(1.0)), "k")
+    big = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(50)], "i long, k string"
+    )
+    a = sorted(map(tuple, soft_dedup_weights(big.repartition(7), "k").collect()))
+    b = sorted(map(tuple, soft_dedup_weights(big.coalesce(1), "k").collect()))
+    assert a == b
+
+
+def test_soft_dedup_panel_matches_duckdb_twin(spark, sf_dir):
+    from tests.oracle_harness import duck_con
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import SOFT_DEDUP_ORACLE
+
+    srows = [
+        tuple(r) for r in QUERIES["soft_dedup_panel"].spark(spark, sf_dir).collect()
+    ]
+    drows = [tuple(r) for r in duck_con(sf_dir).execute(SOFT_DEDUP_ORACLE).fetchall()]
+    assert srows == drows
+    # sum of weights == cluster count, size-bucket by size-bucket
+    for _size, _n, n_clusters, total_w in srows:
+        assert abs(total_w - n_clusters) < 1e-5
+    names = list(QUERIES)
+    assert names.index("soft_dedup_panel") >= 50
+    assert QUERIES["soft_dedup_panel"].oracle is None

@@ -481,3 +481,48 @@ def with_simhash(
     return hashed.withColumn(out_col, simhash_from_hashes(F.col("_token_hashes"), bits)).drop(
         "_token_hashes"
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    key: Column | str,
+    weight_col: str = "sample_weight",
+    size_col: str = "dup_cluster_size",
+) -> DataFrame:
+    """The SOFT alternative to hard dedup: keep every copy, down-weight
+    each row by its duplicate-cluster size so the CLUSTER contributes
+    unit sampling mass (`weight = 1/n`). Where hard dedup throws away
+    ordering/provenance variation between copies, soft dedup preserves
+    it for the sampler/loss-weighting stage — the trade-off the dedup
+    literature discusses against Lee et al. 2022's removal (repetition's
+    training cost, Muennighoff et al. 2023, is paid by WEIGHT here, not
+    by epochs).
+
+    ``key`` is the duplicate-cluster key — typically ``text.fingerprint``
+    for exact identity or the connected-component label from the
+    near-dup stack for fuzzy clusters. NULL keys get weight 1.0 and size
+    1 (no identity — never a cluster, the frontier rule).
+
+    Invariant (pinned): ``sum(weight)`` over the corpus ==
+    ``countDistinct(key) + count(NULL keys)`` exactly in rounded space —
+    every cluster contributes 1.0.
+
+    One hash aggregate + one equi-join on the cluster key (the
+    fingerprint-store shape; bucket the frame on the key to make the
+    join exchange-free). Weights round to 9 decimals (the
+    rounded-before-threshold rule) so downstream engine-portable
+    samplers see identical values."""
+    k = F.col(key) if isinstance(key, str) else key
+    if weight_col in df.columns or size_col in df.columns:
+        raise ValueError("soft_dedup_weights: output column already exists")
+    keyed = df.withColumn("_sd_key", k)
+    sizes = keyed.groupBy("_sd_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    out = keyed.join(sizes, "_sd_key", "left")
+    size = F.when(F.col("_sd_key").isNull(), F.lit(1)).otherwise(F.col("_n"))
+    return out.select(
+        *df.columns,
+        size.cast("bigint").alias(size_col),
+        F.round(F.lit(1.0) / size.cast("double"), 9).alias(weight_col),
+    )
