@@ -795,3 +795,16 @@ def test_soft_dedup_panel_matches_duckdb_twin(spark, sf_dir):
     names = list(QUERIES)
     assert names.index("soft_dedup_panel") >= 50
     assert QUERIES["soft_dedup_panel"].oracle is None
+
+
+def test_soft_dedup_internal_name_collision_raises(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame([(1, "a")], "i long, k string")
+    with pytest.raises(ValueError, match="_sd_key"):
+        soft_dedup_weights(df.withColumn("_sd_key", F.lit("x")), "k")
+    with pytest.raises(ValueError, match="_sd_key"):
+        soft_dedup_weights(df.withColumn("_n", F.lit(1)), "k")

@@ -515,6 +515,12 @@ def soft_dedup_weights(
     k = F.col(key) if isinstance(key, str) else key
     if weight_col in df.columns or size_col in df.columns:
         raise ValueError("soft_dedup_weights: output column already exists")
+    if "_sd_key" in df.columns or "_n" in df.columns:
+        raise ValueError(
+            "soft_dedup_weights: input carries the internal column name "
+            "'_sd_key' or '_n' — rename it first (silent overwrite would "
+            "corrupt the echoed-back columns)"
+        )
     keyed = df.withColumn("_sd_key", k)
     sizes = keyed.groupBy("_sd_key").agg(
         F.count(F.lit(1)).cast("bigint").alias("_n")

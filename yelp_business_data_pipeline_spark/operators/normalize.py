@@ -103,10 +103,24 @@ def fold_accents(text: Column) -> Column:
 
 
 #: Telltale lead characters of UTF-8-decoded-as-Latin-1/cp1252 text
-#: ("mojibake"): every 2-4-byte UTF-8 sequence misdecoded that way
-#: STARTS with one of these. Class-based, used as a cheap per-row gate
-#: so clean (ASCII) rows never pay the codec work.
-_MOJIBAKE_TELLTALE = "[\u00c2-\u00c3\u00c5\u00d0\u00d1\u00e2\u00e3\u00ec\u00ed\u00f0-\u00f4\u0192\u201a\u0161\u017e]"
+#: ("mojibake"): the valid UTF-8 lead bytes are exactly 0xC2-0xF4, and
+#: cp1252 agrees with latin-1 over that whole range, so EVERY misdecoded
+#: multi-byte sequence starts with a char in this single contiguous
+#: class — Latin accents, CJK (0xE4-0xE9 leads), Cyrillic/Hebrew/Arabic
+#: (0xD0-0xDB) alike. Used as a cheap per-row gate so clean (ASCII)
+#: rows never pay the codec work.
+_MOJIBAKE_TELLTALE = "[\u00c2-\u00f4]"
+
+_MOJIBAKE_RE = None  # compiled lazily at module scope (workers import once)
+
+
+def _moji_pat():
+    global _MOJIBAKE_RE
+    if _MOJIBAKE_RE is None:
+        import re
+
+        _MOJIBAKE_RE = re.compile(_MOJIBAKE_TELLTALE)
+    return _MOJIBAKE_RE
 
 
 def _fix_mojibake_str(t, max_passes: int = 3):
@@ -115,12 +129,16 @@ def _fix_mojibake_str(t, max_passes: int = 3):
     STRICT roundtrip as the acceptance rule — if re-encoding through
     cp1252 (latin-1 fallback for the five cp1252 holes) or the UTF-8
     decode fails, the text is returned unchanged. Deterministic, no
-    fuzzy scoring."""
-    import re
+    fuzzy scoring.
 
+    Pass exhaustion (text garbled MORE than ``max_passes`` times —
+    vanishingly rare at 3) returns the ORIGINAL input, never a
+    partially-unwrapped intermediate: the no-partial-fixes rule is what
+    keeps the operator idempotent in every case."""
     if t is None:
         return None
-    pat = re.compile(_MOJIBAKE_TELLTALE)
+    pat = _moji_pat()
+    orig = t
     for _ in range(max_passes):
         if not pat.search(t):
             return t
@@ -138,14 +156,39 @@ def _fix_mojibake_str(t, max_passes: int = 3):
         if fixed == t:
             return t
         t = fixed
-    return t
+    # pass budget exhausted: t is only acceptable if it is a FIXED POINT
+    # (one more strict roundtrip would fail or change nothing) — clean
+    # accented text sits in the telltale class (0xE9 is a telltale char
+    # AND a real e-acute), so the regex can't answer this; the roundtrip
+    # can. Mid-ladder (another pass would still unwrap) -> refuse the
+    # partial fix, return the original input (idempotency).
+    try:
+        b = t.encode("cp1252")
+    except UnicodeEncodeError:
+        try:
+            b = t.encode("latin-1")
+        except UnicodeEncodeError:
+            return t
+    try:
+        fixed = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return t
+    return t if fixed == t else orig
 
 
 def _make_mojibake_fixer():
     # session-bound for the same reason as the other pandas_udfs here
     @pandas_udf("string")
     def _fix(s: pd.Series) -> pd.Series:
-        return s.map(_fix_mojibake_str)
+        # vectorized gate: only telltale-bearing rows pay a Python call
+        # into the codec path — on the dominant ASCII corpus the whole
+        # batch reduces to one C-speed str.contains scan
+        mask = s.str.contains(_MOJIBAKE_TELLTALE, regex=True, na=False)
+        if not mask.any():
+            return s
+        out = s.copy()
+        out[mask] = s[mask].map(_fix_mojibake_str)
+        return out
 
     return _fix
 
