@@ -23,6 +23,7 @@ def test_query_matches_oracle(name, spark, sf_dir):
         ("sessionize_events", "SESSIONIZE_USER_ORACLE"),
         ("setops_customer_cohorts", "SETOPS_COHORTS_ORACLE"),
         ("approx_aggregates", "APPROX_AGGREGATES_ORACLE"),
+        ("weighted_sample_orders", "WEIGHTED_SAMPLE_ORACLE"),
     ],
 )
 def test_demoted_twins_still_match(name, const, spark, sf_dir):

@@ -139,12 +139,18 @@ def test_host_extraction_null_for_non_urls(spark):
     assert got == [None, "h.x", "pad.ded"]  # padded input still resolves
 
 
-def test_registry_tail_layout():
+def test_registry_gate_position():
+    """Promoted into the 50-slot driver gate in the r9 fourth rotation
+    swap — the registration must sit inside the gate AND carry the
+    URL_CANONICAL_ORACLE twin."""
     from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        URL_CANONICAL_ORACLE,
+    )
 
     names = list(QUERIES)
-    assert names.index("url_canonical_panel") >= 50
-    assert QUERIES["url_canonical_panel"].oracle is None
+    assert names.index("url_canonical_panel") < 50
+    assert QUERIES["url_canonical_panel"].oracle == URL_CANONICAL_ORACLE
 
 
 def test_frontier_dedup(spark):
