@@ -588,3 +588,20 @@ def test_cm_panel_matches_duckdb_twin_exactly(spark, sf_dir):
     names = list(QUERIES)
     assert names.index("cm_token_counts_panel") >= 50
     assert QUERIES["cm_token_counts_panel"].oracle is None
+
+
+def test_cm_weighted_build_equals_raw_build(spark):
+    """Linearity: building from pre-aggregated (value, count) rows is
+    cell-identical to building from the raw multiset — what lets the
+    panel explode the corpus once."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.cmsketch import (
+        build_cm_sketch,
+    )
+
+    raw = spark.createDataFrame([(f"k{i % 9}",) for i in range(123)], "v string")
+    agg = raw.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    a = build_cm_sketch(raw, "v", 16, 3)
+    b = build_cm_sketch(agg, "v", 16, 3, count_col="n")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -108,16 +108,30 @@ def build_cm_sketch(
     width: int,
     depth: int,
     impl: str = "md5",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch over ``df[value_col]`` occurrences (a MULTISET —
     duplicate rows count; NULLs ignored, the sketch-family rule).
     Output: ``(row int, col int, cnt long, width int, depth int)``,
-    nonzero cells only."""
+    nonzero cells only.
+
+    ``count_col``: build from PRE-AGGREGATED (value, count) rows instead
+    of raw occurrences — each key contributes its count to its cells.
+    ``build(raw) == build(groupBy(value).count(), count_col=...)``
+    exactly (linearity, pinned in pytest), and when the caller already
+    needs the per-key counts (the panel does), the corpus explodes
+    ONCE: the sketch builds from the |vocab|-sized aggregate."""
     _validate(width, depth)
+    cells = _cells(
+        df, value_col, width, depth, impl,
+        carry=(count_col,) if count_col else (),
+    )
+    contrib = (
+        F.sum(F.col(count_col)) if count_col else F.count(F.lit(1))
+    )
     return (
-        _cells(df, value_col, width, depth, impl)
-        .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        cells.groupBy("row", "col")
+        .agg(contrib.cast("bigint").alias("cnt"))
         .withColumn("width", F.lit(int(width)).cast("int"))
         .withColumn("depth", F.lit(int(depth)).cast("int"))
     )
