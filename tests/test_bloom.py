@@ -165,12 +165,17 @@ def test_panel_matches_duckdb_twin_exactly(spark, sf_dir):
     )
 
 
-def test_registry_tail_layout():
+def test_registry_gate_layout():
+    """Promoted into the 50-slot gate in the r10 rotation: the panel must
+    sit in the driver-executed prefix WITH its exact twin attached."""
     from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        BLOOM_MEMBERSHIP_ORACLE,
+    )
 
     names = list(QUERIES)
-    assert names.index("bloom_membership_panel") >= 50
-    assert QUERIES["bloom_membership_panel"].oracle is None
+    assert names.index("bloom_membership_panel") < 50
+    assert QUERIES["bloom_membership_panel"].oracle == BLOOM_MEMBERSHIP_ORACLE
 
 
 def test_prefilter_equals_direct_store_join(spark):

@@ -265,12 +265,17 @@ def test_span_dedup_panel_matches_duckdb_twin_exactly(spark, sf_dir):
     assert sum(r[4] for r in srows) > 0  # docs_changed
 
 
-def test_span_dedup_registry_tail_layout():
+def test_span_dedup_registry_gate_layout():
+    """Promoted into the 50-slot gate in the r10 rotation: the panel must
+    sit in the driver-executed prefix WITH its exact twin attached."""
     from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        C4_SPAN_DEDUP_ORACLE,
+    )
 
     names = list(QUERIES)
-    assert names.index("c4_span_dedup_panel") >= 50
-    assert QUERIES["c4_span_dedup_panel"].oracle is None
+    assert names.index("c4_span_dedup_panel") < 50
+    assert QUERIES["c4_span_dedup_panel"].oracle == C4_SPAN_DEDUP_ORACLE
 
 
 def test_span_dedup_winner_is_aggregate_not_corpus_window(spark):

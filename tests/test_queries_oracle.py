@@ -24,10 +24,12 @@ def test_query_matches_oracle(name, spark, sf_dir):
         ("setops_customer_cohorts", "SETOPS_COHORTS_ORACLE"),
         ("approx_aggregates", "APPROX_AGGREGATES_ORACLE"),
         ("weighted_sample_orders", "WEIGHTED_SAMPLE_ORACLE"),
+        ("sentiment_by_source", "SENTIMENT_BY_SOURCE_ORACLE"),
+        ("item_cooccurrence_pairs", "ITEM_COOCCURRENCE_ORACLE"),
     ],
 )
 def test_demoted_twins_still_match(name, const, spark, sf_dir):
-    """The r8/r9 gate rotations demoted these to rows-only trackers; their
+    """The r8/r9/r10 gate rotations demoted these to rows-only trackers; their
     exact DuckDB twins survive as constants and this pin is the pytest
     half of the rotation contract (COVERAGE.md 'Oracle-gate rotation'):
     the exactness check never lapses while a query is out of the gate."""
