@@ -46,6 +46,11 @@ def main() -> None:
     # budget: first-run codegen/JIT landing inside a single run's
     # 3-sample median. One throwaway run moves that one-off here.
     run("lsh_ann_topk")
+    # Same signature on the IVF kernel (sample-collect -> numpy k-means
+    # quantizer train + assignment argmin pass): ivf_ann_topk flagged
+    # 1.5-1.9x its committed baseline in the r8 AND r9 driver benches —
+    # VERDICT r9 item 3 extends the warm-up to it.
+    run("ivf_ann_topk")
 
     # Median of 3: the first run pays one-off costs (file-index build per
     # table, codegen cache) and any run can catch a GC/scheduler hiccup —
@@ -61,6 +66,18 @@ def main() -> None:
             t0 = time.perf_counter()
             run(name)
             samples.append(time.perf_counter() - t0)
+        # Noise floor (VERDICT r9 item 8): sub-second queries have flapped
+        # +-2x across driver benches three rounds running (graph_two_hop
+        # 0.36 -> 0.73, integrity_orphan 0.36 -> 0.65) — at that runtime a
+        # single scheduler/GC hiccup IS the median of 3. Queries whose
+        # 3-sample median lands under 1 s take two more samples and report
+        # the median of 5; the extra cost is bounded by the very property
+        # that triggers it (<1 s each).
+        if statistics.median(samples) < 1.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run(name)
+                samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)

@@ -27,8 +27,10 @@ Documented boundaries (stated, not silent): duplicate params are kept
 (dropping them changes semantics for multi-value params), percent-encoding
 is preserved byte-for-byte (case-folding ``%2f``→``%2F`` needs a callback
 replace, not available as a portable SQL expression),
-``registrable_domain`` is a last-two-labels heuristic (the real rule needs
-the public-suffix list — a lookup table join when a deployment ships one),
+``registrable_domain`` (the bare Column expression) is a last-two-labels
+heuristic — :func:`with_registrable_domain` with a user-supplied
+public-suffix-list table (r10) runs the full publicsuffix.org algorithm
+as broadcast joins, and the heuristic stays the no-table default —
 and IPv6 bracket-literal authorities (``http://[2001:db8::1]/``)
 canonicalize to NULL — the loud non-URL path — rather than risk the
 first-colon host rule collapsing distinct IPv6 hosts into one frontier
@@ -161,8 +163,152 @@ def canonical_url(u: Column) -> Column:
 def registrable_domain(host: Column) -> Column:
     """Last-two-labels heuristic (``a.b.example.com`` -> ``example.com``).
     Correct for generic TLDs; two-level public suffixes (``.co.uk``) need
-    the public-suffix table — the documented boundary above."""
+    the public-suffix table — :func:`with_registrable_domain` with a PSL
+    frame is the full-rule path; this expression stays the no-table
+    default (and the two agree wherever the matched public suffix is one
+    label)."""
     return F.regexp_extract(host, "([^.]+[.][^.]+)$", 1)
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "registrable_domain",
+    psl: DataFrame | None = None,
+    suffix_col: str = "suffix",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Registrable domain per the publicsuffix.org algorithm when a PSL
+    table is supplied; the last-two-labels heuristic otherwise.
+
+    ``psl``: one string column ``suffix_col`` holding the list's rules
+    verbatim — plain suffixes (``com``, ``co.uk``), wildcard rules
+    (``*.ck``), and exception rules (``!www.ck``). The list is PUBLIC
+    data (publicsuffix.org); this engine ships no copy — deployments
+    pass the table they already vendor.
+
+    Spark-first shape (the 100-TB check): the PSL is ~10k tiny rows, so
+    rule matching is ``max_suffix_labels`` BROADCAST left joins — one per
+    candidate suffix length, each probing the host's last-``j`` labels
+    against the aggregated rule table map-side. The corpus never
+    shuffles, never explodes (no row multiplication), and the whole
+    match is JVM expressions + broadcast hash joins. The one exchange in
+    the plan is the groupBy folding the TINY rule table itself.
+
+    Longest-match / wildcard / exception semantics (publicsuffix.org):
+    exceptions beat wildcards beat shorter rules; a wildcard ``*.X``
+    makes every direct child of ``X`` a public suffix; no match at all
+    falls back to the implicit ``*`` rule (last label is the suffix —
+    exactly the heuristic). A host that IS a public suffix (``co.uk``)
+    gets NULL — it names no registrant, and counting it as a domain is
+    the frontier-stats bug this path exists to fix. NULL/unknown hosts
+    stay NULL. Raise ``max_suffix_labels`` if your PSL snapshot carries
+    longer rules than its default covers (the current public list tops
+    out at 4 dotted labels; the guard below raises loudly rather than
+    silently mis-grouping)."""
+    host = F.col(host_col)
+    if psl is None:
+        return df.withColumn(
+            out_col, F.when(host.isNotNull(), registrable_domain(host))
+        )
+
+    # Fold the rule list into (suffix -> which rule kinds name it). The
+    # groupBy is over the ~10k-row PSL, not the corpus. Wildcards are
+    # keyed by their TAIL (the part after '*.') — a wildcard match is
+    # "the last j labels equal the tail and a j+1-th label exists".
+    rules = psl.select(
+        F.when(
+            F.col(suffix_col).startswith("!"), F.expr(f"substring({suffix_col}, 2)")
+        )
+        .when(
+            F.col(suffix_col).startswith("*."),
+            F.expr(f"substring({suffix_col}, 3)"),
+        )
+        .otherwise(F.col(suffix_col))
+        .alias("_sfx"),
+        F.col(suffix_col).startswith("!").alias("_is_exc"),
+        F.col(suffix_col).startswith("*.").alias("_is_wild"),
+    ).groupBy("_sfx").agg(
+        F.max(
+            (~F.col("_is_exc") & ~F.col("_is_wild")).cast("boolean")
+        ).alias("_exact"),
+        F.max("_is_wild").alias("_wild"),
+        F.max("_is_exc").alias("_exc"),
+    )
+    n_over = rules.filter(
+        F.size(F.split(F.col("_sfx"), "[.]")) > max_suffix_labels
+    ).count()
+    if n_over:
+        raise ValueError(
+            f"with_registrable_domain: {n_over} PSL rules have more than "
+            f"max_suffix_labels={max_suffix_labels} labels — raise the "
+            "parameter or those rules silently never match"
+        )
+
+    labels = F.split(host, "[.]")
+    n = F.size(labels)
+    out = df.withColumn("_rd_n", n)
+    # candidate suffix of length j = the host's last j labels
+    for j in range(1, max_suffix_labels + 1):
+        sfx_j = F.when(
+            F.col("_rd_n") >= j,
+            F.array_join(F.slice(F.split(host, "[.]"), -j, j), "."),
+        )
+        r = rules.select(
+            F.col("_sfx").alias(f"_rd_sfx{j}"),
+            F.col("_exact").alias(f"_rd_exact{j}"),
+            F.col("_wild").alias(f"_rd_wild{j}"),
+            F.col("_exc").alias(f"_rd_exc{j}"),
+        )
+        out = out.withColumn(f"_rd_cand{j}", sfx_j).join(
+            F.broadcast(r),
+            F.col(f"_rd_cand{j}") == F.col(f"_rd_sfx{j}"),
+            "left",
+        )
+    # public-suffix length: exceptions dominate (ps = j - 1), else the
+    # longest of exact-at-j (ps = j) and wildcard-tail-at-j (ps = j + 1,
+    # only when that j+1-th label exists), else the implicit '*' (ps = 1)
+    exc_ps = F.greatest(
+        *[
+            F.when(F.coalesce(F.col(f"_rd_exc{j}"), F.lit(False)), F.lit(j - 1))
+            for j in range(1, max_suffix_labels + 1)
+        ]
+    )
+    rule_ps = F.greatest(
+        F.lit(1),
+        *[
+            F.when(F.coalesce(F.col(f"_rd_exact{j}"), F.lit(False)), F.lit(j))
+            for j in range(1, max_suffix_labels + 1)
+        ],
+        *[
+            F.when(
+                F.coalesce(F.col(f"_rd_wild{j}"), F.lit(False))
+                & (F.col("_rd_n") >= j + 1),
+                F.lit(j + 1),
+            )
+            for j in range(1, max_suffix_labels + 1)
+        ],
+    )
+    ps_len = F.coalesce(exc_ps, rule_ps)
+    # registrable = the last ps_len+1 labels; NULL when the host IS a
+    # public suffix (n == ps_len) or shorter
+    reg = F.when(
+        host.isNotNull() & (F.col("_rd_n") > ps_len),
+        F.array_join(
+            F.slice(
+                F.split(host, "[.]"),
+                (ps_len + F.lit(1)) * F.lit(-1),
+                ps_len + F.lit(1),
+            ),
+            ".",
+        ),
+    )
+    drop = ["_rd_n"] + [
+        c
+        for j in range(1, max_suffix_labels + 1)
+        for c in (f"_rd_cand{j}", f"_rd_sfx{j}", f"_rd_exact{j}", f"_rd_wild{j}", f"_rd_exc{j}")
+    ]
+    return out.withColumn(out_col, reg).drop(*drop)
 
 
 def canonicalize_urls(
