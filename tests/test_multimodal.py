@@ -389,3 +389,98 @@ def test_png_jpeg_probe_rejects_corrupt_headers_best_effort(spark):
     df = df.withColumn("media_meta", media_meta_expr(F.col("payload"), "image"))
     for r in probe_media_meta(df).collect():
         assert r.media_meta.width is None and r.media_meta.height is None
+
+
+def _make_gif_header(w=11, h=7, version=b"89a"):
+    import struct
+
+    return b"GIF" + version + struct.pack("<HH", w, h) + bytes(3)
+
+
+def _make_webp(kind, w=33, h=21):
+    import struct
+
+    if kind == "lossy":
+        body = (
+            b"VP8 " + struct.pack("<I", 10) + bytes(3)  # frame tag
+            + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        )
+    elif kind == "lossless":
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"VP8L" + struct.pack("<I", 5) + b"\x2f" + struct.pack("<I", bits) + b"\x00"
+    else:
+        body = (
+            b"VP8X" + struct.pack("<I", 10) + bytes(4)
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def test_gif_webp_header_probe_through_arrow_path(spark):
+    """VERDICT r9 item 6: GIF logical-screen and WebP RIFF dimensions
+    (all three bitstream layouts: VP8 lossy / VP8L lossless / VP8X
+    extended) via pure struct parsing, flowing through probe_media_meta's
+    mapInPandas path like PNG/JPEG."""
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        media_meta_expr,
+        parse_gif_meta,
+        parse_webp_meta,
+        probe_media_meta,
+    )
+
+    gif = _make_gif_header(11, 7)
+    assert parse_gif_meta(gif) == {"width": 11, "height": 7, "version": "89a"}
+    assert parse_gif_meta(_make_gif_header(2, 3, b"87a"))["version"] == "87a"
+    cases = {
+        "lossy": _make_webp("lossy"),
+        "lossless": _make_webp("lossless"),
+        "extended": _make_webp("extended"),
+    }
+    for kind, blob in cases.items():
+        meta = parse_webp_meta(blob)
+        assert meta == {"width": 33, "height": 21, "kind": kind}, kind
+
+    rows = [(0, bytearray(gif))] + [
+        (i + 1, bytearray(b)) for i, b in enumerate(cases.values())
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    df = df.withColumn("media_meta", media_meta_expr(F.col("payload"), "image"))
+    probed = {r.media_id: r.media_meta for r in probe_media_meta(df).collect()}
+    assert (probed[0].width, probed[0].height) == (11, 7)
+    for i in (1, 2, 3):
+        assert (probed[i].width, probed[i].height) == (33, 21)
+
+
+def test_gif_webp_probe_rejects_corrupt_headers_best_effort(spark):
+    """Truncated/corrupt GIF and WebP payloads return None from the
+    parsers and keep NULL dims through the Arrow path — never an
+    executor error (the PNG/JPEG corrupt-matrix discipline)."""
+    import struct
+
+    from yelp_business_data_pipeline_spark.operators.multimodal import (
+        media_meta_expr,
+        parse_gif_meta,
+        parse_webp_meta,
+        probe_media_meta,
+    )
+
+    cases = [
+        _make_gif_header()[:9],                        # truncated descriptor
+        b"GIF99a" + struct.pack("<HH", 4, 4) + bytes(3),  # unknown version
+        b"GIF89a" + struct.pack("<HH", 0, 4) + bytes(3),  # zero width
+        _make_webp("lossy")[:20],                      # truncated chunk
+        b"RIFF" + bytes(4) + b"WAVE" + bytes(20),      # RIFF but not WEBP
+        _make_webp("lossy").replace(b"\x9d\x01\x2a", b"\x9d\x01\x2b"),  # bad sync
+        _make_webp("lossless").replace(b"\x2f", b"\x2e", 1),  # bad VP8L sig
+        b"RIFF" + bytes(4) + b"WEBP" + b"ICCP" + bytes(14),   # unknown chunk
+    ]
+    for blob in cases:
+        assert parse_gif_meta(blob) is None, blob[:12]
+        assert parse_webp_meta(blob) is None, blob[:12]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(cases)],
+        "media_id long, payload binary",
+    )
+    df = df.withColumn("media_meta", media_meta_expr(F.col("payload"), "image"))
+    for r in probe_media_meta(df).collect():
+        assert r.media_meta.width is None and r.media_meta.height is None

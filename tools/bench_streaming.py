@@ -212,6 +212,200 @@ def curve() -> None:
         shutil.rmtree(base_root, ignore_errors=True)
 
 
+def crawl() -> None:
+    """Raw-page crawl-loop throughput (VERDICT r9 item 5): drain N files
+    of sf0.1-shaped ``(url, html)`` pages through
+    ``stream_web_crawl_pipeline`` (frontier dedup -> HTML extraction ->
+    content dedup -> frozen screen -> three keyed merge_upsert sinks)
+    and print ONE JSON line::
+
+        {"metric": "crawl_pipeline_throughput", "pages_per_s_median": ...,
+         "band": [...], "probe_10x_pages_per_s": ...,
+         "stage_share": {...}, "rows": R, "files": N}
+
+    The frozen models (classifier weights, bigram LM, perplexity cuts)
+    fit ONCE on the SF dir's documents table — the streaming regime, so
+    model-fit cost is excluded (it is a deploy-time cost, not a
+    per-batch one). ``stage_share`` approximates where batch time goes
+    by timing BATCH-mode prefix plans of the same stages over the same
+    pages (collapse+frontier / +extract+langid / +content-fp / +screen)
+    into a noop sink — recomputation-based shares, stated as such; the
+    streamed number is the end-to-end truth. The 10x probe is one drain
+    at 10x the pages (sub-linear growth = per-micro-batch fixed costs
+    amortize; the cluster story)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from yelp_business_data_pipeline_spark.operators.htmlx import extract_main_text
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        fit_bigram_lm,
+        perplexity_thresholds,
+        score_perplexity,
+    )
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        train_quality_classifier,
+    )
+    from yelp_business_data_pipeline_spark.operators.screen import pretrain_screen
+    from yelp_business_data_pipeline_spark.operators.text import lang_id
+    from yelp_business_data_pipeline_spark.operators.urls import frontier_dedup
+    from yelp_business_data_pipeline_spark.streaming import stream_web_crawl_pipeline
+    from yelp_business_data_pipeline_spark.streaming.pipeline import (
+        _collapse_one_row_per_id,
+        _within_batch_fp_reps,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rows_per_file = int(os.environ.get("CRAWL_BENCH_ROWS", "1000"))
+    spark = get_spark(app_name="bench-streaming-crawl")
+    base_root = tempfile.mkdtemp(prefix="stream_crawl_")
+    knobs = dict(min_words=20, min_stopword_hits=1, min_kept_lines=0)
+    try:
+        ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = train_quality_classifier(
+            ref, F.col("lang") == "en", buckets=4096, n_train=512
+        )
+        lm = fit_bigram_lm(ref)
+        cuts = perplexity_thresholds(
+            score_perplexity(ref, lm, carry=("lang",)).filter(
+                F.col("ppl").isNotNull()
+            )
+        )
+        texts = [
+            r.text
+            for r in ref.select("doc_id", "text").orderBy("doc_id").limit(512).collect()
+        ]
+
+        def page_html(i: int) -> str:
+            return (
+                f"<html><head><title>T{i}</title></head><body>"
+                '<nav><a href="/">home</a> <a href="/c">cats</a></nav>'
+                f"<p>{texts[i % len(texts)]}</p>"
+                '<footer><a href="/t">terms</a></footer></body></html>'
+            )
+
+        def page_url(i: int) -> str:
+            # ~10% tracking-param mirrors of the previous url (collapse
+            # in-batch at the frontier stage — crawl realism)
+            if i % 10 == 9:
+                return f"http://site{i - 1}.example.com/a?utm_source=bench"
+            return f"http://site{i}.example.com/a"
+
+        def write_pages(src_dir: str, n_files: int, per_file: int) -> int:
+            for f in range(n_files):
+                with open(os.path.join(src_dir, f"p{f:04d}.json"), "w") as fh:
+                    fh.write(
+                        "\n".join(
+                            json.dumps(
+                                {"url": page_url(i), "html": page_html(i)}
+                            )
+                            for i in range(f * per_file, (f + 1) * per_file)
+                        )
+                    )
+            return n_files * per_file
+
+        schema = T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("html", T.StringType()),
+            ]
+        )
+
+        def drain(src: str, tag: str) -> float:
+            base = os.path.join(base_root, tag)
+            os.makedirs(base)
+            t0 = time.perf_counter()
+            q = stream_web_crawl_pipeline(
+                spark,
+                src,
+                schema,
+                os.path.join(base, "corpus"),
+                os.path.join(base, "frontier"),
+                os.path.join(base, "store"),
+                os.path.join(base, "ckpt"),
+                model,
+                lm,
+                cuts,
+                max_files_per_trigger=FILES_PER_TRIGGER,
+                **knobs,
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t0
+
+        # warmup: one small file builds worker pool + all three sink plans
+        warm = os.path.join(base_root, "warm_src")
+        os.makedirs(warm)
+        write_pages(warm, 1, 8)
+        drain(warm, "warm")
+
+        src = os.path.join(base_root, "pages")
+        os.makedirs(src)
+        total = write_pages(src, N_FILES, rows_per_file)
+        rates = [total / drain(src, f"rep{r}") for r in range(REPEATS)]
+
+        src10 = os.path.join(base_root, "pages10x")
+        os.makedirs(src10)
+        total10 = write_pages(src10, N_FILES, rows_per_file * 10)
+        rate10 = total10 / drain(src10, "probe10x")
+
+        # stage shares: batch-mode prefix plans over the same pages
+        pages = spark.read.schema(schema).json(src)
+        p1 = frontier_dedup(
+            _collapse_one_row_per_id(pages, "url", "html"), "url", [F.col("url")]
+        )
+        p2 = (
+            extract_main_text(p1, "html", max_link_density=0.33, min_words=1)
+            .select(
+                F.col("canonical_url"),
+                F.col("extracted.title").alias("title"),
+                F.col("extracted.text").alias("text"),
+            )
+            .withColumn("lang", lang_id(F.col("text")))
+        )
+        p3 = _within_batch_fp_reps(p2, "canonical_url", "text", 2)
+        p4 = pretrain_screen(
+            p3.drop("fingerprint"),
+            model,
+            lm,
+            id_col="canonical_url",
+            text_col="text",
+            carry=("lang",),
+            by="lang",
+            ppl_cuts=cuts,
+            **knobs,
+        )
+        cum = []
+        for df in (p1, p2, p3, p4):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            cum.append(time.perf_counter() - t0)
+        deltas = [cum[0]] + [max(b - a, 0.0) for a, b in zip(cum, cum[1:])]
+        tot = sum(deltas) or 1.0
+        share = dict(
+            zip(
+                ("frontier_dedup", "html_extract_langid", "content_fp", "screen"),
+                (round(d / tot, 3) for d in deltas),
+            )
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "crawl_pipeline_throughput",
+                    "unit": "pages/s",
+                    "rows": total,
+                    "files": N_FILES,
+                    "pages_per_s_median": round(sorted(rates)[len(rates) // 2]),
+                    "band": [round(min(rates)), round(max(rates))],
+                    "probe_10x_rows": total10,
+                    "probe_10x_pages_per_s": round(rate10),
+                    "stage_share": share,
+                },
+                separators=(",", ":"),
+            )
+        )
+    finally:
+        shutil.rmtree(base_root, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench-streaming")
     base_root = tempfile.mkdtemp(prefix="stream_bench_")
@@ -259,4 +453,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--crawl" in sys.argv:
+        sys.exit(crawl())
     sys.exit(curve() if "--curve" in sys.argv else main())

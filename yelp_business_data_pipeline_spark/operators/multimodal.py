@@ -9,8 +9,10 @@ and tested. Decoding is format-tiered (round 8): WAV and BMP payloads
 REALLY decode end to end with stdlib parsers (``wave`` / ``struct`` — see
 ``decode_wav_features`` / ``decode_bmp_features`` and the
 ``probe_media_meta`` header prober); PNG IHDR and JPEG SOF headers also
-parse with plain ``struct`` (round 9 — real width/height for the two most
-common web image formats, no codec library needed); PIXEL decoding for
+parse with plain ``struct`` (round 9), and GIF logical-screen + WebP
+RIFF headers complete the four common web image formats (round 10 —
+VP8/VP8L/VP8X all covered; real width/height, no codec library needed);
+PIXEL decoding for
 formats that need codec libraries (png/jpeg/mp3/mp4/...) raises
 ``NotImplementedError``
 loudly (strict mode), and tests may swap in the deterministic
@@ -283,6 +285,74 @@ def parse_jpeg_meta(blob: bytes | None) -> dict | None:
     return None
 
 
+def parse_gif_meta(blob: bytes | None) -> dict | None:
+    """Parse a GIF header: 6-byte signature (``GIF87a``/``GIF89a``)
+    followed by the logical screen descriptor — width and height are
+    fixed-offset little-endian u16s, so one ``struct`` read covers every
+    valid file (the descriptor is mandatory and always first). None for
+    empty/non-GIF/truncated/zero-dim payloads (best-effort probe
+    contract; frame decode stays the loud codec boundary)."""
+    if not blob or len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    import struct
+
+    width, height = struct.unpack_from("<HH", blob, 6)
+    if width == 0 or height == 0:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "version": blob[3:6].decode("ascii"),
+    }
+
+
+def parse_webp_meta(blob: bytes | None) -> dict | None:
+    """Parse WebP dimensions from the RIFF container's first chunk —
+    all three bitstream layouts (the complete set WebP defines):
+
+    - ``VP8 `` (lossy): 3-byte sync code ``9D 01 2A`` then 14-bit
+      width/height u16s;
+    - ``VP8L`` (lossless): ``2F`` signature byte then width-1/height-1
+      packed into 14-bit fields of one little-endian u32;
+    - ``VP8X`` (extended): 24-bit canvas width-1/height-1 at fixed
+      offsets (animations/alpha/EXIF carry their real dims here).
+
+    Every read is bounds-checked against the payload and the chunk
+    fourCC dispatch cannot loop (single fixed-offset probe, the BMP
+    loop-bounds rule trivially). None for non-WebP/truncated/bad-sync/
+    zero-dim payloads."""
+    if not blob or len(blob) < 16 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        return None
+    import struct
+
+    four = blob[12:16]
+    if four == b"VP8 ":
+        # 20-22: VP8 frame tag; 23-25: start code; 26/28: dims
+        if len(blob) < 30 or blob[23:26] != b"\x9d\x01\x2a":
+            return None
+        w_raw, h_raw = struct.unpack_from("<HH", blob, 26)
+        width, height = w_raw & 0x3FFF, h_raw & 0x3FFF
+        kind = "lossy"
+    elif four == b"VP8L":
+        if len(blob) < 25 or blob[20] != 0x2F:
+            return None
+        (bits,) = struct.unpack_from("<I", blob, 21)
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+        kind = "lossless"
+    elif four == b"VP8X":
+        if len(blob) < 30:
+            return None
+        width = int.from_bytes(blob[24:27], "little") + 1
+        height = int.from_bytes(blob[27:30], "little") + 1
+        kind = "extended"
+    else:
+        return None
+    if width == 0 or height == 0:
+        return None
+    return {"width": width, "height": height, "kind": kind}
+
+
 def decode_bmp_features(blob: bytes | None) -> list[float]:
     """Real image decode: parse the BMP header, walk the pixel array
     row by row STRIPPING the 4-byte row padding, and emit mean byte
@@ -348,11 +418,11 @@ def probe_media_meta(
     meta_col: str = "media_meta",
 ) -> DataFrame:
     """Fill the decoder-owned meta fields (width/height/duration_ms) by
-    actually parsing the payload headers (WAV/BMP/PNG/JPEG stdlib
-    parsers — PNG IHDR and JPEG SOF are plain ``struct`` reads, so the
-    two most common web image formats get real dimensions with no codec
-    library; other formats keep their NULLs — probing is best-effort by
-    design, unlike feature extraction which must not silently skip).
+    actually parsing the payload headers (WAV/BMP/PNG/JPEG/GIF/WebP
+    stdlib parsers — all plain ``struct`` reads, so the four common web
+    image formats get real dimensions with no codec library; other
+    formats keep their NULLs — probing is best-effort by design, unlike
+    feature extraction which must not silently skip).
     Same Arrow batch shape as extract_media_features; blobs never leave
     the executors."""
     cols = [c for c in df.columns]
@@ -367,6 +437,8 @@ def probe_media_meta(
                     parse_bmp_meta(blob)
                     or parse_png_meta(blob)
                     or parse_jpeg_meta(blob)
+                    or parse_gif_meta(blob)
+                    or parse_webp_meta(blob)
                 )
                 if wav is not None:
                     meta["duration_ms"] = wav["duration_ms"]
