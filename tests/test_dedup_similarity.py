@@ -792,9 +792,10 @@ def test_soft_dedup_panel_matches_duckdb_twin(spark, sf_dir):
     # sum of weights == cluster count, size-bucket by size-bucket
     for _size, _n, n_clusters, total_w in srows:
         assert abs(total_w - n_clusters) < 1e-5
+    # promoted into the 50-slot gate in the r10 rotation (swap_gate_slot)
     names = list(QUERIES)
-    assert names.index("soft_dedup_panel") >= 50
-    assert QUERIES["soft_dedup_panel"].oracle is None
+    assert names.index("soft_dedup_panel") < 50
+    assert QUERIES["soft_dedup_panel"].oracle == SOFT_DEDUP_ORACLE
 
 
 def test_soft_dedup_internal_name_collision_raises(spark):

@@ -16,29 +16,43 @@ def test_query_matches_oracle(name, spark, sf_dir):
     assert ok, f"{name}: {msg}"
 
 
+from yelp_business_data_pipeline_spark.plans.registry import DEMOTED_ORACLES
+
+
 @pytest.mark.parametrize(
     "name,const",
     [
-        ("tfidf_top_terms", "TFIDF_ORACLE"),
-        ("sessionize_events", "SESSIONIZE_USER_ORACLE"),
+        # tfidf_top_terms / sessionize_events left this list in r10: the
+        # freshness re-promotion put them BACK in the gate (their twins
+        # are driver-executed again, and test_query_matches_oracle covers
+        # them like every gated row)
         ("setops_customer_cohorts", "SETOPS_COHORTS_ORACLE"),
         ("approx_aggregates", "APPROX_AGGREGATES_ORACLE"),
         ("weighted_sample_orders", "WEIGHTED_SAMPLE_ORACLE"),
         ("sentiment_by_source", "SENTIMENT_BY_SOURCE_ORACLE"),
         ("item_cooccurrence_pairs", "ITEM_COOCCURRENCE_ORACLE"),
-    ],
+    ]
+    # r10+ demotions happen at runtime via registry.swap_gate_slot, which
+    # stashes the outgoing twin — every future demotion is pinned here
+    # AUTOMATICALLY, no manual list edit to forget
+    + [(n, None) for n in sorted(DEMOTED_ORACLES)],
 )
 def test_demoted_twins_still_match(name, const, spark, sf_dir):
     """The r8/r9/r10 gate rotations demoted these to rows-only trackers; their
-    exact DuckDB twins survive as constants and this pin is the pytest
-    half of the rotation contract (COVERAGE.md 'Oracle-gate rotation'):
-    the exactness check never lapses while a query is out of the gate."""
+    exact DuckDB twins survive (as module constants for the source-level
+    demotions, in registry.DEMOTED_ORACLES for swap_gate_slot ones) and
+    this pin is the pytest half of the rotation contract (COVERAGE.md
+    'Oracle-gate rotation'): the exactness check never lapses while a
+    query is out of the gate."""
     import yelp_business_data_pipeline_spark.plans.core as core_mod
     import yelp_business_data_pipeline_spark.plans.extensions as ext_mod
 
     from .oracle_harness import _norm_rows, duck_con
 
-    sql = getattr(ext_mod, const, None) or getattr(core_mod, const)
+    if const is None:
+        sql = DEMOTED_ORACLES[name]
+    else:
+        sql = getattr(ext_mod, const, None) or getattr(core_mod, const)
     spec = QUERIES[name]
     assert spec.oracle is None  # it IS demoted — else this pin is stale
     sdf = spec.spark(spark, sf_dir)
@@ -182,3 +196,43 @@ def test_decimal_to_double_varchar_route_is_correctly_rounded():
         "SELECT CAST(CAST('60524164923.212700' AS DECIMAL(28,6)) AS DOUBLE)"
     ).fetchone()[0]
     assert direct != float(Decimal("60524164923.212700"))
+
+
+def test_swap_gate_slot_loud_failures():
+    """The rotation helper must refuse every misuse loudly — a silent
+    no-op would quietly un-gate an oracle (the failure mode the layout
+    invariant exists to catch). Run against a scratch copy of the
+    registry state so the real layout is untouched."""
+    import copy
+
+    from yelp_business_data_pipeline_spark.plans import registry as reg
+
+    saved_q = dict(reg.QUERIES)
+    saved_d = dict(reg.DEMOTED_ORACLES)
+    try:
+        names = list(reg.QUERIES)
+        gated, tracker = names[0], names[60]
+        with pytest.raises(KeyError, match="unknown query"):
+            reg.swap_gate_slot("nope", "SELECT 1", gated)
+        with pytest.raises(ValueError, match="not in the gate prefix"):
+            reg.swap_gate_slot(tracker, "SELECT 1", names[60])
+        with pytest.raises(ValueError, match="already gated"):
+            reg.swap_gate_slot(gated, "SELECT 1", names[1])
+        with pytest.raises(ValueError, match="non-empty twin"):
+            reg.swap_gate_slot(tracker, "", gated)
+        # and a VALID swap preserves the layout invariant + stashes the twin
+        old_oracle = reg.QUERIES[gated].oracle
+        reg.swap_gate_slot(tracker, "SELECT 1 AS x", gated)
+        names2 = list(reg.QUERIES)
+        flags = [reg.QUERIES[n].oracle is not None for n in names2]
+        assert all(flags[:50]) and not any(flags[50:])
+        assert names2.index(tracker) < 50 and names2.index(gated) == len(names2) - 1
+        assert reg.DEMOTED_ORACLES[gated] == old_oracle
+        # (the "no oracle to demote" guard is defense-in-depth for a
+        # corrupted layout — unreachable while the prefix invariant
+        # holds, so not constructible here without breaking the state)
+    finally:
+        reg.QUERIES.clear()
+        reg.QUERIES.update(saved_q)
+        reg.DEMOTED_ORACLES.clear()
+        reg.DEMOTED_ORACLES.update(saved_d)

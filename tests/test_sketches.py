@@ -585,9 +585,10 @@ def test_cm_panel_matches_duckdb_twin_exactly(spark, sf_dir):
     assert srows == drows
     # never-underestimate shows in the panel itself
     assert all(cc >= tc for _t, tc, cc in srows)
+    # promoted into the 50-slot gate in the r10 rotation (swap_gate_slot)
     names = list(QUERIES)
-    assert names.index("cm_token_counts_panel") >= 50
-    assert QUERIES["cm_token_counts_panel"].oracle is None
+    assert names.index("cm_token_counts_panel") < 50
+    assert QUERIES["cm_token_counts_panel"].oracle == CM_SKETCH_ORACLE
 
 
 def test_cm_weighted_build_equals_raw_build(spark):

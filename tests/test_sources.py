@@ -274,9 +274,10 @@ def test_training_shards_manifest_panel_matches_duckdb_twin(spark, sf_dir):
         for r in duck_con(sf_dir).execute(TRAINING_SHARDS_ORACLE).fetchall()
     ]
     assert srows == drows
+    # promoted into the 50-slot gate in the r10 rotation (swap_gate_slot)
     names = list(QUERIES)
-    assert names.index("training_shards_manifest") >= 50
-    assert QUERIES["training_shards_manifest"].oracle is None
+    assert names.index("training_shards_manifest") < 50
+    assert QUERIES["training_shards_manifest"].oracle == TRAINING_SHARDS_ORACLE
 
 
 def test_shard_null_key_raises_in_plan(spark):

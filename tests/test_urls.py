@@ -317,3 +317,28 @@ def test_registrable_domain_psl_overlong_rule_raises(spark):
     df = spark.createDataFrame([("x.com",)], "host string")
     with pytest.raises(ValueError, match="max_suffix_labels"):
         with_registrable_domain(df, "host", psl=psl, max_suffix_labels=4)
+
+
+def test_psl_domain_panel_matches_duckdb_twin(spark, sf_dir):
+    """Rotation-queue twin pin (the pytest half of the rotation
+    contract): the registered psl_domain_panel must equal
+    PSL_DOMAIN_ORACLE row-for-row — Spark's broadcast join-ladder vs
+    DuckDB's explode-every-suffix re-derivation of the publicsuffix.org
+    algorithm, two independent constructions."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        PSL_DOMAIN_ORACLE,
+    )
+
+    from .oracle_harness import duck_con
+
+    srows = sorted(
+        tuple(r) for r in QUERIES["psl_domain_panel"].spark(spark, sf_dir).collect()
+    )
+    drows = sorted(duck_con(sf_dir).execute(PSL_DOMAIN_ORACLE).fetchall())
+    assert srows == drows and len(srows) > 5
+    got = dict(srows)
+    # the frontier-stats fix in one row: a.co.uk groups exist per s-prefix
+    assert any(k.endswith(".a.co.uk") or k == "a.co.uk" for k in got), got
+    # bare public suffixes / wildcard children count as no-registrant
+    assert "(no registrant)" in got

@@ -241,9 +241,10 @@ def test_temperature_mix_panel_matches_duckdb_twin_exactly(spark, sf_dir):
         for r in duck_con(sf_dir).execute(TEMPERATURE_MIX_ORACLE).fetchall()
     ]
     assert srows == drows
+    # promoted into the 50-slot gate in the r10 rotation (swap_gate_slot)
     names = list(QUERIES)
-    assert names.index("temperature_mix_panel") >= 50
-    assert QUERIES["temperature_mix_panel"].oracle is None
+    assert names.index("temperature_mix_panel") < 50
+    assert QUERIES["temperature_mix_panel"].oracle == TEMPERATURE_MIX_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -352,9 +353,10 @@ def test_unimax_panel_matches_duckdb_twin_exactly(spark, sf_dir):
         tuple(r) for r in duck_con(sf_dir).execute(UNIMAX_MIX_ORACLE).fetchall()
     ]
     assert srows == drows
+    # promoted into the 50-slot gate in the r10 rotation (swap_gate_slot)
     names = list(QUERIES)
-    assert names.index("unimax_mix_panel") >= 50
-    assert QUERIES["unimax_mix_panel"].oracle is None
+    assert names.index("unimax_mix_panel") < 50
+    assert QUERIES["unimax_mix_panel"].oracle == UNIMAX_MIX_ORACLE
 
 
 def test_temperature_sample_null_stratum_is_a_real_domain(spark):

@@ -20,6 +20,57 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+#: The driver's CORRECTNESS gate executes the oracles of the FIRST
+#: ``GATE_SLOTS`` registrations; everything after runs rows-only.
+GATE_SLOTS = 50
+
+#: Twins of queries demoted OUT of the gate by :func:`swap_gate_slot` —
+#: ``tests/test_queries_oracle.py::test_demoted_twins_still_match``
+#: parametrizes over this dict, so a demoted query's exactness check
+#: NEVER lapses (the rotation contract, COVERAGE.md 'Oracle-gate
+#: rotation'). Source-level demotions from earlier rounds keep their
+#: module constants and the explicit pin list instead.
+DEMOTED_ORACLES: dict[str, str] = {}
+
+
+def swap_gate_slot(promote: str, oracle: str, demote: str) -> None:
+    """Gate rotation without source surgery: give ``promote`` (a
+    registered rows-only tracker) its exact DuckDB twin and the registry
+    slot currently held by ``demote``; ``demote`` drops to a rows-only
+    tracker re-registered at the tail, its twin stashed in
+    :data:`DEMOTED_ORACLES` where the mandatory pytest pin picks it up.
+
+    Call AFTER all ``@query`` registrations (module end). Loud failures
+    for every misuse: unknown names, promoting something already gated,
+    demoting something already tracker-only, or a slot outside the
+    driver-executed prefix — a silent no-op here would quietly un-gate
+    an oracle, the exact failure mode the layout invariant test exists
+    to catch."""
+    names = list(QUERIES)
+    if promote not in QUERIES or demote not in QUERIES:
+        raise KeyError(f"swap_gate_slot: unknown query {promote!r}/{demote!r}")
+    if names.index(demote) >= GATE_SLOTS:
+        raise ValueError(f"swap_gate_slot: {demote!r} is not in the gate prefix")
+    if names.index(promote) < GATE_SLOTS:
+        raise ValueError(f"swap_gate_slot: {promote!r} is already gated")
+    if QUERIES[demote].oracle is None:
+        raise ValueError(f"swap_gate_slot: {demote!r} has no oracle to demote")
+    if not oracle:
+        raise ValueError("swap_gate_slot: promoted query needs a non-empty twin")
+    old, new = QUERIES[demote], QUERIES[promote]
+    DEMOTED_ORACLES[demote] = old.oracle
+    promoted = QuerySpec(name=new.name, spark=new.spark, oracle=oracle, doc=new.doc)
+    demoted = QuerySpec(name=old.name, spark=old.spark, oracle=None, doc=old.doc)
+    order: list[QuerySpec] = []
+    for n in names:
+        if n == demote:
+            order.append(promoted)
+        elif n != promote:
+            order.append(QUERIES[n])
+    order.append(demoted)
+    QUERIES.clear()
+    QUERIES.update({q.name: q for q in order})
+
 
 def query(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     """Decorator registering a (spark_fn, oracle_sql) pair."""
