@@ -324,6 +324,25 @@ COMMENTARY = {
         "and the global cut is TakeOrderedAndProject — the scored frame "
         "never single-partitions."
     ),
+    "psl_domain_panel": (
+        "Public-suffix-list registrable domains (r10): rule matching is "
+        "a fixed ladder of BROADCAST joins — each probes the host's "
+        "last-j labels against the tiny aggregated rule table map-side. "
+        "The corpus never shuffles and never explodes (no Generate "
+        "node over host rows); the only hashpartitioning Exchange keys "
+        "on the ~10k-row rule fold (_sfx), and the final count is a "
+        "partial-agg'd groupBy on the derived domain. JVM end to end."
+    ),
+    "warc_roundtrip_panel": (
+        "WARC ingest roundtrip (r10, sources/warc.py): ONE zero-shuffle "
+        "mapInPandas pass serializes each Arrow batch's documents as "
+        "WARC response records (even doc_ids through per-record gzip "
+        "members, the Common Crawl layout) and parses them back with "
+        "the real parser — blobs never leave the executor, the only "
+        "exchange is the final per-source aggregate. At 100 TB the "
+        "read path is one task per ~1 GB .warc.gz segment (the format "
+        "is designed for exactly this parallelism unit)."
+    ),
     "bloom_membership_panel": (
         "Distributed Bloom filter, JVM end to end: the build explodes "
         "the Kirsch-Mitzenmacher positions in-plan and partial-aggregates "

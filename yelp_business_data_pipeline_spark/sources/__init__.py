@@ -1,5 +1,12 @@
 from .layout import grid_surrogate, quantile_grid_surrogate, zorder_key
 from .readers import load_testdata, read_json_lines, read_parquet_table
+from .warc import (
+    WARC_RECORD_SCHEMA,
+    gunzip_members,
+    parse_warc_bytes,
+    read_warc_records,
+    write_warc_bytes,
+)
 from .writers import (
     compact_parquet,
     export_csv,
@@ -19,6 +26,11 @@ __all__ = [
     "load_testdata",
     "read_json_lines",
     "read_parquet_table",
+    "WARC_RECORD_SCHEMA",
+    "gunzip_members",
+    "parse_warc_bytes",
+    "read_warc_records",
+    "write_warc_bytes",
     "compact_parquet",
     "export_csv",
     "merge_bloom_store",
