@@ -291,3 +291,85 @@ def test_span_dedup_winner_is_aggregate_not_corpus_window(spark):
     )
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_blocklist_whole_word_matrix(spark):
+    """The C4 bad-words page filter (r10): WHOLE-word matching with
+    class-based boundaries — 'class' never trips an 'ass' entry, words
+    match at text start/end and against punctuation, multi-word entries
+    match across their literal space, regex metachars in entries are
+    escaped."""
+    from yelp_business_data_pipeline_spark.operators.text import (
+        blocklist_hit,
+        blocklist_pattern,
+    )
+
+    words = ["badword", "two words", "meta+char"]
+    cases = [
+        ("a badword here", True),
+        ("badword", True),                    # whole text
+        ("ends with badword", True),
+        ("badword, punctuation", True),
+        ("notabadword here", False),          # substring must NOT match
+        ("badwords plural differs", False),
+        ("two words together", True),
+        ("two  words double space", False),   # literal single space
+        ("meta+char hits", True),
+        ("metaXchar misses", False),          # '+' was escaped, not regex
+        ("clean text entirely", False),
+        ("", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r.i: r.hit
+        for r in df.select("i", blocklist_hit(F.col("t"), words).alias("hit")).collect()
+    }
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (t, got[i], want)
+
+    # the same pattern means the same thing under RE2 (the DuckDB twin
+    # portability rule for every class-based regex in this repo)
+    import duckdb
+
+    pat = blocklist_pattern(words)
+    con = duckdb.connect()
+    for t, want in cases:
+        (d,) = con.execute(
+            "SELECT regexp_matches(?, ?)", [t, pat]
+        ).fetchone()
+        assert d == want, ("duckdb", t, d, want)
+
+    with pytest.raises(ValueError, match="empty word list"):
+        blocklist_pattern([])
+    with pytest.raises(ValueError, match="empty string"):
+        blocklist_pattern(["ok", ""])
+
+
+def test_c4_doc_flags_blocklist_leg_and_struct_stability(spark):
+    """With a blocklist the struct gains has_blocklist_word and the
+    verdict conjoins it; WITHOUT one the struct is byte-identical to the
+    pre-r10 shape (existing consumers' schemas must not move)."""
+    good = "this line is long enough to pass the filter today.\n" * 3
+    bad = good + "one badword line also long enough to pass today.\n"
+    df = spark.createDataFrame([(1, good), (2, bad)], "i long, t string")
+
+    plain = df.select(c4_doc_flags(F.col("t")).alias("f"))
+    assert [f.name for f in plain.schema["f"].dataType.fields] == [
+        "has_lorem_ipsum",
+        "has_curly_brace",
+        "has_policy_phrase",
+        "n_kept_lines",
+        "passes_c4",
+    ]
+    assert all(r.f.passes_c4 for r in plain.collect())
+
+    gated = {
+        r.i: r.f
+        for r in df.select(
+            "i", c4_doc_flags(F.col("t"), blocklist=["badword"]).alias("f")
+        ).collect()
+    }
+    assert gated[1].has_blocklist_word is False and gated[1].passes_c4
+    assert gated[2].has_blocklist_word is True and not gated[2].passes_c4

@@ -182,3 +182,36 @@ def test_shared_corpus_prunes_and_validates(spark, sf_dir):
         base.unpersist()
     with pytest.raises(ValueError, match="storage_level"):
         shared_corpus(d, storage_level="NOT_A_LEVEL")
+
+
+def test_c4_blocklist_knob_flows_through_the_rules_leg(spark, sf_dir):
+    """pretrain_screen(c4_blocklist=...) must conjoin the C4 bad-words
+    page filter into c4_ok/rules_ok/keep for exactly the docs carrying a
+    blocklisted word; every other doc's verdict row is bit-identical to
+    the default path (the knob must not perturb the clean population)."""
+    _, model, lm = _model_and_lm(spark, sf_dir)
+    sentence = "the quick brown fox jumps over the lazy dog again today."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{sentence}\n{sentence}", "en"),
+            (2, f"{sentence}\nthe gerbil word appears in this line too.", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    kw = dict(
+        carry=("lang",), min_words=2, min_stopword_hits=1, min_kept_lines=1
+    )
+    base = {r.doc_id: tuple(r) for r in pretrain_screen(docs, model, lm, **kw).collect()}
+    gated = {
+        r.doc_id: r
+        for r in pretrain_screen(
+            docs, model, lm, c4_blocklist=("gerbil",), **kw
+        ).collect()
+    }
+    b1, b2 = base[1], base[2]
+    assert tuple(gated[1]) == b1  # clean doc: bit-identical row
+    assert gated[2].c4_ok is False and gated[2].rules_ok is False
+    assert gated[2].keep is False
+    # and the default path considered doc 2's C4 leg fine
+    base_rows = {r.doc_id: r for r in pretrain_screen(docs, model, lm, **kw).collect()}
+    assert base_rows[2].c4_ok is True

@@ -126,6 +126,7 @@ def pretrain_screen(
     min_kept_lines: int = 1,
     ppl_accuracy: int = 100_000,
     ppl_cuts: DataFrame | None = None,
+    c4_blocklist: tuple[str, ...] | None = None,
     shared_scan: bool = False,
     storage_level: str = "MEMORY_AND_DISK",
 ) -> DataFrame:
@@ -146,6 +147,10 @@ def pretrain_screen(
     ``df``. This is the crawl-batch / streaming regime: per-batch cut
     refits would drift the verdict with batch composition. Default None
     recomputes the cuts from ``df`` itself (the corpus-survey regime).
+
+    ``c4_blocklist``: user-supplied bad-words list for the C4 leg's
+    page filter (text.blocklist_hit — whole-word, engine ships no list);
+    None keeps the pre-r10 rule set.
 
     ``shared_scan``: persist one (id, text, carry) projection and feed
     all three legs from it — the source is scanned ONCE instead of
@@ -184,7 +189,11 @@ def pretrain_screen(
         )
         .withColumn(
             "c4_ok",
-            c4_doc_flags(F.col(text_col), min_kept_lines=min_kept_lines)["passes_c4"],
+            c4_doc_flags(
+                F.col(text_col),
+                min_kept_lines=min_kept_lines,
+                blocklist=c4_blocklist,
+            )["passes_c4"],
         )
         .select(
             id_col,

@@ -918,7 +918,41 @@ def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
     )
 
 
-def c4_doc_flags(text: Column, min_kept_lines: int = 3, min_words: int = 5) -> Column:
+def blocklist_pattern(words: list[str] | tuple[str, ...]) -> str:
+    """Compile a word blocklist into ONE portable whole-word regex —
+    class-based boundaries (``[a-z0-9]``), no lookaround, no ``\\b``, so
+    the same pattern means the same thing under Java regex (Spark) and
+    RE2 (DuckDB) — the TRACKING_PARAM_RE portability rule. Lowercase
+    input assumed (the c4-family convention). Regex metacharacters in
+    words are escaped conservatively; multi-word entries match across
+    their literal spaces (the LDNOOBW list has such entries)."""
+    if not words:
+        raise ValueError("blocklist_pattern: empty word list — pass None "
+                         "to c4_doc_flags instead of an empty blocklist")
+    esc = []
+    for w in words:
+        if not w:
+            raise ValueError("blocklist_pattern: empty string in blocklist")
+        esc.append("".join(c if c.isalnum() or c == " " else "\\" + c for c in w))
+    return "(^|[^a-z0-9])(" + "|".join(esc) + ")($|[^a-z0-9])"
+
+
+def blocklist_hit(text: Column, words: list[str] | tuple[str, ...]) -> Column:
+    """True when the text contains any blocklist word as a WHOLE word
+    (``class`` never trips an ``ass`` entry — C4's documented filter is
+    word-level, not substring). One codegen'd rlike per row; a ~400-word
+    list (the published C4 recipe uses the LDNOOBW list — PUBLIC data
+    this engine deliberately does not ship; deployments pass the list
+    they vendor) compiles to one alternation scanned C-side."""
+    return text.rlike(blocklist_pattern(words))
+
+
+def c4_doc_flags(
+    text: Column,
+    min_kept_lines: int = 3,
+    min_words: int = 5,
+    blocklist: list[str] | tuple[str, ...] | None = None,
+) -> Column:
     """C4 document-level gate as a struct of booleans (all JVM exprs):
 
     - ``has_lorem_ipsum`` / ``has_curly_brace`` — C4 drops any page with
@@ -926,7 +960,13 @@ def c4_doc_flags(text: Column, min_kept_lines: int = 3, min_words: int = 5) -> C
     - ``has_policy_phrase`` — any :data:`C4_POLICY_PHRASES` hit.
     - ``n_kept_lines`` — surviving :func:`c4_kept_lines` count; C4 keeps
       pages with at least ``min_kept_lines`` (its 3-sentence floor).
-    - ``passes_c4`` — the combined verdict.
+    - ``has_blocklist_word`` (only when ``blocklist`` is supplied — the
+      field is ABSENT otherwise so existing consumers' struct schemas
+      are byte-stable): the C4 recipe's bad-words page filter
+      (:func:`blocklist_hit`; the engine ships no list — the PSL-table
+      convention).
+    - ``passes_c4`` — the combined verdict (includes the blocklist leg
+      when supplied).
 
     Lowercase input assumed, as in :func:`c4_kept_lines`.
     """
@@ -936,15 +976,18 @@ def c4_doc_flags(text: Column, min_kept_lines: int = 3, min_words: int = 5) -> C
     for p in C4_POLICY_PHRASES:
         policy = policy | F.contains(text, F.lit(p))
     kept = F.size(c4_kept_lines(text, min_words))
-    return F.struct(
+    fields = [
         lorem.alias("has_lorem_ipsum"),
         curly.alias("has_curly_brace"),
         policy.alias("has_policy_phrase"),
         kept.alias("n_kept_lines"),
-        (
-            ~lorem & ~curly & ~policy & (kept >= F.lit(min_kept_lines))
-        ).alias("passes_c4"),
-    )
+    ]
+    verdict = ~lorem & ~curly & ~policy & (kept >= F.lit(min_kept_lines))
+    if blocklist is not None:
+        bad = blocklist_hit(text, blocklist)
+        fields.append(bad.alias("has_blocklist_word"))
+        verdict = verdict & ~bad
+    return F.struct(*fields, verdict.alias("passes_c4"))
 
 
 def c4_span_dedup(
