@@ -1315,3 +1315,107 @@ def test_stream_bloom_enabled_after_store_exists_seeds_from_store(spark, tmp_pat
     ).awaitTermination()
     final = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert final == [1, 21], f"pre-bloom dup re-inserted: {final}"
+
+
+def test_stream_web_crawl_pipeline_warc_source_equals_json(spark, tmp_path, sf_dir):
+    """The r10 WARC front-end (source_format='warc'): the SAME pages fed
+    as Common Crawl-style .warc.gz segments (one gzip member per record)
+    must produce a byte-identical kept corpus, frontier, and store as
+    the JSON page source — the front-end changes the reader, nothing
+    downstream. Unknown source_format raises loudly."""
+    import zlib
+
+    import pytest as _pytest
+
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        fit_bigram_lm,
+        perplexity_thresholds,
+        score_perplexity,
+    )
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        train_quality_classifier,
+    )
+    from yelp_business_data_pipeline_spark.sources.warc import write_warc_bytes
+    from yelp_business_data_pipeline_spark.streaming import (
+        stream_web_crawl_pipeline,
+    )
+
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_quality_classifier(
+        ref, F.col("lang") == "en", buckets=4096, n_train=256
+    )
+    lm = fit_bigram_lm(ref)
+    cuts = perplexity_thresholds(
+        score_perplexity(ref, lm, carry=("lang",)).filter(F.col("ppl").isNotNull())
+    )
+    knobs = dict(min_words=20, min_stopword_hits=1, min_kept_lines=0)
+
+    pool = [
+        (r.doc_id, r.text)
+        for r in ref.select("doc_id", "text").orderBy("doc_id").limit(12).collect()
+    ]
+    pages = [
+        (
+            f"http://site{i}.example.com/a",
+            f"<html><head><title>T{i}</title></head><body>"
+            '<nav><a href="/">home</a></nav>'
+            f"<p>{t}</p>"
+            '<footer><a href="/t">terms</a></footer></body></html>',
+        )
+        for i, t in pool
+    ]
+
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("html", T.StringType())]
+    )
+
+    def run(src, base, fmt):
+        q = stream_web_crawl_pipeline(
+            spark, str(src), schema,
+            str(base / "corpus"), str(base / "frontier"), str(base / "store"),
+            str(base / "ckpt"), model, lm, cuts,
+            source_format=fmt, **knobs,
+        )
+        q.awaitTermination()
+
+    jsrc = tmp_path / "jpages"
+    jsrc.mkdir()
+    (jsrc / "b.json").write_text(
+        "\n".join(json.dumps({"url": u, "html": h}) for u, h in pages)
+    )
+    jbase = tmp_path / "jout"
+    jbase.mkdir()
+    run(jsrc, jbase, "json")
+
+    def gz(b: bytes) -> bytes:
+        c = zlib.compressobj(wbits=31)
+        return c.compress(b) + c.flush()
+
+    wsrc = tmp_path / "wpages"
+    wsrc.mkdir()
+    (wsrc / "seg-00000.warc.gz").write_bytes(
+        b"".join(
+            gz(write_warc_bytes([(u, "2024-01-01T00:00:00Z", h.encode())]))
+            for u, h in pages
+        )
+    )
+    wbase = tmp_path / "wout"
+    wbase.mkdir()
+    run(wsrc, wbase, "warc")
+
+    for table in ("corpus", "frontier", "store"):
+        j = sorted(
+            map(tuple, spark.read.parquet(str(jbase / table)).collect())
+        )
+        w = sorted(
+            map(tuple, spark.read.parquet(str(wbase / table)).collect())
+        )
+        assert j == w and len(j) > 0, table
+
+    with _pytest.raises(ValueError, match="source_format"):
+        stream_web_crawl_pipeline(
+            spark, str(wsrc), schema,
+            str(tmp_path / "x1"), str(tmp_path / "x2"), str(tmp_path / "x3"),
+            str(tmp_path / "x4"), model, lm, cuts,
+            source_format="avro", **knobs,
+        )

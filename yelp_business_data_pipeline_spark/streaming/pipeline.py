@@ -215,6 +215,67 @@ def _json_file_stream(
     return reader.json(source_dir)
 
 
+#: binaryFile's fixed source schema (required explicitly for streaming).
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _warc_file_stream(
+    spark: SparkSession,
+    source_dir: str,
+    url_col: str,
+    html_col: str,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """WARC front-end for the crawl loop: stream ``.warc`` / ``.warc.gz``
+    segment files (binaryFile source — one row per segment, the Common
+    Crawl unit) and explode each into (url, html) page rows with the
+    real parser (sources/warc.py) in one zero-shuffle Arrow pass.
+    Response records only; parse errors and record-level metadata are
+    the batch reader's concern (``read_warc_records``) — the crawl loop
+    wants pages. Payload bytes decode as UTF-8 with replacement (crawl
+    HTML is dirty by nature; the extractor downstream is the judge of
+    content, and a decode error must not kill an always-on stream)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.warc import parse_warc_bytes
+
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(source_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField(url_col, T.StringType()),
+            T.StructField(html_col, T.StringType()),
+        ]
+    )
+
+    def _pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                for r in parse_warc_bytes(bytes(blob), source_file=p):
+                    if r["warc_error"] is None and r["warc_type"] == "response":
+                        rows.append(
+                            (
+                                r["url"],
+                                (r["payload"] or b"").decode("utf-8", "replace"),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=[url_col, html_col])
+
+    return raw.select("path", "content").mapInPandas(_pages, out_schema)
+
+
 def _collapse_one_row_per_id(
     batch_df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -671,6 +732,7 @@ def stream_web_crawl_pipeline(
     extract_min_words: int = 1,
     max_link_density: float = 0.33,
     max_files_per_trigger: int | None = None,
+    source_format: str = "json",
     on_batch_complete: Callable[[int], None] | None = None,
 ):
     """The crawl loop from RAW PAGES: ``(url, html)`` files in, screened
@@ -713,7 +775,19 @@ def stream_web_crawl_pipeline(
     from ..sources.writers import merge_upsert
 
     lm, ppl_cuts = _persist_frozen_inputs(lm, ppl_cuts)
-    raw = _json_file_stream(spark, source_dir, schema, max_files_per_trigger)
+    if source_format == "json":
+        raw = _json_file_stream(spark, source_dir, schema, max_files_per_trigger)
+    elif source_format == "warc":
+        # WARC segments in, (url, html) page rows out — ``schema`` is
+        # ignored (WARC's record layout defines it); see _warc_file_stream
+        raw = _warc_file_stream(
+            spark, source_dir, url_col, html_col, max_files_per_trigger
+        )
+    else:
+        raise ValueError(
+            f"stream_web_crawl_pipeline: unknown source_format "
+            f"{source_format!r} — 'json' or 'warc'"
+        )
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         sp = batch_df.sparkSession
