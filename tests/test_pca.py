@@ -1,0 +1,144 @@
+"""Distributed PCA/whitening (operators/pca.py): numpy full-data model
+equality, whitening variance, layout tolerance, zero-shuffle apply plan,
+NULL handling, guards, and the registered panel's python-model pin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_business_data_pipeline_spark.operators.pca import (
+    MAX_DIM,
+    apply_pca,
+    explained_variance,
+    fit_pca,
+)
+
+
+def _data(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = np.asarray(
+        [r.embedding for r in df.select("embedding").orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    return df, x
+
+
+def _numpy_pca(x, k):
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / x.shape[0]
+    vals, vecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(vals[order], 0.0)
+
+
+def test_fit_matches_numpy_full_data_model(spark, sf_dir):
+    df, x = _data(spark, sf_dir)
+    k = 8
+    m = fit_pca(df, k=k)
+    mean, comps, vals = _numpy_pca(x, k)
+    assert m.n == x.shape[0] and m.dim == x.shape[1] and m.k == k
+    assert np.allclose(m.mean, mean, atol=1e-9)
+    assert np.allclose(m.eigenvalues, vals, atol=1e-9)
+    assert np.allclose(m.components, comps, atol=1e-7)
+    # orthonormal axes, descending variance
+    c = np.asarray(m.components)
+    assert np.allclose(c @ c.T, np.eye(k), atol=1e-9)
+    assert all(a >= b - 1e-12 for a, b in zip(m.eigenvalues, m.eigenvalues[1:]))
+    # projections equal the numpy projection
+    got = {
+        r.vec_id: np.asarray(r.pca)
+        for r in apply_pca(df, m).select("vec_id", "pca").collect()
+    }
+    ids = [r.vec_id for r in df.select("vec_id").orderBy("vec_id").collect()]
+    want = (x - mean) @ comps.T
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], want[i], atol=1e-9), vid
+
+
+def test_whitening_gives_unit_variance_components(spark, sf_dir):
+    df, x = _data(spark, sf_dir)
+    m = fit_pca(df, k=6, whiten=True)
+    y = np.asarray([r.pca for r in apply_pca(df, m).select("pca").collect()])
+    var = y.var(axis=0)
+    assert np.allclose(var, 1.0, atol=1e-3)  # eps shifts it slightly
+
+
+def test_layout_tolerance_and_determinism(spark, sf_dir):
+    """Two layouts of the same data agree to float-sum reassociation;
+    the same layout twice is bit-identical."""
+    df, _ = _data(spark, sf_dir)
+    m1 = fit_pca(df, k=4)
+    m2 = fit_pca(df.repartition(7), k=4)
+    m3 = fit_pca(df, k=4)
+    assert m1 == m3  # same layout: pure function of the data
+    assert np.allclose(m1.eigenvalues, m2.eigenvalues, rtol=1e-9, atol=1e-9)
+    assert np.allclose(m1.components, m2.components, atol=1e-6)
+
+
+def test_apply_is_zero_shuffle_and_null_safe(spark, sf_dir):
+    from tests.test_plans import plan_str
+
+    df, _ = _data(spark, sf_dir)
+    m = fit_pca(df, k=4)
+    out = apply_pca(df, m)
+    assert "Exchange" not in plan_str(out)
+    withnull = df.withColumn(
+        "embedding", F.when(F.col("vec_id") % 5 != 0, F.col("embedding"))
+    )
+    rows = apply_pca(withnull, m).select("vec_id", "pca").collect()
+    for r in rows:
+        assert (r.pca is None) == (r.vec_id % 5 == 0), r.vec_id
+    # and fit skips NULLs instead of crashing
+    m2 = fit_pca(withnull, k=2)
+    assert m2.n == sum(1 for r in rows if r.pca is not None)
+
+
+def test_guards_and_explained_variance(spark, sf_dir):
+    df, _ = _data(spark, sf_dir)
+    with pytest.raises(ValueError, match="outside"):
+        fit_pca(df, k=0)
+    with pytest.raises(ValueError, match="outside"):
+        fit_pca(df, k=10_000)
+    empty = df.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="no non-NULL vectors"):
+        fit_pca(empty)
+    assert MAX_DIM >= 64
+    m = fit_pca(df, k=8)
+    ev = explained_variance(m)
+    ratios = [r for _, _, r in ev]
+    assert all(a <= b + 1e-12 for a, b in zip(ratios, ratios[1:]))
+    assert 0 < ratios[-1] <= 1.0 + 1e-12
+    # k < dim: the top-8 of 64 isotropic-ish dims explain well under all
+    assert ratios[-1] < 1.0
+
+
+def test_pca_panel_matches_python_model(spark, sf_dir):
+    """The registered tracker re-derives per-component eigenvalues and
+    cumulative ratios; pin it against the from-scratch numpy model."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    _, x = _data(spark, sf_dir)
+    rows = QUERIES["pca_embeddings_panel"].spark(spark, sf_dir).collect()
+    mean, comps, vals = _numpy_pca(x, 8)
+    total = np.trace((x - x.mean(0)).T @ (x - x.mean(0)) / x.shape[0])
+    assert [r.component for r in rows] == list(range(8))
+    cum = 0.0
+    for r in rows:
+        assert abs(r.eigenvalue - vals[r.component]) < 1e-6
+        cum += vals[r.component]
+        assert abs(r.cum_explained - round(float(cum / total), 6)) < 1e-9
+
+
+def test_pca_registry_tail_layout():
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    names = list(QUERIES)
+    assert names.index("pca_embeddings_panel") >= 50
+    assert QUERIES["pca_embeddings_panel"].oracle is None
