@@ -77,14 +77,25 @@ def gunzip_members(blob: bytes) -> bytes:
     if len(blob) < 2 or blob[:2] != b"\x1f\x8b":
         return blob
     out = []
+    # O(total bytes), not O(members x remaining): memoryview slices are
+    # zero-copy and each member is fed bounded CHUNKs, so the per-member
+    # overshoot (zlib's unused_data copy) is at most one chunk — a naive
+    # d.decompress(blob[pos:]) loop is quadratic over a Common Crawl
+    # segment with tens of thousands of per-record members
+    chunk_size = 1 << 20
+    mv = memoryview(blob)
+    n = len(blob)
     pos = 0
-    while pos < len(blob):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)  # 31 = gzip framing
-        out.append(d.decompress(blob[pos:]))
+        p = pos
+        while not d.eof and p < n:
+            piece = mv[p : p + chunk_size]
+            out.append(d.decompress(piece))
+            p += len(piece)
         if not d.eof:
             raise zlib.error(f"truncated gzip member at offset {pos}")
-        consumed = len(blob) - pos - len(d.unused_data)
-        pos += consumed
+        pos = p - len(d.unused_data)
     return b"".join(out)
 
 
@@ -234,10 +245,7 @@ def read_warc_records(
             yield pd.DataFrame(out, columns=cols)
 
     df = binary.select("path", "content").mapInPandas(_parse, WARC_RECORD_SCHEMA)
-    keep = F.col("warc_error").isNotNull() | F.col("warc_type").isin(*warc_types)
+    wanted = F.col("warc_type").isin(*warc_types)
     if min_payload_bytes > 0:
-        keep = F.col("warc_error").isNotNull() | (
-            F.col("warc_type").isin(*warc_types)
-            & (F.length("payload") >= min_payload_bytes)
-        )
-    return df.filter(keep)
+        wanted = wanted & (F.length("payload") >= min_payload_bytes)
+    return df.filter(F.col("warc_error").isNotNull() | wanted)
