@@ -108,6 +108,65 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     )
 
 
+#: Unicode script ranges as PORTABLE \x{...} character classes — the
+#: same escape parses identically under Java regex (Spark) and RE2
+#: (DuckDB), verified by the SCRIPT_MIX_ORACLE twin. Basic-plane core
+#: blocks per script (the routing tiers a multilingual crawl needs
+#: before stopword lang-ID means anything): extend the dict for more.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "hebrew": r"[\x{0590}-\x{05FF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}\x{3040}-\x{30FF}]",
+    "hangul": r"[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]",
+}
+
+#: Deterministic dominant-script tie order (dict order above).
+SCRIPT_ORDER: tuple[str, ...] = tuple(SCRIPT_RANGES)
+
+
+def script_counts(text: Column) -> Column:
+    """Per-script character counts as a struct of ints — one codegen'd
+    ``regexp_count`` per script, zero shuffles, NULL text -> NULL struct
+    fields. The routing layer UNDER :func:`lang_id`: stopword lang-ID is
+    meaningless on CJK/Arabic text, so a multilingual pipeline buckets
+    by dominant script FIRST and runs per-script identifiers after (the
+    fastText-LID replacement tier a 100-TB crawl screens with)."""
+    return F.struct(
+        *[
+            F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+            for name, pat in SCRIPT_RANGES.items()
+        ]
+    )
+
+
+def dominant_script(text: Column, min_chars: int = 1) -> Column:
+    """Name of the script with the most characters (ties break in
+    SCRIPT_ORDER — stable, engine-portable); ``'none'`` when fewer than
+    ``min_chars`` script characters exist (digits/punctuation-only
+    rows are a real crawl population and must not pick a script by tie
+    accident); NULL text -> NULL."""
+    c = script_counts(text)
+    total = None
+    for name in SCRIPT_ORDER:
+        col = c[f"n_{name}"]
+        total = col if total is None else total + col
+    expr = F.lit(SCRIPT_ORDER[-1])
+    for i in range(len(SCRIPT_ORDER) - 2, -1, -1):
+        name = SCRIPT_ORDER[i]
+        cond = None
+        for other in SCRIPT_ORDER[i + 1 :]:
+            k = c[f"n_{name}"] >= c[f"n_{other}"]
+            cond = k if cond is None else (cond & k)
+        expr = F.when(cond, F.lit(name)).otherwise(expr)
+    return F.when(
+        text.isNotNull(), F.when(total >= min_chars, expr).otherwise(F.lit("none"))
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Argmax-stopword-hits language guess, deterministic tie order
     en > fr > de > es. NULL text identifies as NULL — without the guard
