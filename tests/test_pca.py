@@ -119,6 +119,25 @@ def test_guards_and_explained_variance(spark, sf_dir):
     assert ratios[-1] < 1.0
 
 
+def test_mixed_dims_fail_loudly(spark, sf_dir):
+    """ADVICE r10 (medium): a corpus mixing vector dims must raise, not
+    silently mis-align the flattened moment sums — a SHORTER vector's
+    (s, g) partials would land in the wrong posexplode idx slots and fit
+    a wrong model without any error. The dim comes from the first row,
+    so put the short vectors in a separate input partition."""
+    df, _ = _data(spark, sf_dir)
+    short = spark.createDataFrame(
+        [(10**9, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    mixed = df.select("vec_id", "embedding").unionByName(short)
+    # the executor-side ValueError surfaces wrapped (PythonException /
+    # Py4JJavaError depending on runner); match the message, not the type
+    with pytest.raises(Exception, match="mixed-dim"):
+        fit_pca(mixed)
+    # and the clean path still fits fine with the check in place
+    assert fit_pca(df, k=2).k == 2
+
+
 def test_pca_panel_matches_python_model(spark, sf_dir):
     """The registered tracker re-derives per-component eigenvalues and
     cumulative ratios; pin it against the from-scratch numpy model."""

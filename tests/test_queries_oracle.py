@@ -22,12 +22,11 @@ from yelp_business_data_pipeline_spark.plans.registry import DEMOTED_ORACLES
 @pytest.mark.parametrize(
     "name,const",
     [
-        # tfidf_top_terms / sessionize_events left this list in r10: the
-        # freshness re-promotion put them BACK in the gate (their twins
-        # are driver-executed again, and test_query_matches_oracle covers
+        # tfidf_top_terms / sessionize_events left this list in r10, and
+        # setops_customer_cohorts / approx_aggregates in r11: freshness
+        # re-promotions put them BACK in the gate (their twins are
+        # driver-executed again, and test_query_matches_oracle covers
         # them like every gated row)
-        ("setops_customer_cohorts", "SETOPS_COHORTS_ORACLE"),
-        ("approx_aggregates", "APPROX_AGGREGATES_ORACLE"),
         ("weighted_sample_orders", "WEIGHTED_SAMPLE_ORACLE"),
         ("sentiment_by_source", "SENTIMENT_BY_SOURCE_ORACLE"),
         ("item_cooccurrence_pairs", "ITEM_COOCCURRENCE_ORACLE"),

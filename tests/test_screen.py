@@ -153,10 +153,16 @@ def test_shared_scan_verdicts_bit_identical_and_one_scan(spark, sf_dir):
 
     # shared_scan=True on a RAW frame persists internally: the three
     # LEGS read the cache; only the caller-side LM tables (fit on the
-    # raw frame here, deliberately) still root at parquet
+    # raw frame here, deliberately) still root at parquet. The caller
+    # gets the cache handle back (ADVICE r10: no leaked cache without
+    # an unpersist path) — release it when done.
     fused_raw = pretrain_screen(d, model, lm, shared_scan=True, **kw)
-    assert sorted(map(tuple, fused_raw.collect())) == want
-    assert plan_str(fused_raw).count("InMemoryTableScan") >= 3
+    assert fused_raw.shared_corpus_handle.is_cached
+    try:
+        assert sorted(map(tuple, fused_raw.collect())) == want
+        assert plan_str(fused_raw).count("InMemoryTableScan") >= 3
+    finally:
+        fused_raw.shared_corpus_handle.unpersist()
 
 
 def test_shared_corpus_prunes_and_validates(spark, sf_dir):
@@ -177,6 +183,9 @@ def test_shared_corpus_prunes_and_validates(spark, sf_dir):
             base, model, lm, carry=("lang",), shared_scan=True,
             min_words=20, min_stopword_hits=1, min_kept_lines=1,
         )
+        # the handshake path caches nothing new, so there is no handle
+        # to hand back — the caller already owns base's lifecycle
+        assert not hasattr(fused, "shared_corpus_handle")
         assert fused.count() == d.count()
     finally:
         base.unpersist()

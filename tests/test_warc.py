@@ -111,6 +111,17 @@ def test_read_warc_records_spark_path(spark, tmp_path):
     ).collect()
     assert len([r for r in pruned if r.warc_error is None]) == 5
     assert len([r for r in pruned if r.warc_error is not None]) == 1
+    # ADVICE r10: warc_types=() is ambiguous (no-type-filter intent vs a
+    # match-nothing isin) — reject loudly BEFORE any py4j analysis error;
+    # None is the explicit keep-all spelling
+    import pytest
+
+    with pytest.raises(ValueError, match="warc_types"):
+        read_warc_records(spark, str(tmp_path / "*.warc*"), warc_types=())
+    all_types = read_warc_records(
+        spark, str(tmp_path / "*.warc*"), warc_types=None
+    ).collect()
+    assert len(all_types) == len(rows)  # every record type + the error row
 
 
 def test_warc_panel_matches_duckdb_twin(spark, sf_dir):
@@ -132,9 +143,15 @@ def test_warc_panel_matches_duckdb_twin(spark, sf_dir):
     assert srows == drows and len(srows) >= 10
 
 
-def test_warc_registry_tail_layout():
+def test_warc_registry_gate_position():
+    """Promoted into the 50-slot driver gate in the r11 rotation — the
+    registration must sit inside the gate AND carry the
+    WARC_ROUNDTRIP_ORACLE twin."""
     from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        WARC_ROUNDTRIP_ORACLE,
+    )
 
     names = list(QUERIES)
-    assert names.index("warc_roundtrip_panel") >= 50
-    assert QUERIES["warc_roundtrip_panel"].oracle is None
+    assert names.index("warc_roundtrip_panel") < 50
+    assert QUERIES["warc_roundtrip_panel"].oracle == WARC_ROUNDTRIP_ORACLE

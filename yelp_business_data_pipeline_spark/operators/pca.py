@@ -69,9 +69,14 @@ class PcaModel:
     total_variance: float = 0.0
 
 
-def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
+def _moment_partials(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     """One partial row per Arrow batch: (n, sum vector, flattened gram
-    matrix). The corpus's only pass."""
+    matrix). The corpus's only pass. Every vector must be exactly ``d``
+    long — a shorter vector in some other partition would otherwise
+    produce shorter (s, g) arrays whose posexplode idx keys land in the
+    WRONG slots of the flattened moment vector (a silently wrong model;
+    larger dims at least fail via shape errors). Loud-failure rule:
+    raise per batch, never mis-sum."""
     schema = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -87,6 +92,13 @@ def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
             vecs = [v for v in pdf[vec_col] if v is not None]
             if not vecs:
                 continue
+            bad = {len(v) for v in vecs} - {d}
+            if bad:
+                raise ValueError(
+                    f"fit_pca: vector dim(s) {sorted(bad)} != fitted dim {d} — "
+                    "mixed-dim corpora would mis-align the flattened moment "
+                    "sums; filter or pad upstream"
+                )
             x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
             yield pd.DataFrame(
                 {
@@ -125,7 +137,7 @@ def fit_pca(
     if not (1 <= k <= d):
         raise ValueError(f"fit_pca: k={k} outside [1, {d}]")
 
-    parts = _moment_partials(df, vec_col)
+    parts = _moment_partials(df, vec_col, int(d))
     # skinny bounded exchange: (idx, val) partial-agg'd sums
     sums = (
         parts.select(

@@ -157,15 +157,24 @@ def pretrain_screen(
     thrice (module docstring, shared-scan regime). If ``df`` is already
     cached (the :func:`shared_corpus` handshake, which also puts the
     model FITS on the shared root) it is used as-is — no second cache
-    entry. The verdicts are bit-identical either way (pinned)."""
+    entry. The verdicts are bit-identical either way (pinned).
+
+    Cache lifecycle: when ``shared_scan=True`` persists a projection
+    HERE (``df`` not already cached), the caller gets the handle as
+    ``result.shared_corpus_handle`` — ``.unpersist()`` it after the
+    screen's outputs are consumed, or the projection stays resident for
+    the rest of the session. When lifecycle matters, prefer the explicit
+    :func:`shared_corpus` handshake (you hold the handle from the
+    start; this path then caches nothing new and sets no attribute)."""
     if by not in carry:
         raise ValueError(
             f"pretrain_screen: by={by!r} must be carried through the legs "
             f"(carry={carry!r}) — perplexity cut points are per-{by} and "
             "the panel grain needs it"
         )
+    cached_here: DataFrame | None = None
     if shared_scan and not df.is_cached:
-        df = shared_corpus(
+        df = cached_here = shared_corpus(
             df,
             id_col=id_col,
             text_col=text_col,
@@ -226,7 +235,7 @@ def pretrain_screen(
         # accident of a negative comparison
         F.col("bucket_name").isin("head", "middle").alias("ppl_ok"),
     )
-    return (
+    out = (
         buck.join(rules, id_col)
         .join(clf, id_col)
         .select(
@@ -244,3 +253,7 @@ def pretrain_screen(
             (F.col("rules_ok") & F.col("clf_ok") & F.col("ppl_ok")).alias("keep"),
         )
     )
+    if cached_here is not None:
+        # hand the caller the unpersist handle (docstring: cache lifecycle)
+        out.shared_corpus_handle = cached_here
+    return out

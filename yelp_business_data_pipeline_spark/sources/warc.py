@@ -223,15 +223,22 @@ def write_warc_bytes(records: list[tuple[str, str, bytes]]) -> bytes:
 def read_warc_records(
     spark: SparkSession,
     path: str,
-    warc_types: tuple[str, ...] = ("response",),
+    warc_types: tuple[str, ...] | None = ("response",),
     strip_http: bool = True,
     min_payload_bytes: int = 0,
 ) -> DataFrame:
     """Read ``.warc`` / ``.warc.gz`` files into WARC_RECORD_SCHEMA rows —
     one zero-shuffle Arrow pass, one task per file (the Common Crawl
     parallelism unit; see module docstring). ``warc_types`` filters to
-    the record kinds a pipeline wants (responses, usually) while error
-    rows ALWAYS pass through — ingest accounting must see them."""
+    the record kinds a pipeline wants (responses, usually) — pass
+    ``None`` to keep every type — while error rows ALWAYS pass through:
+    ingest accounting must see them."""
+    if warc_types is not None and len(warc_types) == 0:
+        raise ValueError(
+            "read_warc_records: warc_types=() matches no record type — "
+            "pass None to keep all types, or name the kinds you want "
+            "(('response',), ('response', 'metadata'), ...)"
+        )
     binary = spark.read.format("binaryFile").load(path)
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,7 +252,7 @@ def read_warc_records(
             yield pd.DataFrame(out, columns=cols)
 
     df = binary.select("path", "content").mapInPandas(_parse, WARC_RECORD_SCHEMA)
-    wanted = F.col("warc_type").isin(*warc_types)
+    wanted = F.lit(True) if warc_types is None else F.col("warc_type").isin(*warc_types)
     if min_payload_bytes > 0:
         wanted = wanted & (F.length("payload") >= min_payload_bytes)
     return df.filter(F.col("warc_error").isNotNull() | wanted)
