@@ -161,3 +161,34 @@ def test_pca_registry_tail_layout():
     names = list(QUERIES)
     assert names.index("pca_embeddings_panel") >= 50
     assert QUERIES["pca_embeddings_panel"].oracle is None
+    assert names.index("pca_apply_panel") >= 50
+    assert QUERIES["pca_apply_panel"].oracle is None
+
+
+def test_pca_apply_panel_matches_duckdb_twin(spark, sf_dir):
+    """Rotation-queue twin pin (VERDICT r10 item 2): the REAL apply_pca
+    matmul under an exactly-reproducible powers-of-two literal model, and
+    the REAL _moment_partials fold + posexplode/groupBy(idx) exchange,
+    must equal PCA_APPLY_ORACLE's direct SQL re-derivation row-for-row."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        PCA_APPLY_ORACLE,
+    )
+
+    from .oracle_harness import duck_con
+
+    srows = sorted(
+        tuple(r) for r in QUERIES["pca_apply_panel"].spark(spark, sf_dir).collect()
+    )
+    drows = sorted(duck_con(sf_dir).execute(PCA_APPLY_ORACLE).fetchall())
+    # floats already rounded in-plan on both sides; compare exactly
+    assert len(srows) == len(drows)
+    for s, d in zip(srows, drows):
+        assert s[:3] == d[:3]
+        assert s[3] == pytest.approx(d[3], abs=1e-9), (s, d)
+    parts = {r[0] for r in srows}
+    assert parts == {"proj", "n", "sum", "gram"}
+    # the moment grain: one n row, d sum rows, diagonal+stride gram cells
+    assert sum(1 for r in srows if r[0] == "n") == 1
+    assert sum(1 for r in srows if r[0] == "sum") == 64
+    assert sum(1 for r in srows if r[0] == "proj") >= 4  # vec_id<100 slice
