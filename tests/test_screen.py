@@ -193,6 +193,62 @@ def test_shared_corpus_prunes_and_validates(spark, sf_dir):
         shared_corpus(d, storage_level="NOT_A_LEVEL")
 
 
+def test_script_route_off_is_unchanged_on_adds_visible_routing(spark, sf_dir):
+    """VERDICT r10 item 6: script_route=False (the default) must leave
+    the output column-for-column byte-identical; script_route=True adds
+    exactly (script, script_ok) — script equal to the standalone
+    dominant_script operator, keep = unrouted keep AND script_ok — and
+    routing with EVERY script allowed degenerates back to the unrouted
+    keep (the saturation identity)."""
+    from yelp_business_data_pipeline_spark.operators.text import (
+        SCRIPT_ORDER,
+        dominant_script,
+    )
+
+    d, model, lm = _model_and_lm(spark, sf_dir)
+    kw = dict(carry=("lang",), min_words=20, min_stopword_hits=1, min_kept_lines=1)
+    plain = pretrain_screen(d, model, lm, **kw)
+    off = pretrain_screen(d, model, lm, script_route=False, **kw)
+    assert off.columns == plain.columns  # no routing columns by default
+    want = sorted(map(tuple, plain.collect()))
+    assert sorted(map(tuple, off.collect())) == want
+
+    routed = pretrain_screen(d, model, lm, script_route=True, **kw)
+    assert routed.columns == [*plain.columns[:-1], "script", "script_ok", "keep"]
+    rrows = {r.doc_id: r for r in routed.collect()}
+    scripts = {
+        r.doc_id: r.s
+        for r in d.select(
+            "doc_id",
+            F.coalesce(dominant_script(F.col("text")), F.lit("none")).alias("s"),
+        ).collect()
+    }
+    for row in (dict(zip(plain.columns, t)) for t in want):
+        r = rrows[row["doc_id"]]
+        assert r.script == scripts[row["doc_id"]]
+        assert r.script_ok == (r.script == "latin")
+        assert r.keep == (row["keep"] and r.script_ok)
+        # every pre-existing column is untouched by routing
+        for c in plain.columns[:-1]:
+            assert getattr(r, c) == row[c], c
+    # saturation identity: allowing every script (+ the none bucket)
+    # routes nothing out
+    sat = pretrain_screen(
+        d, model, lm, script_route=True,
+        route_scripts=(*SCRIPT_ORDER, "none"), **kw,
+    )
+    sat_keep = {r.doc_id: r.keep for r in sat.collect()}
+    for row in (dict(zip(plain.columns, t)) for t in want):
+        assert sat_keep[row["doc_id"]] == row["keep"]
+    # loud guards: empty or typo'd route set
+    with pytest.raises(ValueError, match="route_scripts"):
+        pretrain_screen(d, model, lm, script_route=True, route_scripts=(), **kw)
+    with pytest.raises(ValueError, match="route_scripts"):
+        pretrain_screen(
+            d, model, lm, script_route=True, route_scripts=("latn",), **kw
+        )
+
+
 def test_c4_blocklist_knob_flows_through_the_rules_leg(spark, sf_dir):
     """pretrain_screen(c4_blocklist=...) must conjoin the C4 bad-words
     page filter into c4_ok/rules_ok/keep for exactly the docs carrying a

@@ -62,7 +62,9 @@ from .ppl import (
 )
 from .qualityclf import QualityModel, score_quality
 from .text import (
+    SCRIPT_ORDER,
     c4_doc_flags,
+    dominant_script,
     gopher_quality_flags,
     gopher_repetition_flags,
     gopher_repetition_metrics,
@@ -129,6 +131,8 @@ def pretrain_screen(
     c4_blocklist: tuple[str, ...] | None = None,
     shared_scan: bool = False,
     storage_level: str = "MEMORY_AND_DISK",
+    script_route: bool = False,
+    route_scripts: tuple[str, ...] = ("latin",),
 ) -> DataFrame:
     """One row per doc: every leg's verdict plus the conjunction.
 
@@ -159,6 +163,21 @@ def pretrain_screen(
     model FITS on the shared root) it is used as-is — no second cache
     entry. The verdicts are bit-identical either way (pinned).
 
+    ``script_route``: the pre-lang-ID routing tier (VERDICT r10 item 6).
+    Every stopword-based gate in this screen — Gopher quality's stopword
+    minimum, the lang-ID convention behind the ``by`` groups — is only
+    meaningful on scripts its lexicons cover; mixed- and non-target-
+    script documents are the classic lang-ID failure and would be
+    silently screened by heuristics that cannot read them. With
+    ``script_route=True`` the rules leg (same scan, zero extra shuffle)
+    also emits ``script`` (``text.dominant_script``) and ``script_ok``
+    (``script`` is in ``route_scripts`` — the scripts THIS screen's
+    lexicon tier is competent to judge, default latin), and ``keep``
+    additionally requires ``script_ok``: out-of-scope docs route OUT of
+    this screen, visibly (``script`` says where they should go), never
+    keep/drop by accident of an unreadable heuristic. Default off —
+    the output is column-for-column unchanged (pinned).
+
     Cache lifecycle: when ``shared_scan=True`` persists a projection
     HERE (``df`` not already cached), the caller gets the handle as
     ``result.shared_corpus_handle`` — ``.unpersist()`` it after the
@@ -172,6 +191,14 @@ def pretrain_screen(
             f"(carry={carry!r}) — perplexity cut points are per-{by} and "
             "the panel grain needs it"
         )
+    if script_route:
+        unknown = set(route_scripts) - set(SCRIPT_ORDER) - {"none"}
+        if not route_scripts or unknown:
+            raise ValueError(
+                f"pretrain_screen: route_scripts={route_scripts!r} must be a "
+                f"non-empty subset of {SCRIPT_ORDER + ('none',)} — a typo'd "
+                "script name would silently route everything out"
+            )
     cached_here: DataFrame | None = None
     if shared_scan and not df.is_cached:
         df = cached_here = shared_corpus(
@@ -210,6 +237,17 @@ def pretrain_screen(
             "qual_ok",
             "c4_ok",
             (F.col("rep_ok") & F.col("qual_ok") & F.col("c4_ok")).alias("rules_ok"),
+            # the routing tier rides the SAME rules-leg scan (text is
+            # already in hand) — zero extra shuffles, zero extra scans
+            *(
+                [
+                    F.coalesce(
+                        dominant_script(F.col(text_col)), F.lit("none")
+                    ).alias("script")
+                ]
+                if script_route
+                else []
+            ),
         )
     )
     clf = score_quality(df, clf_model, id_col=id_col, text_col=text_col).select(
@@ -235,6 +273,12 @@ def pretrain_screen(
         # accident of a negative comparison
         F.col("bucket_name").isin("head", "middle").alias("ppl_ok"),
     )
+    keep = F.col("rules_ok") & F.col("clf_ok") & F.col("ppl_ok")
+    route_cols: list = []
+    if script_route:
+        script_ok = F.col("script").isin(*route_scripts)
+        route_cols = ["script", script_ok.alias("script_ok")]
+        keep = keep & script_ok
     out = (
         buck.join(rules, id_col)
         .join(clf, id_col)
@@ -250,7 +294,8 @@ def pretrain_screen(
             "ppl",
             "ppl_bucket",
             "ppl_ok",
-            (F.col("rules_ok") & F.col("clf_ok") & F.col("ppl_ok")).alias("keep"),
+            *route_cols,
+            keep.alias("keep"),
         )
     )
     if cached_here is not None:
