@@ -77,22 +77,29 @@ def gunzip_members(blob: bytes) -> bytes:
     if len(blob) < 2 or blob[:2] != b"\x1f\x8b":
         return blob
     out = []
-    # O(total bytes), not O(members x remaining): memoryview slices are
-    # zero-copy and each member is fed bounded CHUNKs, so the per-member
-    # overshoot (zlib's unused_data copy) is at most one chunk — a naive
-    # d.decompress(blob[pos:]) loop is quadratic over a Common Crawl
-    # segment with tens of thousands of per-record members
-    chunk_size = 1 << 20
+    # O(total bytes), not O(members x chunk): memoryview slices are
+    # zero-copy and each member's feeds GROW GEOMETRICALLY from 4 KiB,
+    # so the per-member overshoot (zlib's unused_data copy when eof
+    # lands mid-chunk) is proportional to THAT member's size, never a
+    # fixed large chunk — with Common Crawl's tiny per-record members a
+    # fixed 1 MiB first feed copies ~1 MiB of tail per member (measured
+    # 44x wall at 10x members, the r10 fix's residual quadratic); a
+    # naive d.decompress(blob[pos:]) is worse still (O(members x
+    # remaining)). Large members still reach the 1 MiB cap in a few
+    # doublings, keeping the feed count logarithmic in member size.
+    max_chunk = 1 << 20
     mv = memoryview(blob)
     n = len(blob)
     pos = 0
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # 31 = gzip framing
         p = pos
+        chunk = 1 << 12
         while not d.eof and p < n:
-            piece = mv[p : p + chunk_size]
+            piece = mv[p : p + chunk]
             out.append(d.decompress(piece))
             p += len(piece)
+            chunk = min(chunk * 4, max_chunk)
         if not d.eof:
             raise zlib.error(f"truncated gzip member at offset {pos}")
         pos = p - len(d.unused_data)
