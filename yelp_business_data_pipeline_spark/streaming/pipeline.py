@@ -425,7 +425,14 @@ def stream_incremental_dedup(
     on it BEFORE the store join: bloom-negative rows are GUARANTEED
     novel (no false negatives) and skip the store read entirely — on a
     mostly-novel crawl batch the wide store join prices only the
-    may-contain fraction. Update ORDER is the correctness invariant
+    may-contain fraction. WHEN TO USE (measured, BASELINE.md round-11
+    A/B): only when the per-batch store READ is the expensive term — a
+    store on remote object storage (each batch re-reads it; the bitmap
+    is ~16 MB at 10M prints vs a multi-GB store scan) or a store too
+    large to hash-join per batch. On executor-local NVMe leave it None:
+    the store join is two narrow hash equi-joins and the bloom leg's
+    extra per-batch jobs (bitmap read + probe, build, read+fold+rewrite)
+    measured SLOWER at every store size from 40k to 10M fingerprints. Update ORDER is the correctness invariant
     (the frontier-written-LAST rule, inverted): the filter folds the
     batch's novel fingerprints FIRST, then the corpus/store merge — the
     bloom may run AHEAD of the store (a false positive costs one store
