@@ -161,8 +161,13 @@ def test_pca_registry_tail_layout():
     names = list(QUERIES)
     assert names.index("pca_embeddings_panel") >= 50
     assert QUERIES["pca_embeddings_panel"].oracle is None
-    assert names.index("pca_apply_panel") >= 50
-    assert QUERIES["pca_apply_panel"].oracle is None
+    # promoted by the sixth r11 swap — gated WITH its twin
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        PCA_APPLY_ORACLE,
+    )
+
+    assert names.index("pca_apply_panel") < 50
+    assert QUERIES["pca_apply_panel"].oracle == PCA_APPLY_ORACLE
 
 
 def test_pca_apply_panel_matches_duckdb_twin(spark, sf_dir):

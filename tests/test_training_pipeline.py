@@ -344,3 +344,48 @@ def test_pipeline_tail_mix_then_shard_export(spark, tmp_path):
     )
     tot = manifest.agg(F.sum("n_docs")).first()[0]
     assert tot == n_mixed
+
+
+def test_leakage_split_audit_matches_duckdb_twin(spark, sf_dir):
+    """Rotation-queue twin pin (r11): the registered audit panel must
+    equal LEAKAGE_SPLIT_ORACLE row-for-row — md5 split draw, prefix
+    fingerprint, and the cross-split leakage count all re-derived from
+    scratch in DuckDB. Semantics pins: the cluster-keyed regime is
+    leakage-free BY CONSTRUCTION (the live invariant the driver
+    re-executes), the doc-keyed control on the same corpus leaks, and
+    both regimes partition the same doc/token mass."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        LEAKAGE_SPLIT_ORACLE,
+    )
+
+    from .oracle_harness import duck_con
+
+    srows = sorted(
+        tuple(r) for r in QUERIES["leakage_split_audit"].spark(spark, sf_dir).collect()
+    )
+    drows = sorted(duck_con(sf_dir).execute(LEAKAGE_SPLIT_ORACLE).fetchall())
+    assert srows == drows and len(srows) >= 4
+    rows = [dict(zip(("regime", "split", "n_docs", "n_tokens", "leaked_fps"), t)) for t in srows]
+    by_regime = {}
+    for r in rows:
+        by_regime.setdefault(r["regime"], []).append(r)
+    assert set(by_regime) == {"by_cluster", "by_doc"}
+    assert all(r["leaked_fps"] == 0 for r in by_regime["by_cluster"])
+    assert all(r["leaked_fps"] > 0 for r in by_regime["by_doc"])
+    for regime, rs in by_regime.items():
+        assert {r["split"] for r in rs} <= {"train", "val", "test"}
+    # both regimes partition the SAME corpus mass
+    mass = {
+        regime: (sum(r["n_docs"] for r in rs), sum(r["n_tokens"] for r in rs))
+        for regime, rs in by_regime.items()
+    }
+    assert mass["by_cluster"] == mass["by_doc"]
+
+
+def test_leakage_split_audit_registry_tail_layout():
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    names = list(QUERIES)
+    assert names.index("leakage_split_audit") >= 50
+    assert QUERIES["leakage_split_audit"].oracle is None
