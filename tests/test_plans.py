@@ -273,3 +273,30 @@ def test_two_window_frames_share_one_exchange(spark, sf_dir):
     p = plan_str(df)
     assert p.count("Exchange") == 2, p
     assert p.count("Window") >= 4, p
+
+
+def test_leakage_split_audit_plan_shape(spark, sf_dir):
+    """The split itself must stay a shuffle-free per-row expression: the
+    only exchanges are the two per-regime audit groupBys (+ their
+    partial-agg pairs under AQE) and the per-regime split rollups; the
+    leaked-count side joins back via BROADCAST (one row), never a
+    shuffle join, and nothing evaluates Python."""
+    df = QUERIES["leakage_split_audit"].spark(spark, sf_dir)
+    p = plan_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_pca_apply_panel_plan_shape(spark, sf_dir):
+    """pca_apply_panel composes the two distributed halves: the apply
+    matmul leg is zero-shuffle up to its final exchange-free projection
+    (mapInPandas is the sanctioned Arrow path here), and the moment leg's
+    only wide node is the bounded (idx, val) groupBy — no joins at all,
+    no cartesian."""
+    df = QUERIES["pca_apply_panel"].spark(spark, sf_dir)
+    p = plan_str(df, "simple")
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p
+    # both legs scan embeddings; the union is the only plan root above them
+    assert p.count("MapInPandas") == 2, p  # apply matmul + moment fold

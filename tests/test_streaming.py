@@ -1419,3 +1419,103 @@ def test_stream_web_crawl_pipeline_warc_source_equals_json(spark, tmp_path, sf_d
             str(tmp_path / "x4"), model, lm, cuts,
             source_format="avro", **knobs,
         )
+
+
+def test_stream_web_crawl_pipeline_script_routing(spark, tmp_path, sf_dir):
+    """script_route flows through the crawl loop (r11): a page that
+    PASSES the unrouted screen but is dominated by a non-latin script is
+    rejected from the corpus when routing is on — while still entering
+    the frontier and the fingerprint store like every rejected page —
+    and the stream's keep set equals the batch screen's routed verdicts
+    (the frozen-model equivalence pin, routing edition)."""
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        fit_bigram_lm,
+        perplexity_thresholds,
+        score_perplexity,
+    )
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        train_quality_classifier,
+    )
+    from yelp_business_data_pipeline_spark.operators.screen import pretrain_screen
+    from yelp_business_data_pipeline_spark.operators.text import lang_id
+    from yelp_business_data_pipeline_spark.streaming import stream_web_crawl_pipeline
+
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_quality_classifier(
+        ref, F.col("lang") == "en", buckets=4096, n_train=256
+    )
+    lm = fit_bigram_lm(ref)
+    cuts = perplexity_thresholds(
+        score_perplexity(ref, lm, carry=("lang",)).filter(F.col("ppl").isNotNull())
+    )
+    knobs = dict(min_words=20, min_stopword_hits=1, min_kept_lines=0)
+
+    pool = [
+        (r.doc_id, r.text)
+        for r in ref.select("doc_id", "text").orderBy("doc_id").limit(24).collect()
+    ]
+    canon = {i: f"http://site{i}.example.com/a" for i, _ in pool}
+    base = spark.createDataFrame(
+        [(canon[i], t) for i, t in pool], "canonical_url string, text string"
+    ).withColumn("lang", lang_id(F.col("text")))
+    unrouted = {
+        r.canonical_url: r.keep
+        for r in pretrain_screen(
+            base, model, lm, id_col="canonical_url", carry=("lang",),
+            by="lang", ppl_cuts=cuts, **knobs
+        ).collect()
+    }
+    keepers = [i for i, _ in pool if unrouted[canon[i]]]
+    assert len(keepers) >= 2
+    texts = dict(pool)
+    # the routing victim: a PASSING doc's text with a CJK majority
+    # appended as short space-separated words — the latin gates still see
+    # their stopwords/lines, but dominant_script flips to cjk
+    k_lat, k_vic = keepers[0], keepers[1]
+    vic_text = texts[k_vic] + " " + " ".join(["你好 世界"] * len(texts[k_vic]))
+    docs = spark.createDataFrame(
+        [(canon[k_lat], texts[k_lat]), (canon[k_vic], vic_text)],
+        "canonical_url string, text string",
+    ).withColumn("lang", lang_id(F.col("text")))
+    routed = {
+        r.canonical_url: (r.keep, r.script, r.script_ok)
+        for r in pretrain_screen(
+            docs, model, lm, id_col="canonical_url", carry=("lang",),
+            by="lang", ppl_cuts=cuts, script_route=True, **knobs
+        ).collect()
+    }
+    # construction holds: the victim fails ONLY script_ok
+    assert routed[canon[k_lat]] == (True, "latin", True)
+    assert routed[canon[k_vic]][1] == "cjk" and not routed[canon[k_vic]][2]
+
+    def page(text: str) -> str:
+        return f"<html><head><title>t</title></head><body><p>{text}</p></body></html>"
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"url": u, "html": page(t)})
+            for u, t in ((canon[k_lat], texts[k_lat]), (canon[k_vic], vic_text))
+        )
+    )
+    out, frontier, store, ckpt = (
+        str(tmp_path / "corpus"),
+        str(tmp_path / "frontier"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("html", T.StringType())]
+    )
+    stream_web_crawl_pipeline(
+        spark, str(src), schema, out, frontier, store, ckpt,
+        model, lm, cuts, script_route=True, **knobs
+    ).awaitTermination()
+
+    corpus = {r.canonical_url for r in spark.read.parquet(out).collect()}
+    assert corpus == {canon[k_lat]}  # == the batch routed keep set
+    fronts = {r.canonical_url for r in spark.read.parquet(frontier).collect()}
+    assert fronts == {canon[k_lat], canon[k_vic]}  # victim never re-crawled
+    stored = {r.index_id for r in spark.read.parquet(store).collect()}
+    assert canon[k_vic] in stored  # fingerprint indexed despite rejection

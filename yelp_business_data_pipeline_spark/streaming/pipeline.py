@@ -741,6 +741,8 @@ def stream_web_crawl_pipeline(
     max_files_per_trigger: int | None = None,
     source_format: str = "json",
     on_batch_complete: Callable[[int], None] | None = None,
+    script_route: bool = False,
+    route_scripts: tuple[str, ...] = ("latin",),
 ):
     """The crawl loop from RAW PAGES: ``(url, html)`` files in, screened
     text corpus + URL frontier + content-fingerprint store out — one
@@ -773,7 +775,15 @@ def stream_web_crawl_pipeline(
 
     Non-URL rows (canonical NULL) are dropped at stage 2 — the
     frontier_dedup contract; count them upstream if fetch-queue hygiene
-    needs the number."""
+    needs the number.
+
+    ``script_route``/``route_scripts`` flow into the frozen screen
+    (operators/screen.py): with routing on, pages whose dominant script
+    the screen's lexicon tier cannot judge fail ``script_ok`` and are
+    rejected from the CORPUS — but still land in the frontier and the
+    fingerprint store like every other rejected page (never re-crawled,
+    never re-screened; route them to a per-script pipeline from the raw
+    pages instead). A multilingual crawl wants this ON."""
     from ..operators.htmlx import extract_main_text
     from ..operators.incdedup import exact_fingerprint_index
     from ..operators.screen import pretrain_screen
@@ -842,6 +852,8 @@ def stream_web_crawl_pipeline(
                     min_stopword_hits=min_stopword_hits,
                     min_kept_lines=min_kept_lines,
                     ppl_cuts=ppl_cuts,
+                    script_route=script_route,
+                    route_scripts=route_scripts,
                 )
                 kept = novel.join(
                     verdicts.filter(F.col("keep")).select(canonical_col),
