@@ -824,3 +824,86 @@ def test_soft_dedup_internal_name_collision_raises(spark):
         soft_dedup_weights(df.withColumn("_sd_key", F.lit("x")), "k")
     with pytest.raises(ValueError, match="_sd_key"):
         soft_dedup_weights(df.withColumn("_n", F.lit(1)), "k")
+
+
+def test_bag_fingerprint_semantics(spark):
+    """Order- and multiplicity-invariant; NULL text -> NULL (not the
+    empty-string hash concat_ws would silently produce)."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.text import bag_fingerprint
+
+    df = spark.createDataFrame(
+        [("b a a",), ("a b",), ("a c",), (None,), ("",)], "text string"
+    )
+    fps = [r[0] for r in df.select(bag_fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]          # reorder + repeat collide
+    assert fps[2] != fps[0]          # different vocab does not
+    assert fps[3] is None            # NULL text has no identity
+    assert fps[4] is not None        # empty string is a real (degenerate) bag
+
+
+def test_cross_source_mirrors_python_model(spark):
+    from yelp_business_data_pipeline_spark.operators.dedup import cross_source_mirrors
+
+    rows = [
+        # mirrored across hosts, one copy reordered/repeated
+        (1, "x y z", "h1"), (2, "z y x x", "h2"), (3, "x y z", "h2"),
+        # duplicated WITHIN one host only -> excluded by the source bar
+        (4, "p q", "h1"), (5, "p q", "h1"),
+        # unique content
+        (6, "solo doc", "h3"),
+        # NULL text dropped
+        (7, None, "h1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {r.bag_fp: r for r in cross_source_mirrors(df, "doc_id", "text", "source").collect()}
+    assert len(got) == 1
+    (only,) = got.values()
+    assert (only.n_docs, only.n_sources, only.min_doc_id, only.sources_csv) == (3, 2, 1, "h1,h2")
+    # min_sources=1 degenerates to the full duplication profile
+    all_groups = cross_source_mirrors(df, "doc_id", "text", "source", min_sources=1)
+    assert all_groups.count() == 3  # xyz-bag, pq-bag, solo-bag
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_sources"):
+        cross_source_mirrors(df, "doc_id", "text", "source", min_sources=0)
+
+
+def test_cross_source_mirrors_hash_agg_single_exchange(spark):
+    """The scale pin: ONE hash exchange, and the aggregate stays
+    hash-based (no countDistinct Expand + TypedImperative SortAggregate
+    collapse — n_sources comes from the collected set)."""
+    from yelp_business_data_pipeline_spark.operators.dedup import cross_source_mirrors
+
+    df = spark.createDataFrame(
+        [(1, "x y", "h1"), (2, "y x", "h2")], "doc_id bigint, text string, source string"
+    )
+    plan = (
+        cross_source_mirrors(df, "doc_id", "text", "source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortAggregate" not in plan and "Expand" not in plan
+
+
+def test_mirror_detection_panel_matches_duckdb_twin(spark, sf_dir):
+    """Rotation-queue twin pin: the registered panel must equal
+    MIRROR_DETECTION_ORACLE row-for-row — bag fingerprint, copy/source
+    counts, and the sorted mirror-set CSV re-derived in DuckDB."""
+    from tests.oracle_harness import duck_con
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import MIRROR_DETECTION_ORACLE
+
+    srows = sorted(
+        tuple(r) for r in QUERIES["mirror_detection_panel"].spark(spark, sf_dir).collect()
+    )
+    drows = sorted(duck_con(sf_dir).execute(MIRROR_DETECTION_ORACLE).fetchall())
+    assert srows == drows and len(srows) >= 10
+    for _fp, n_docs, n_sources, _mid, csv in srows:
+        assert n_docs >= n_sources >= 2
+        assert len(csv.split(",")) == n_sources
+    names = list(QUERIES)
+    assert names.index("mirror_detection_panel") >= 50
+    assert QUERIES["mirror_detection_panel"].oracle is None

@@ -532,3 +532,64 @@ def soft_dedup_weights(
         size.cast("bigint").alias(size_col),
         F.round(F.lit(1.0) / size.cast("double"), 9).alias(weight_col),
     )
+
+
+def cross_source_mirrors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    min_sources: int = 2,
+) -> DataFrame:
+    """Mirror / syndication detection: the cross-host duplication profile
+    a web corpus needs BEFORE a dedup policy is chosen (keep the canonical
+    host? down-weight? drop all-but-one?). Groups documents by
+    :func:`text.bag_fingerprint` (order- and multiplicity-invariant, so
+    reordered mirror pages still collide) and keeps fingerprints seen on
+    at least ``min_sources`` DISTINCT sources — within-host duplication
+    is ordinary dedup territory, not mirroring, and is excluded by the
+    source-count bar rather than by a second scan.
+
+    Output per mirrored fingerprint: ``bag_fp``, ``n_docs`` (copies),
+    ``n_sources`` (distinct hosts), ``min_doc_id`` (deterministic
+    representative), ``sources_csv`` (sorted host list — the mirror set).
+
+    NULL text has no content identity and is dropped (the frontier rule,
+    same as NULL keys in :func:`soft_dedup_weights`).
+
+    Scale shape: ONE fingerprint groupBy (the exact-dedup shuffle) with
+    map-side partial aggregation; ``n_sources`` comes from the collected
+    source set instead of ``countDistinct`` so the aggregate stays
+    hash-based (countDistinct's Expand plan alongside a
+    TypedImperativeAggregate buffer drops to SortAggregate — pinned
+    elsewhere). ``collect_set(source)`` is bounded by the mirror-set
+    size (distinct hosts carrying one content group), not by corpus
+    size — the output row itself carries the same list.
+    """
+    if min_sources < 1:
+        raise ValueError(f"cross_source_mirrors: min_sources must be >= 1, got {min_sources}")
+    from .text import bag_fingerprint
+
+    keyed = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            bag_fingerprint(F.col(text_col)).alias("bag_fp"),
+            F.col(id_col).cast("bigint").alias("_id"),
+            F.col(source_col).alias("_src"),
+        )
+    )
+    grouped = keyed.groupBy("bag_fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("_id").alias("min_doc_id"),
+        F.array_sort(F.collect_set("_src")).alias("_srcs"),
+    )
+    return (
+        grouped.select(
+            "bag_fp",
+            "n_docs",
+            F.size("_srcs").cast("bigint").alias("n_sources"),
+            "min_doc_id",
+            F.concat_ws(",", F.col("_srcs")).alias("sources_csv"),
+        )
+        .filter(F.col("n_sources") >= min_sources)
+    )

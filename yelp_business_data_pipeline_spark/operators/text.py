@@ -348,6 +348,20 @@ def fingerprint(text: Column, n_tokens: int = 2) -> Column:
     return F.md5(prefix)
 
 
+def bag_fingerprint(text: Column) -> Column:
+    """Bag-of-words document fingerprint: md5 of the sorted DISTINCT
+    whitespace tokens. Order- and multiplicity-invariant, so two docs
+    that shuffle or repeat the same vocabulary (mirror pages, syndicated
+    boilerplate with reordered blocks) share a fingerprint where the
+    prefix :func:`fingerprint` and exact full-text hashes both miss.
+    Identical in DuckDB: ``md5(array_to_string(list_sort(list_distinct(
+    string_split(text, ' '))), ' '))``. NULL text yields NULL (no
+    content identity — never a cluster key; ``concat_ws`` would silently
+    fold NULL to the empty-string hash, so the guard is explicit)."""
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(text, " "))))
+    return F.when(text.isNotNull(), F.md5(bag))
+
+
 def char_kgram_hashes(text: Column, k: int = 8, impl: str = "md5") -> Column:
     """Portable hash of every character k-gram (empty array for short text).
 
@@ -1145,3 +1159,82 @@ def c4_span_dedup(
         .alias(out_col),
         F.coalesce(F.size("_drop"), F.lit(0)).alias("lines_removed"),
     )
+
+
+def compression_signal(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    carry: tuple[str, ...] = (),
+):
+    """Per-document DEFLATE compressibility — the RedPajama-V2 / Dolma
+    quality signal the ratio-based heuristics can't substitute: highly
+    compressible text is templated/repetitive boilerplate, while
+    near-incompressible "text" is usually minified code, base64 blobs, or
+    binary junk. Both tails are what a pretrain screen wants to route out.
+
+    Emits raw integers — ``utf8_bytes`` (encoded length) and
+    ``deflate_bytes`` (``zlib.compress(_, level)`` length) — plus the raw
+    ``compress_ratio`` division (no Python-side rounding, per the
+    determinism rules; consumers threshold on the integer pair when they
+    need engine-portable cuts). NULL text carries no signal: all three
+    outputs are NULL (the row survives — absence is visible, not dropped).
+    Empty text compresses to the 8-byte DEFLATE header; its ratio is NULL
+    (0/0), never infinity.
+
+    Scale shape: compression is per-document work on a single row, so
+    this is an Arrow ``mapInPandas`` kernel — ZERO shuffle (the
+    gopher_repetition_metrics precedent), batch memory O(batch bytes).
+    ``carry`` rides grouping columns through so panel rollups need no
+    corpus-on-corpus rejoin. DEFLATE output is deterministic for a fixed
+    (level, zlib build) but has no SQL form — verification is the
+    python-model recompute pin in tests/test_compression.py, and the
+    registered panel is rows-only by design (documented, not hidden).
+    """
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql import types as T
+
+    if not 0 <= level <= 9:
+        raise ValueError(f"compression_signal: zlib level must be in [0, 9], got {level}")
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType)]
+        + [T.StructField(c, df.schema[c].dataType) for c in carry]
+        + [
+            T.StructField("utf8_bytes", T.LongType()),
+            T.StructField("deflate_bytes", T.LongType()),
+            T.StructField("compress_ratio", T.DoubleType()),
+        ]
+    )
+    carry_t = tuple(carry)
+    lvl = int(level)
+
+    def _signal(batches):
+        for pdf in batches:
+            ub, db, ratio = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    ub.append(None), db.append(None), ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = len(zlib.compress(raw, lvl))
+                ub.append(len(raw))
+                db.append(comp)
+                ratio.append(comp / len(raw) if raw else None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    **{c: pdf[c] for c in carry_t},
+                    "utf8_bytes": pd.array(ub, dtype="Int64"),
+                    "deflate_bytes": pd.array(db, dtype="Int64"),
+                    "compress_ratio": pd.array(ratio, dtype="Float64"),
+                }
+            )
+
+    in_cols = [id_col, *[c for c in carry_t if c != id_col]]
+    if text_col not in in_cols:
+        in_cols.append(text_col)
+    return df.select(*in_cols).mapInPandas(_signal, schema=schema)
