@@ -904,6 +904,8 @@ def test_mirror_detection_panel_matches_duckdb_twin(spark, sf_dir):
     for _fp, n_docs, n_sources, _mid, csv in srows:
         assert n_docs >= n_sources >= 2
         assert len(csv.split(",")) == n_sources
+    # promoted into the 50-slot gate by the seventh r11 swap (demoting the
+    # 3-round-stable jaccard_pairs_panel — like-for-like dedup family)
     names = list(QUERIES)
-    assert names.index("mirror_detection_panel") >= 50
-    assert QUERIES["mirror_detection_panel"].oracle is None
+    assert names.index("mirror_detection_panel") < 50
+    assert QUERIES["mirror_detection_panel"].oracle == MIRROR_DETECTION_ORACLE

@@ -115,9 +115,12 @@ def test_preference_pairs_panel_matches_duckdb_twin(spark, sf_dir):
     assert len(srows) < n_groups
 
 
-def test_preference_pairs_panel_registry_tail_layout():
+def test_preference_pairs_panel_gated():
+    """Promoted into the 50-slot gate by the ninth r11 swap (demoting the
+    3-round-stable degree_panel)."""
     from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import PREFERENCE_PAIRS_ORACLE
 
     names = list(QUERIES)
-    assert names.index("preference_pairs_panel") >= 50
-    assert QUERIES["preference_pairs_panel"].oracle is None
+    assert names.index("preference_pairs_panel") < 50
+    assert QUERIES["preference_pairs_panel"].oracle == PREFERENCE_PAIRS_ORACLE

@@ -383,9 +383,12 @@ def test_leakage_split_audit_matches_duckdb_twin(spark, sf_dir):
     assert mass["by_cluster"] == mass["by_doc"]
 
 
-def test_leakage_split_audit_registry_tail_layout():
+def test_leakage_split_audit_gated():
+    """Promoted into the 50-slot gate by the eighth r11 swap (demoting the
+    3-round-stable text_fingerprints_panel)."""
     from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import LEAKAGE_SPLIT_ORACLE
 
     names = list(QUERIES)
-    assert names.index("leakage_split_audit") >= 50
-    assert QUERIES["leakage_split_audit"].oracle is None
+    assert names.index("leakage_split_audit") < 50
+    assert QUERIES["leakage_split_audit"].oracle == LEAKAGE_SPLIT_ORACLE
