@@ -909,3 +909,59 @@ def test_mirror_detection_panel_matches_duckdb_twin(spark, sf_dir):
     names = list(QUERIES)
     assert names.index("mirror_detection_panel") < 50
     assert QUERIES["mirror_detection_panel"].oracle == MIRROR_DETECTION_ORACLE
+
+
+def test_near_dup_clusters_panel_python_model(spark, sf_dir):
+    """The composed fuzzy-dedup tail recomputed from scratch: candidate
+    pairs -> exact Jaccard >= 0.5 -> union-find -> size histogram. The
+    Spark side must match the model EXACTLY (deterministic LSH + exact
+    verification + label-free histogram)."""
+    from pyspark.sql import functions as F
+
+    from yelp_business_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    docs = {r.doc_id: set(r.text.split(" ")) for r in d.collect()}
+    cands = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(d, "doc_id", "text", k=8, rows_per_band=2).collect()
+    ]
+    parent = {i: i for i in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_verified = 0
+    for a, b in cands:
+        ta, tb = docs[a], docs[b]
+        if round(len(ta & tb) / len(ta | tb), 6) >= 0.5:
+            n_verified += 1
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter()
+    for i in docs:
+        sizes[find(i)] += 1
+    hist = Counter(sizes.values())
+    model = sorted(
+        (sz, n, sz * n) for sz, n in hist.items()
+    )
+    got = sorted(
+        tuple(r) for r in QUERIES["near_dup_clusters_panel"].spark(spark, sf_dir).collect()
+    )
+    assert got == model
+    # live composition: some candidates verified, some clusters non-trivial
+    assert n_verified > 0
+    assert any(sz > 1 for sz, _, _ in got)
+    # mass conservation: histogram covers every document exactly once
+    assert sum(nd for _, _, nd in got) == len(docs)
