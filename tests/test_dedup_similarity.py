@@ -965,3 +965,16 @@ def test_near_dup_clusters_panel_python_model(spark, sf_dir):
     assert any(sz > 1 for sz, _, _ in got)
     # mass conservation: histogram covers every document exactly once
     assert sum(nd for _, _, nd in got) == len(docs)
+
+
+def test_near_dup_clusters_panel_no_cartesian(spark):
+    """The composition must stay equi-join end to end — candidate
+    verification joins on ids, never a cross product."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["near_dup_clusters_panel"]
+        .spark(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -574,7 +574,8 @@ def cross_source_mirrors(
         df.filter(F.col(text_col).isNotNull())
         .select(
             bag_fingerprint(F.col(text_col)).alias("bag_fp"),
-            F.col(id_col).cast("bigint").alias("_id"),
+            # native id type — a bigint cast would silently NULL string ids
+            F.col(id_col).alias("_id"),
             F.col(source_col).alias("_src"),
         )
     )
