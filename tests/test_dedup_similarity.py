@@ -978,3 +978,28 @@ def test_near_dup_clusters_panel_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_dedup_clusters_operator_api(spark):
+    """The reusable composition: labels + canonical selection on a
+    handwritten near-dup corpus; NULL text rows pass through as their own
+    singletons; threshold guard raises."""
+    from yelp_business_data_pipeline_spark.operators.dedup import fuzzy_dedup_clusters
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),    # near-dup of 1
+        (4, "completely different vocabulary set right here ok now"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in fuzzy_dedup_clusters(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}                 # every row survives, labeled
+    assert out[1].entity_id == out[2].entity_id == out[3].entity_id == 1
+    assert out[4].entity_id == 4 and out[5].entity_id == 5
+    canon = {i for i, r in out.items() if r.is_canonical}
+    assert canon == {1, 4, 5}                          # min-id per cluster
+
+    with pytest.raises(ValueError, match="jaccard_threshold"):
+        fuzzy_dedup_clusters(df, "doc_id", "text", jaccard_threshold=1.5)

@@ -594,3 +594,59 @@ def cross_source_mirrors(
         )
         .filter(F.col("n_sources") >= min_sources)
     )
+
+
+def fuzzy_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.5,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    hash_impl: str = "md5",
+    max_bucket: int | None = 5_000,
+) -> DataFrame:
+    """End-to-end fuzzy dedup — the composition a pipeline actually runs:
+    :func:`minhash_lsh_candidates` -> EXACT token-Jaccard verification on
+    the candidate pairs only (array_intersect/union over two id-keyed
+    joins, bounded by candidate count — never the all-pairs inverted
+    index of :func:`token_jaccard_pairs`) -> connected components ->
+    every input row labeled with ``entity_id`` (min member id) and
+    ``is_canonical`` (the deterministic survivor). Keep canonicals for
+    hard dedup, or feed ``entity_id`` to :func:`soft_dedup_weights` for
+    the weighting alternative.
+
+    NULL text rows are their own singletons (no content identity — the
+    frontier rule): they pass through with ``entity_id = id``.
+
+    Shuffle budget: LSH's band groupBy + pair distinct (uniform hash
+    keys), two id-keyed joins bounded by duplicated mass, then CC's
+    diameter-bounded rounds on the verified-pair graph (dup clusters are
+    shallow). The quadratic exact-cluster hazard is guarded by
+    ``max_bucket`` (run exact dedup first on boilerplate-heavy corpora).
+    """
+    from .components import resolve_entities
+
+    if not 0.0 <= jaccard_threshold <= 1.0:
+        raise ValueError(
+            f"fuzzy_dedup_clusters: jaccard_threshold must be in [0, 1], got {jaccard_threshold}"
+        )
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, k, rows_per_band, shingle_n, hash_impl, max_bucket
+    )
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks")
+    )
+    paired = cands.join(
+        toks.select(F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta")), "doc_a"
+    ).join(
+        toks.select(F.col(id_col).alias("doc_b"), F.col("_toks").alias("_tb")), "doc_b"
+    )
+    jac = F.round(
+        F.size(F.array_intersect("_ta", "_tb")).cast("double")
+        / F.size(F.array_union("_ta", "_tb")),
+        6,
+    )
+    verified = paired.filter(jac >= jaccard_threshold).select("doc_a", "doc_b")
+    return resolve_entities(df, verified, id_col, src="doc_a", dst="doc_b")
