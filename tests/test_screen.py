@@ -280,3 +280,55 @@ def test_c4_blocklist_knob_flows_through_the_rules_leg(spark, sf_dir):
     # and the default path considered doc 2's C4 leg fine
     base_rows = {r.doc_id: r for r in pretrain_screen(docs, model, lm, **kw).collect()}
     assert base_rows[2].c4_ok is True
+
+
+def test_compression_bounds_off_unchanged_on_adds_visible_gate(spark, sf_dir):
+    """compression_bounds=None output is column-for-column unchanged;
+    with bounds, exactly (compress_ratio, comp_ok) appear, pre-existing
+    columns keep their values, keep == old_keep AND comp_ok, and the
+    integer cut equals the python zlib recompute. Wide bounds degenerate
+    to the ungated keep on this corpus (every doc non-empty). Guards:
+    inverted bounds and >6-decimal bounds raise."""
+    import zlib
+
+    d, model, lm = _model_and_lm(spark, sf_dir)
+    base = pretrain_screen(d, model, lm, carry=("lang",)).cache()
+    gated = pretrain_screen(
+        d, model, lm, carry=("lang",), compression_bounds=(0.45, 0.85)
+    ).cache()
+
+    assert gated.columns == base.columns[:-1] + ["compress_ratio", "comp_ok", "keep"]
+    b = {r.doc_id: r for r in base.collect()}
+    g = {r.doc_id: r for r in gated.collect()}
+    assert set(b) == set(g)
+    texts = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    for i, rb in b.items():
+        rg = g[i]
+        for c in base.columns[:-1]:
+            assert rg[c] == rb[c], (i, c)
+        raw = texts[i].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        want_ok = bool(raw) and (
+            comp * 1_000_000 >= len(raw) * 450_000
+            and comp * 1_000_000 <= len(raw) * 850_000
+        )
+        assert rg.comp_ok == want_ok and rg.keep == (rb.keep and want_ok), i
+        assert rg.compress_ratio == (comp / len(raw) if raw else None)
+    # the gate is LIVE on this corpus (both tails populated at sf0.01's
+    # measured distribution; at sf0.001 at least one side trims)
+    assert sum(1 for r in g.values() if not r.comp_ok) > 0
+    # wide bounds degenerate to the ungated verdict (no empty docs here)
+    wide = pretrain_screen(
+        d, model, lm, carry=("lang",), compression_bounds=(0.0001, 10.0)
+    )
+    assert [r.keep for r in wide.sort("doc_id").collect()] == [
+        r.keep for r in base.sort("doc_id").collect()
+    ]
+    base.unpersist(), gated.unpersist()
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        pretrain_screen(d, model, lm, carry=("lang",), compression_bounds=(0.9, 0.4))
+    with pytest.raises(ValueError, match="6 decimals"):
+        pretrain_screen(
+            d, model, lm, carry=("lang",), compression_bounds=(0.1234567, 0.9)
+        )

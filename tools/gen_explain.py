@@ -378,6 +378,40 @@ COMMENTARY = {
         "that are exact by fixture design. The DuckDB twin re-derives "
         "everything from the same VALUES rows."
     ),
+    "preference_pairs_panel": (
+        "Preference-pair construction in ONE aggregate: two struct extrema "
+        "+ count over (lang, source). Struct buffers are not hash-aggregable "
+        "so the plan shows SortAggregate — note the sort key is the GROUPING "
+        "key only and partial_max/partial_min sit BELOW the single exchange: "
+        "map-side combine still shrinks the shuffle to one row per "
+        "(partition, group). No join, no window anywhere."
+    ),
+    "mirror_detection_panel": (
+        "Cross-host mirror profile: one hash aggregate on the bag-of-words "
+        "fingerprint. n_sources is size(collect_set(source)) — NOT "
+        "countDistinct — so the plan keeps ObjectHashAggregate instead of "
+        "collapsing to an Expand + SortAggregate (the pinned trap when "
+        "countDistinct shares a groupBy with a TypedImperative buffer)."
+    ),
+    "near_dup_clusters_panel": (
+        "The composed fuzzy-dedup tail: LSH band groupBy -> in-bucket pair "
+        "expansion (Generate, never a self-join) -> two id-keyed "
+        "BroadcastHashJoins bounded by candidate count -> CC rounds -> two "
+        "tiny aggregates. No CartesianProduct / BroadcastNestedLoopJoin "
+        "(pinned)."
+    ),
+    "compression_quality_panel": (
+        "DEFLATE signal: one ArrowEvalPython/MapInPandas pass over the "
+        "pruned (doc_id, lang, text) projection — no Exchange until the "
+        "tiny per-lang aggregate. The kernel emits exact integers; the "
+        "ratio division happens JVM-side on the aggregated sums."
+    ),
+    "leakage_split_audit": (
+        "Split-leakage audit: the split assignment is a row-local md5 "
+        "expression (no exchange), the audit is one fingerprint groupBy "
+        "per regime plus a broadcast of the 1-row leak count — the "
+        "exact-dedup shuffle shape, twice."
+    ),
 }
 
 # Iterative operators truncate their returned lineage via localCheckpoint

@@ -64,6 +64,7 @@ from .qualityclf import QualityModel, score_quality
 from .text import (
     SCRIPT_ORDER,
     c4_doc_flags,
+    compression_signal,
     dominant_script,
     gopher_quality_flags,
     gopher_repetition_flags,
@@ -133,6 +134,7 @@ def pretrain_screen(
     storage_level: str = "MEMORY_AND_DISK",
     script_route: bool = False,
     route_scripts: tuple[str, ...] = ("latin",),
+    compression_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """One row per doc: every leg's verdict plus the conjunction.
 
@@ -178,6 +180,20 @@ def pretrain_screen(
     keep/drop by accident of an unreadable heuristic. Default off —
     the output is column-for-column unchanged (pinned).
 
+    ``compression_bounds``: optional (lo, hi) DEFLATE-ratio gate — the
+    RedPajama-V2/Dolma signal the rule heuristics don't carry (very
+    compressible = templated boilerplate; near-incompressible = minified
+    code / base64 junk). When set, a fourth leg (one
+    :func:`text.compression_signal` Arrow pass over the SAME shared/cached
+    projection — still one source scan in the shared regime) emits
+    ``compress_ratio`` and ``comp_ok``, and ``keep`` additionally requires
+    ``comp_ok``. The cut is evaluated on INTEGER cross-products
+    (``deflate*10^6`` vs ``utf8*round(bound*10^6)``) so the kept set is
+    engine- and layout-portable; bounds are rounded to 6 decimals (loudly
+    — a finer bound raises). NULL-ratio docs (NULL/empty text) fail the
+    gate VISIBLY (``comp_ok`` false, ratio NULL), never keep by accident.
+    Default None — output column-for-column unchanged (pinned).
+
     Cache lifecycle: when ``shared_scan=True`` persists a projection
     HERE (``df`` not already cached), the caller gets the handle as
     ``result.shared_corpus_handle`` — ``.unpersist()`` it after the
@@ -191,6 +207,19 @@ def pretrain_screen(
             f"(carry={carry!r}) — perplexity cut points are per-{by} and "
             "the panel grain needs it"
         )
+    if compression_bounds is not None:
+        lo, hi = compression_bounds
+        if not (0.0 <= lo < hi):
+            raise ValueError(
+                f"pretrain_screen: compression_bounds must satisfy 0 <= lo < hi, "
+                f"got {compression_bounds!r}"
+            )
+        lo_i, hi_i = round(lo * 1_000_000), round(hi * 1_000_000)
+        if (lo_i / 1_000_000, hi_i / 1_000_000) != (lo, hi):
+            raise ValueError(
+                f"pretrain_screen: compression_bounds {compression_bounds!r} need "
+                "more than 6 decimals — the integer cut would silently move them"
+            )
     if script_route:
         unknown = set(route_scripts) - set(SCRIPT_ORDER) - {"none"}
         if not route_scripts or unknown:
@@ -279,9 +308,25 @@ def pretrain_screen(
         script_ok = F.col("script").isin(*route_scripts)
         route_cols = ["script", script_ok.alias("script_ok")]
         keep = keep & script_ok
+    comp_cols: list = []
+    comp = None
+    if compression_bounds is not None:
+        comp = compression_signal(df, id_col=id_col, text_col=text_col).select(
+            id_col,
+            "compress_ratio",
+            (
+                F.col("compress_ratio").isNotNull()
+                & (F.col("deflate_bytes") * 1_000_000 >= F.col("utf8_bytes") * lo_i)
+                & (F.col("deflate_bytes") * 1_000_000 <= F.col("utf8_bytes") * hi_i)
+            ).alias("comp_ok"),
+        )
+        comp_cols = ["compress_ratio", "comp_ok"]
+        keep = keep & F.col("comp_ok")
+    joined = buck.join(rules, id_col).join(clf, id_col)
+    if comp is not None:
+        joined = joined.join(comp, id_col)
     out = (
-        buck.join(rules, id_col)
-        .join(clf, id_col)
+        joined
         .select(
             id_col,
             *carry,
@@ -295,6 +340,7 @@ def pretrain_screen(
             "ppl_bucket",
             "ppl_ok",
             *route_cols,
+            *comp_cols,
             keep.alias("keep"),
         )
     )
