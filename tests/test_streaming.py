@@ -1519,3 +1519,111 @@ def test_stream_web_crawl_pipeline_script_routing(spark, tmp_path, sf_dir):
     assert fronts == {canon[k_lat], canon[k_vic]}  # victim never re-crawled
     stored = {r.index_id for r in spark.read.parquet(store).collect()}
     assert canon[k_vic] in stored  # fingerprint indexed despite rejection
+
+
+def test_stream_web_crawl_pipeline_compression_gate(spark, tmp_path, sf_dir):
+    """compression_bounds flows through the crawl loop (r11 session 2):
+    with the cut placed between two otherwise-KEPT pages' DEFLATE
+    ratios, the more-compressible page stays in the corpus and the other
+    is rejected ONLY by comp_ok — while still entering the frontier and
+    the fingerprint store like every rejected page."""
+    import zlib
+
+    from yelp_business_data_pipeline_spark.operators.ppl import (
+        fit_bigram_lm,
+        perplexity_thresholds,
+        score_perplexity,
+    )
+    from yelp_business_data_pipeline_spark.operators.qualityclf import (
+        train_quality_classifier,
+    )
+    from yelp_business_data_pipeline_spark.operators.screen import pretrain_screen
+    from yelp_business_data_pipeline_spark.operators.text import lang_id
+    from yelp_business_data_pipeline_spark.streaming import stream_web_crawl_pipeline
+
+    ref = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_quality_classifier(
+        ref, F.col("lang") == "en", buckets=4096, n_train=256
+    )
+    lm = fit_bigram_lm(ref)
+    cuts = perplexity_thresholds(
+        score_perplexity(ref, lm, carry=("lang",)).filter(F.col("ppl").isNotNull())
+    )
+    knobs = dict(min_words=20, min_stopword_hits=1, min_kept_lines=0)
+
+    pool = [
+        (r.doc_id, r.text)
+        for r in ref.select("doc_id", "text").orderBy("doc_id").limit(24).collect()
+    ]
+    canon = {i: f"http://csite{i}.example.com/a" for i, _ in pool}
+    base = spark.createDataFrame(
+        [(canon[i], t) for i, t in pool], "canonical_url string, text string"
+    ).withColumn("lang", lang_id(F.col("text")))
+    unrouted = {
+        r.canonical_url: r.keep
+        for r in pretrain_screen(
+            base, model, lm, id_col="canonical_url", carry=("lang",),
+            by="lang", ppl_cuts=cuts, **knobs
+        ).collect()
+    }
+    texts = dict(pool)
+
+    def cut_int(t: str) -> int:
+        raw = t.encode("utf-8")
+        c = len(zlib.compress(raw, 6))
+        return -(-c * 1_000_000 // len(raw))  # ceil — smallest passing hi_i
+
+    keepers = sorted(
+        (i for i, _ in pool if unrouted[canon[i]]), key=lambda i: cut_int(texts[i])
+    )
+    assert len(keepers) >= 2
+    k_keep, k_vic = keepers[0], keepers[-1]
+    assert cut_int(texts[k_keep]) < cut_int(texts[k_vic])  # a real gap
+    bounds = (0.000001, cut_int(texts[k_keep]) / 1_000_000)
+
+    # batch construction check: victim fails ONLY comp_ok
+    docs = spark.createDataFrame(
+        [(canon[k_keep], texts[k_keep]), (canon[k_vic], texts[k_vic])],
+        "canonical_url string, text string",
+    ).withColumn("lang", lang_id(F.col("text")))
+    gated = {
+        r.canonical_url: (r.keep, r.comp_ok)
+        for r in pretrain_screen(
+            docs, model, lm, id_col="canonical_url", carry=("lang",),
+            by="lang", ppl_cuts=cuts, compression_bounds=bounds, **knobs
+        ).collect()
+    }
+    assert gated[canon[k_keep]] == (True, True)
+    assert gated[canon[k_vic]] == (False, False)
+
+    def page(text: str) -> str:
+        return f"<html><head><title>t</title></head><body><p>{text}</p></body></html>"
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"url": u, "html": page(t)})
+            for u, t in ((canon[k_keep], texts[k_keep]), (canon[k_vic], texts[k_vic]))
+        )
+    )
+    out, frontier, store, ckpt = (
+        str(tmp_path / "corpus"),
+        str(tmp_path / "frontier"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    )
+    schema = T.StructType(
+        [T.StructField("url", T.StringType()), T.StructField("html", T.StringType())]
+    )
+    stream_web_crawl_pipeline(
+        spark, str(src), schema, out, frontier, store, ckpt,
+        model, lm, cuts, compression_bounds=bounds, **knobs
+    ).awaitTermination()
+
+    corpus = {r.canonical_url for r in spark.read.parquet(out).collect()}
+    assert corpus == {canon[k_keep]}
+    fronts = {r.canonical_url for r in spark.read.parquet(frontier).collect()}
+    assert fronts == {canon[k_keep], canon[k_vic]}
+    stored = {r.index_id for r in spark.read.parquet(store).collect()}
+    assert canon[k_vic] in stored

@@ -743,6 +743,7 @@ def stream_web_crawl_pipeline(
     on_batch_complete: Callable[[int], None] | None = None,
     script_route: bool = False,
     route_scripts: tuple[str, ...] = ("latin",),
+    compression_bounds: tuple[float, float] | None = None,
 ):
     """The crawl loop from RAW PAGES: ``(url, html)`` files in, screened
     text corpus + URL frontier + content-fingerprint store out — one
@@ -776,6 +777,11 @@ def stream_web_crawl_pipeline(
     Non-URL rows (canonical NULL) are dropped at stage 2 — the
     frontier_dedup contract; count them upstream if fetch-queue hygiene
     needs the number.
+
+    ``compression_bounds`` flows into the frozen screen the same way —
+    the DEFLATE-ratio gate (boilerplate / binary-junk tails) rides the
+    screen's verdict; rejected pages still land in the frontier and
+    fingerprint stores (never re-crawled).
 
     ``script_route``/``route_scripts`` flow into the frozen screen
     (operators/screen.py): with routing on, pages whose dominant script
@@ -854,6 +860,7 @@ def stream_web_crawl_pipeline(
                     ppl_cuts=ppl_cuts,
                     script_route=script_route,
                     route_scripts=route_scripts,
+                    compression_bounds=compression_bounds,
                 )
                 kept = novel.join(
                     verdicts.filter(F.col("keep")).select(canonical_col),
