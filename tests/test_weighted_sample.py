@@ -402,3 +402,100 @@ def test_temperature_sample_rates_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_materialize_epochs_python_model(spark):
+    """Exact copy counts recomputed from scratch (floor + replicated md5
+    fractional draw); e<1 subsamples, e>1 up-samples, e==1 is identity;
+    copy indexes are 1..n; layout-invariant."""
+    import hashlib
+
+    from yelp_business_data_pipeline_spark.operators.sampling import materialize_epochs
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    eps = {"a": 2.25, "b": 0.4, "c": 1.0}
+    rates = spark.createDataFrame(list(eps.items()), "s string, epochs double")
+
+    def draw(k):
+        return int(hashlib.md5(f"ep:{k}".encode()).hexdigest()[:8], 16) / 2**32
+
+    import math
+
+    want = []
+    for k, s in rows:
+        e = eps[s]
+        n = math.floor(e) + (1 if draw(k) < e - math.floor(e) else 0)
+        want += [(k, s, c) for c in range(1, n + 1)]
+    got = sorted(map(tuple, materialize_epochs(df, rates, "s", "k").collect()))
+    assert got == sorted(want)
+    # identity stratum: every row exactly once
+    assert sum(1 for k, s, _ in got if s == "c") == sum(1 for _, s in rows if s == "c")
+    # layout invariance
+    again = sorted(
+        map(tuple, materialize_epochs(df.repartition(7), rates, "s", "k").collect())
+    )
+    assert again == got
+
+
+def test_materialize_epochs_guards(spark):
+    import pytest
+
+    from yelp_business_data_pipeline_spark.operators.sampling import materialize_epochs
+
+    df = spark.createDataFrame([(1, "a"), (2, "zz")], "k bigint, s string")
+    rates = spark.createDataFrame([("a", 1.5)], "s string, epochs double")
+    # missing stratum raises IN-PLAN, loudly
+    with pytest.raises(Exception, match="missing from the epochs frame|epochs outside"):
+        materialize_epochs(df, rates, "s", "k").collect()
+    ok = spark.createDataFrame([("a", 1.5), ("zz", 1.0)], "s string, epochs double")
+    # fat-finger epoch cap
+    big = spark.createDataFrame([("a", 500.0), ("zz", 1.0)], "s string, epochs double")
+    with pytest.raises(Exception, match="epochs outside"):
+        materialize_epochs(df, big, "s", "k").collect()
+    # column collision + malformed rates frame
+    with pytest.raises(ValueError, match="already exists"):
+        materialize_epochs(
+            materialize_epochs(df, ok, "s", "k"), ok, "s", "k"
+        )
+    with pytest.raises(ValueError, match="epochs frame needs"):
+        materialize_epochs(df, ok.withColumnRenamed("epochs", "e"), "s", "k")
+
+
+def test_materialize_epochs_zero_shuffle_plan(spark):
+    from yelp_business_data_pipeline_spark.operators.sampling import materialize_epochs
+
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    rates = spark.createDataFrame([("a", 1.5)], "s string, epochs double")
+    plan = (
+        materialize_epochs(df, rates, "s", "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_epoch_materialize_panel_matches_duckdb_twin(spark, sf_dir):
+    """Rotation-queue twin pin: the registered panel must equal
+    EPOCH_MATERIALIZE_ORACLE row-for-row — epoch table, floor +
+    fractional md5 draw, and the per-lang audit re-derived in DuckDB;
+    both sub- (fr 0.5) and up-sampling (es 3.0) strata are live."""
+    from tests.oracle_harness import duck_con
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+    from yelp_business_data_pipeline_spark.plans.extensions import (
+        EPOCH_MATERIALIZE_ORACLE,
+    )
+
+    srows = sorted(
+        tuple(r) for r in QUERIES["epoch_materialize_panel"].spark(spark, sf_dir).collect()
+    )
+    drows = sorted(duck_con(sf_dir).execute(EPOCH_MATERIALIZE_ORACLE).fetchall())
+    assert srows == drows and len(srows) == 5
+    by_lang = {t[0]: t for t in srows}
+    # de is the identity stratum; fr subsamples; es up-samples with max 3
+    assert by_lang["de"][3] == by_lang["de"][1] and by_lang["de"][4] == 1
+    assert by_lang["fr"][2] < by_lang["fr"][1]
+    assert by_lang["es"][4] == 3 and by_lang["es"][3] == 3 * by_lang["es"][1]
+    names = list(QUERIES)
+    assert names.index("epoch_materialize_panel") >= 50
+    assert QUERIES["epoch_materialize_panel"].oracle is None

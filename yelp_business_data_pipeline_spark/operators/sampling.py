@@ -423,3 +423,86 @@ def unimax_mix_allocation(
         ).alias("epochs"),
         F.round(u, 9).alias("water_level"),
     )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    epochs: DataFrame,
+    stratum: str,
+    key: str,
+    salt: str = "ep:",
+    copy_col: str = "epoch_copy",
+    max_materialized_epochs: float = 100.0,
+) -> DataFrame:
+    """Turn a per-stratum epoch allocation into an ACTUAL training stream:
+    each row materializes ``floor(e)`` copies plus one more with
+    probability ``frac(e)`` via the portable :func:`hash_unit` draw on
+    ``key`` — so ``E[rows out] = e * rows in`` per stratum exactly, and
+    the realized stream is a pure function of (key, salt): stable across
+    partitioning, retries, and engines. ``e < 1`` subsamples (floor 0 +
+    fractional draw == :func:`hash_sample`), ``e > 1`` up-samples — the
+    missing tail between :func:`unimax_mix_allocation` (which REPORTS
+    epochs) and a trainer that needs concrete rows. Output rows carry
+    ``copy_col`` in ``1..n_copies`` so downstream shuffling/packing can
+    treat copies as distinct examples.
+
+    ``epochs`` is a (stratum, epochs) frame — tiny by the rates-frame
+    contract, broadcast-joined; the corpus never shuffles. The explode is
+    ``sequence(1, n)`` guarded to the empty array at ``n == 0``
+    (``sequence(1, 0)`` counts DOWN — the silent-reversal trap). In-plan
+    ``raise_error`` guards fire loudly on strata missing from the frame,
+    NULL/negative epochs, and epochs above ``max_materialized_epochs``
+    (a fat-finger 1000.0 would otherwise quietly 1000x the corpus).
+
+    Shuffle budget: 0 — broadcast rates join + row-local draw + explode;
+    output size is the allocation itself.
+    """
+    if copy_col in df.columns:
+        raise ValueError(f"materialize_epochs: output column {copy_col!r} already exists")
+    for c in ("_ep", "_ncopies"):
+        if c in df.columns:
+            raise ValueError(
+                f"materialize_epochs: input carries the internal column name {c!r} — "
+                "rename it first"
+            )
+    ecols = epochs.columns
+    if stratum not in ecols or "epochs" not in ecols:
+        raise ValueError(
+            f"materialize_epochs: epochs frame needs ({stratum!r}, 'epochs'), got {ecols}"
+        )
+    rates = F.broadcast(
+        epochs.select(F.col(stratum), F.col("epochs").cast("double").alias("_ep"))
+    )
+    joined = df.join(rates, stratum, "left")
+    e = F.col("_ep")
+    bad = (
+        e.isNull()
+        | (e < 0)
+        | (e > F.lit(float(max_materialized_epochs)))
+    )
+    n_copies = F.when(
+        bad,
+        F.raise_error(
+            # concat would NULL the whole message when a piece is NULL
+            # (the very case being reported) — coalesce each piece
+            F.concat(
+                F.lit(
+                    "materialize_epochs: stratum missing from the epochs frame, "
+                    "or epochs outside [0, "
+                ),
+                F.lit(str(float(max_materialized_epochs))),
+                F.lit("]: stratum="),
+                F.coalesce(F.col(stratum).cast("string"), F.lit("NULL")),
+                F.lit(" epochs="),
+                F.coalesce(e.cast("string"), F.lit("NULL")),
+            )
+        ).cast("bigint"),
+    ).otherwise(
+        F.floor(e).cast("bigint")
+        + (hash_unit(F.col(key), salt) < (e - F.floor(e))).cast("bigint")
+    )
+    staged = joined.withColumn("_ncopies", n_copies).drop("_ep")
+    copies = F.when(
+        F.col("_ncopies") >= 1, F.sequence(F.lit(1).cast("bigint"), F.col("_ncopies"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return staged.select(*df.columns, F.explode(copies).alias(copy_col))
