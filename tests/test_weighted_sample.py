@@ -496,6 +496,8 @@ def test_epoch_materialize_panel_matches_duckdb_twin(spark, sf_dir):
     assert by_lang["de"][3] == by_lang["de"][1] and by_lang["de"][4] == 1
     assert by_lang["fr"][2] < by_lang["fr"][1]
     assert by_lang["es"][4] == 3 and by_lang["es"][3] == 3 * by_lang["es"][1]
+    # gated by the tenth r11 swap (like-for-like mixing-family demotion
+    # of temperature_mix_panel)
     names = list(QUERIES)
-    assert names.index("epoch_materialize_panel") >= 50
-    assert QUERIES["epoch_materialize_panel"].oracle is None
+    assert names.index("epoch_materialize_panel") < 50
+    assert QUERIES["epoch_materialize_panel"].oracle == EPOCH_MATERIALIZE_ORACLE
