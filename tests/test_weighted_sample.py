@@ -241,10 +241,16 @@ def test_temperature_mix_panel_matches_duckdb_twin_exactly(spark, sf_dir):
         for r in duck_con(sf_dir).execute(TEMPERATURE_MIX_ORACLE).fetchall()
     ]
     assert srows == drows
-    # promoted into the 50-slot gate in the r10 rotation (swap_gate_slot)
+    # gated in the r10 rotation, demoted by the tenth r11 swap (the
+    # like-for-like epoch_materialize_panel promotion) — the twin stays
+    # exact here AND auto-stashed in DEMOTED_ORACLES for the mandatory
+    # rotation-pin sweep
+    from yelp_business_data_pipeline_spark.plans.registry import DEMOTED_ORACLES
+
     names = list(QUERIES)
-    assert names.index("temperature_mix_panel") < 50
-    assert QUERIES["temperature_mix_panel"].oracle == TEMPERATURE_MIX_ORACLE
+    assert names.index("temperature_mix_panel") >= 50
+    assert QUERIES["temperature_mix_panel"].oracle is None
+    assert DEMOTED_ORACLES["temperature_mix_panel"] == TEMPERATURE_MIX_ORACLE
 
 
 # ---------------------------------------------------------------------------
