@@ -59,6 +59,34 @@ def test_compression_signal_layout_invariance_and_guard(spark):
     assert a == b
     with pytest.raises(ValueError, match="level"):
         compression_signal(df, "doc_id", "text", level=11)
+    # reserved-name clash: carry (or id) colliding with an output column
+    # would build a duplicate-field schema — loud, not silent
+    df2 = df.withColumn("utf8_bytes", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        compression_signal(df2, "doc_id", "text", carry=("utf8_bytes",))
+    df3 = df.withColumnRenamed("doc_id", "compress_ratio")
+    with pytest.raises(ValueError, match="collide"):
+        compression_signal(df3, "compress_ratio", "text")
+
+
+def test_compression_panel_empty_text_in_neither_tail(spark, tmp_path):
+    """ADVICE r11: empty docs (utf8_bytes=0, deflate_bytes≈8) must not be
+    counted incompressible — empty text is absence, per the kernel's
+    NULL-ratio policy."""
+    from yelp_business_data_pipeline_spark.plans import QUERIES
+
+    p = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "", "en", "s1"), (2, "", "en", "s1"), (3, "a b c d e f g h", "en", "s1")],
+        "doc_id bigint, text string, lang string, source string",
+    ).write.parquet(f"{p}/documents.parquet")
+    rows = {r.lang: r for r in QUERIES["compression_quality_panel"].spark(spark, p).collect()}
+    r = rows["en"]
+    assert r.n_docs == 3
+    # the two empty docs land in NEITHER tail bucket
+    assert r.n_too_compressible + r.n_incompressible <= 1
+    # corpus_ratio still defined (non-empty doc contributes bytes)
+    assert r.corpus_ratio is not None
 
 
 def test_compression_signal_zero_shuffle_plan(spark):
@@ -92,8 +120,8 @@ def test_compression_quality_panel_model_recompute(spark, sf_dir):
         m[0] += 1
         m[1] += len(raw)
         m[2] += comp
-        m[3] += 1 if comp * 100 < len(raw) * 45 else 0
-        m[4] += 1 if comp * 100 > len(raw) * 85 else 0
+        m[3] += 1 if len(raw) > 0 and comp * 100 < len(raw) * 45 else 0
+        m[4] += 1 if len(raw) > 0 and comp * 100 > len(raw) * 85 else 0
     assert set(got) == set(model)
     for lang, (n, ub, db, lo, hi) in model.items():
         r = got[lang]

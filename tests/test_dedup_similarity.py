@@ -855,6 +855,11 @@ def test_cross_source_mirrors_python_model(spark):
         (6, "solo doc", "h3"),
         # NULL text dropped
         (7, None, "h1"),
+        # NULL source carries no host identity (ADVICE r11: Spark's
+        # collect_set drops NULLs, DuckDB's list(DISTINCT) keeps them —
+        # the contract is an explicit filter in BOTH engines), so this
+        # copy must not widen the xyz mirror set
+        (8, "x y z", None),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
     got = {r.bag_fp: r for r in cross_source_mirrors(df, "doc_id", "text", "source").collect()}

@@ -571,7 +571,11 @@ def cross_source_mirrors(
     from .text import bag_fingerprint
 
     keyed = (
-        df.filter(F.col(text_col).isNotNull())
+        # NULL source carries no host identity: Spark's collect_set drops
+        # NULLs while DuckDB's list(DISTINCT) keeps a NULL element, so the
+        # contract is explicit — sourceless rows don't count toward the
+        # mirror set (filtered in BOTH engines, see MIRROR_DETECTION_ORACLE).
+        df.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
         .select(
             bag_fingerprint(F.col(text_col)).alias("bag_fp"),
             # native id type — a bigint cast would silently NULL string ids

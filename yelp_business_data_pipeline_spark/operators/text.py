@@ -1199,6 +1199,12 @@ def compression_signal(
 
     if not 0 <= level <= 9:
         raise ValueError(f"compression_signal: zlib level must be in [0, 9], got {level}")
+    reserved = {"utf8_bytes", "deflate_bytes", "compress_ratio"}
+    clash = reserved & ({id_col, *carry})
+    if clash:
+        raise ValueError(
+            f"compression_signal: id/carry columns collide with output columns: {sorted(clash)}"
+        )
     id_field = df.schema[id_col]
     schema = T.StructType(
         [T.StructField(id_col, id_field.dataType)]
