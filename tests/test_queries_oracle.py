@@ -22,14 +22,14 @@ from yelp_business_data_pipeline_spark.plans.registry import DEMOTED_ORACLES
 @pytest.mark.parametrize(
     "name,const",
     [
-        # tfidf_top_terms / sessionize_events left this list in r10, and
-        # setops_customer_cohorts / approx_aggregates in r11: freshness
-        # re-promotions put them BACK in the gate (their twins are
-        # driver-executed again, and test_query_matches_oracle covers
-        # them like every gated row)
-        ("weighted_sample_orders", "WEIGHTED_SAMPLE_ORACLE"),
-        ("sentiment_by_source", "SENTIMENT_BY_SOURCE_ORACLE"),
-        ("item_cooccurrence_pairs", "ITEM_COOCCURRENCE_ORACLE"),
+        # tfidf_top_terms / sessionize_events left this list in r10,
+        # setops_customer_cohorts / approx_aggregates in r11, and
+        # weighted_sample_orders / sentiment_by_source /
+        # item_cooccurrence_pairs in r12: freshness re-promotions put
+        # them BACK in the gate (their twins are driver-executed again,
+        # and test_query_matches_oracle covers them like every gated
+        # row). The explicit list is now empty — every current demotion
+        # went through swap_gate_slot and auto-pins below.
     ]
     # r10+ demotions happen at runtime via registry.swap_gate_slot, which
     # stashes the outgoing twin — every future demotion is pinned here

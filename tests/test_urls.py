@@ -140,17 +140,17 @@ def test_host_extraction_null_for_non_urls(spark):
 
 
 def test_registry_gate_position():
-    """Promoted into the 50-slot driver gate in the r9 fourth rotation
-    swap — the registration must sit inside the gate AND carry the
-    URL_CANONICAL_ORACLE twin."""
+    """Gated by the r9 fourth rotation swap, demoted by the r12
+    freshness rotation (the crawl/web family keeps psl_domain_panel +
+    warc_roundtrip_panel in the gate) — the twin auto-stashes in
+    DEMOTED_ORACLES where test_demoted_twins_still_match pins it."""
     from yelp_business_data_pipeline_spark.plans import QUERIES
-    from yelp_business_data_pipeline_spark.plans.extensions import (
-        URL_CANONICAL_ORACLE,
-    )
+    from yelp_business_data_pipeline_spark.plans.registry import DEMOTED_ORACLES
 
     names = list(QUERIES)
-    assert names.index("url_canonical_panel") < 50
-    assert QUERIES["url_canonical_panel"].oracle == URL_CANONICAL_ORACLE
+    assert names.index("url_canonical_panel") >= 50
+    assert QUERIES["url_canonical_panel"].oracle is None
+    assert "url_canonical_panel" in DEMOTED_ORACLES
 
 
 def test_frontier_dedup(spark):

@@ -1244,3 +1244,53 @@ def compression_signal(
     if text_col not in in_cols:
         in_cols.append(text_col)
     return df.select(*in_cols).mapInPandas(_signal, schema=schema)
+
+
+def compression_rollup(
+    sig,
+    group_cols: tuple[str, ...] = ("lang",),
+    lo_pct: int = 45,
+    hi_pct: int = 85,
+):
+    """Per-group rollup of a :func:`compression_signal` frame — the
+    SQL-expressible HALF of the compressibility profile, factored out so
+    it can be exactness-gated independently of the DEFLATE kernel (the
+    pca_apply_panel precedent: eigh stays model-pinned, the distributed
+    halves get exact twins). Input needs ``utf8_bytes`` / ``deflate_bytes``
+    plus the group columns; emits per-group doc count, exact BIGINT byte
+    sums, both tail buckets cut on integer cross-products
+    (``deflate*100 < utf8*lo_pct`` / ``> utf8*hi_pct`` — engine- and
+    layout-portable, no float thresholds), and ONE corpus-ratio division
+    over the exact sums (never an order-dependent float mean). Empty text
+    is ABSENCE (the kernel's NULL-ratio policy): both cuts require
+    ``utf8_bytes > 0``, so empty docs land in neither tail; an all-empty
+    group's ``corpus_ratio`` is NULL for the same reason.
+
+    Shuffle budget: one tiny groupBy over the group columns — scales.
+    """
+    if not 0 < lo_pct < hi_pct < 100:
+        raise ValueError(
+            f"compression_rollup: need 0 < lo_pct < hi_pct < 100, got ({lo_pct}, {hi_pct})"
+        )
+    nonempty = F.col("utf8_bytes") > 0
+    return (
+        sig.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("utf8_bytes").cast("bigint").alias("utf8_bytes"),
+            F.sum("deflate_bytes").cast("bigint").alias("deflate_bytes"),
+            F.sum(
+                (nonempty & (F.col("deflate_bytes") * 100 < F.col("utf8_bytes") * lo_pct)).cast("long")
+            ).cast("bigint").alias("n_too_compressible"),
+            F.sum(
+                (nonempty & (F.col("deflate_bytes") * 100 > F.col("utf8_bytes") * hi_pct)).cast("long")
+            ).cast("bigint").alias("n_incompressible"),
+        )
+        .withColumn(
+            "corpus_ratio",
+            F.when(
+                F.col("utf8_bytes") > 0,
+                F.col("deflate_bytes").cast("double") / F.col("utf8_bytes"),
+            ),
+        )
+    )
