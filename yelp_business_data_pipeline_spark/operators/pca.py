@@ -168,6 +168,24 @@ def fit_pca(
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
+    # live eigh invariant (VERDICT r11 item 8): eigh is the ONE stage of
+    # this operator without an exact cross-engine twin (pca_apply_panel
+    # gates the distributed halves), so its output is verified in-plan —
+    # orthonormal rows and a bounded eigen-residual relative to the
+    # matrix scale catch a divergent or platform-broken LAPACK result
+    # loudly instead of shipping silently-garbage components. Sign flips
+    # and the >=0 eigenvalue clip don't perturb either check beyond
+    # float noise.
+    sym = (cov + cov.T) / 2.0
+    ortho_err = float(np.max(np.abs(comps @ comps.T - np.eye(comps.shape[0]))))
+    scale = max(1.0, float(np.max(np.abs(sym))))
+    resid = float(np.max(np.abs(sym @ comps.T - comps.T * vals[None, :]))) / scale
+    if ortho_err > 1e-8 or resid > 1e-8:
+        raise ArithmeticError(
+            f"fit_pca: eigh output failed the determinism invariant "
+            f"(orthonormality err {ortho_err:.3e}, eigen-residual {resid:.3e}, "
+            f"tol 1e-8) — LAPACK result is unreliable on this platform"
+        )
     return PcaModel(
         mean=tuple(float(v) for v in mean),
         components=tuple(tuple(float(x) for x in row) for row in comps),
