@@ -347,12 +347,21 @@ def resolve_entities(
     id_col: str,
     src: str = "doc_a",
     dst: str = "doc_b",
+    precontract: bool = True,
 ) -> DataFrame:
     """Entity resolution tail: records + verified duplicate pairs ->
     records with ``entity_id`` (the component's min member id; singletons
     keep their own id) and ``is_canonical`` (true for the min-id member —
-    the deterministic representative)."""
-    comp = connected_components(pairs, src, dst)
+    the deterministic representative).
+
+    ``precontract`` defaults ON here (unlike :func:`connected_components`'s
+    raw default): the r12 stage profile (BASELINE.md — tools/
+    profile_near_dup.py) measured the per-partition union-find pass
+    cutting the CC term of the composed fuzzy-dedup panel 2.7x at sf0.1
+    and 4.8x at sf1 (6.88 s -> 1.43 s) with labels asserted identical —
+    dup-pair graphs are exactly the shallow-component shape the
+    contraction collapses to depth 1 before any global round."""
+    comp = connected_components(pairs, src, dst, precontract=precontract)
     out = (
         records.join(comp.withColumnRenamed("id", id_col), id_col, "left")
         .withColumn("entity_id", F.coalesce(F.col("comp"), F.col(id_col)))
