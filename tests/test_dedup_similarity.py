@@ -285,6 +285,47 @@ def test_winnowing_arrow_equals_relational(spark):
     assert rel2 == arr2 and rel2
 
 
+def test_minhash_band_kernel_equals_expression(spark):
+    """minhash_band_rows_kernel (the r12 Arrow path that
+    minhash_lsh_candidates now defaults to) must produce EXACTLY the
+    expression form's (_id, band, band_hash) rows — both hash families,
+    non-default (k, rows_per_band, shingle_n), and the edge population
+    (NULL text, empty text, docs shorter than the shingle, non-ASCII
+    tokens, repeated spaces — Spark split keeps empty segments and the
+    kernel must too)."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    for impl in ("md5", "xxhash64"):
+        exp = sorted(map(tuple, dd.minhash_band_rows(d, "doc_id", "text", hash_impl=impl).collect()))
+        ker = sorted(map(tuple, dd.minhash_band_rows_kernel(d, "doc_id", "text", hash_impl=impl).collect()))
+        assert exp == ker and exp, impl
+
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "one two"),  # < default shingle_n
+            (4, "café  über  naïve one two three"),  # double spaces -> empties
+            (5, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    for n, k, r in ((3, 8, 2), (2, 6, 3), (4, 5, 2)):
+        exp = sorted(map(tuple, dd.minhash_band_rows(
+            edge, "doc_id", "text", k=k, rows_per_band=r, shingle_n=n).collect()))
+        ker = sorted(map(tuple, dd.minhash_band_rows_kernel(
+            edge, "doc_id", "text", k=k, rows_per_band=r, shingle_n=n).collect()))
+        assert exp == ker, (n, k, r)
+        assert ker, (n, k, r)  # non-vacuous: the long docs produce bands
+
+    # the composed candidates path (kernel default ON) must equal the
+    # expression path end to end
+    big = spark.read.parquet(f"{sf}/documents.parquet")
+    a = sorted(map(tuple, dd.minhash_lsh_candidates(big, "doc_id", "text", kernel=False).collect()))
+    b = sorted(map(tuple, dd.minhash_lsh_candidates(big, "doc_id", "text", kernel=True).collect()))
+    assert a == b and a
+
+
 def test_xxh64_matches_spark(spark):
     """functions/xxhash.py must be bit-identical to F.xxhash64 — scalar on
     arbitrary lengths (incl. the >=32B stripe loop and non-ASCII), and the

@@ -188,6 +188,8 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     hash_impl: str = "md5",
     max_bucket: int | None = 5_000,
+    kernel: bool = True,
+    kernel_min_partitions: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash+LSH banding.
 
@@ -207,10 +209,28 @@ def minhash_lsh_candidates(
     blow-up). Run exact dedup first (it collapses those clusters), or
     raise/None the bound deliberately if your near-dup clusters are
     genuinely that large.
+
+    ``kernel`` (default True, r12 optimization round): compute the band
+    rows with :func:`minhash_band_rows_kernel` (vectorized Arrow pass,
+    byte-identical values) instead of the interpreted higher-order-
+    function expressions of :func:`minhash_band_rows`.
+    ``kernel_min_partitions=None`` (default) floors kernel parallelism
+    at the cluster's default parallelism — scale-adaptive: a small
+    single-file corpus gets a tiny round-robin exchange up to cluster
+    width, a real corpus with more input splits than cores repartitions
+    nothing. Pass an explicit int to override (1 = never repartition).
     """
-    bands = minhash_band_rows(
-        df, id_col, text_col, k, rows_per_band, shingle_n, hash_impl
-    )
+    if kernel:
+        if kernel_min_partitions is None:
+            kernel_min_partitions = df.sparkSession.sparkContext.defaultParallelism
+        bands = minhash_band_rows_kernel(
+            df, id_col, text_col, k, rows_per_band, shingle_n, hash_impl,
+            min_partitions=kernel_min_partitions,
+        )
+    else:
+        bands = minhash_band_rows(
+            df, id_col, text_col, k, rows_per_band, shingle_n, hash_impl
+        )
     buckets = (
         bands.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_set("_id")).alias("_ids"))
@@ -247,6 +267,130 @@ def minhash_band_rows(
     return hashed.select(
         "_id", F.posexplode(F.array(*band_exprs)).alias("band", "band_hash")
     )
+
+
+def minhash_band_rows_kernel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    hash_impl: str = "md5",
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-kernel twin of :func:`minhash_band_rows` — same (_id, band,
+    band_hash) rows, computed per partition in vectorized numpy instead
+    of interpreted JVM higher-order functions (r12 optimization round;
+    the :func:`text.winnowing_fingerprints_arrow` precedent).
+
+    Why: the expression form evaluates ~(tokens + shingles x (k+1))
+    interpreted lambda steps per document — HOFs don't participate in
+    whole-stage codegen — which measured ~4.7 s of the fuzzy-dedup
+    composition at sf0.1 (46k docs). Inside the kernel the same
+    construction is: one md5 per DISTINCT token per task (dict-cached —
+    the corpus vocabulary repeats heavily; the expression form hashes
+    every token instance), one vectorized shingle combine, one (k x
+    n_shingles) affine matrix rehash + row min, and ``k/rows_per_band``
+    band md5s per doc. Values are BYTE-IDENTICAL to the expression form
+    (hashlib md5 == Spark md5 on UTF-8 bytes; the numpy xxh64 mirror is
+    bit-identical to ``F.xxhash64`` — both already pinned by the
+    winnowing kernel) — re-pinned for this kernel in
+    tests/test_dedup_similarity.py.
+
+    ``min_partitions``: kernel parallelism equals input partitioning —
+    pass the cluster core count for small single-file corpora (tiny
+    round-robin exchange of raw rows); leave None at real scale where
+    the input already has thousands of splits.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.xxhash import xxh64
+
+    if hash_impl not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_impl {hash_impl!r}")
+    use_xx = hash_impl == "xxhash64"
+    n = shingle_n
+    # EXACT expression-path semantics: coefficient j gets the j-th entry
+    # of (C1, C2, 1) and zip truncates at three terms (n > 3 combines
+    # only the first three positions — replicated verbatim so the kernel
+    # can never drift from shingle_hashes_from_tokens).
+    coefs = list(zip(range(n), (SHINGLE_C1, SHINGLE_C2, 1)))
+    params = minhash_params(k)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64).reshape(-1, 1)
+    b_vec = np.array([b for _, b in params], dtype=np.int64).reshape(-1, 1)
+    n_bands = (k + rows_per_band - 1) // rows_per_band
+
+    id_field = df.schema[id_col]
+    schema = T.StructType(
+        [
+            T.StructField("_id", id_field.dataType),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_hash", T.StringType()),
+        ]
+    )
+
+    def _bands(batches):
+        cache: dict = {}
+
+        def tok_hash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                if use_xx:
+                    h = xxh64(("mh:" + t).encode("utf-8")) & 0xFFFFFFFF
+                else:
+                    h = int.from_bytes(
+                        hashlib.md5(("mh:" + t).encode("utf-8")).digest()[:4], "big"
+                    )
+                cache[t] = h
+            return h
+
+        for pdf in batches:
+            ids_out: list = []
+            band_out: list = []
+            hash_out: list = []
+            for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if text is None:
+                    continue  # upstream filter drops these; belt-and-braces
+                toks = text.split(" ")
+                m = len(toks) - n + 1
+                if m < 1:
+                    continue
+                th = np.fromiter(
+                    (tok_hash(t) for t in toks), dtype=np.int64, count=len(toks)
+                )
+                sh = np.zeros(m, dtype=np.int64)
+                for j, c in coefs:
+                    sh += th[j : j + m] * c
+                sh %= MINHASH_MOD
+                sigs = ((a_vec * sh + b_vec) % MINHASH_MOD).min(axis=1)
+                for bidx in range(n_bands):
+                    grp = sigs[bidx * rows_per_band : (bidx + 1) * rows_per_band]
+                    hash_out.append(
+                        hashlib.md5(
+                            ",".join(str(int(s)) for s in grp).encode()
+                        ).hexdigest()
+                    )
+                ids_out.extend([doc_id] * n_bands)
+                band_out.extend(range(n_bands))
+            yield pd.DataFrame(
+                {
+                    "_id": pd.Series(ids_out, dtype=pdf.iloc[:, 0].dtype if ids_out else object),
+                    "band": pd.Series(band_out, dtype="int32"),
+                    "band_hash": pd.Series(hash_out, dtype=object),
+                }
+            )
+
+    rows = df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= shingle_n
+    ).select(F.col(id_col), F.col(text_col))
+    if min_partitions is not None and rows.rdd.getNumPartitions() < min_partitions:
+        rows = rows.repartition(min_partitions)
+    return rows.mapInPandas(_bands, schema=schema)
 
 
 def bucket_pairs(

@@ -75,7 +75,10 @@ def doc_token_stream(
 
 
 def fit_bigram_lm(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(unigrams, bigrams, total) — the count tables ARE the model.
 
@@ -83,7 +86,24 @@ def fit_bigram_lm(
     count. Two groupBys over the token stream; everything stays
     distributed (fit this on a ``sampling.hash_sample`` at scale — the
     counts converge long before the corpus ends, but nothing breaks if
-    you fit on all of it)."""
+    you fit on all of it).
+
+    ``materialize`` (default True, r12 optimization round): the unigram
+    table is consumed THREE times per scoring pass — broadcast as the
+    ``w2`` role, broadcast as the ``w1`` role, and aggregated for
+    ``total``. Runtime exchange reuse dedupes the shuffle UNDER the agg,
+    but each consumer still replans and re-runs its own post-shuffle
+    aggregation + broadcast build, and the static plan carries one full
+    corpus-scan subtree per role (measured: score_perplexity 9 jobs ->
+    7 with the checkpoint; the threshold-bucket plan drops from 20
+    ``Scan parquet`` leaves / 26 Exchanges to 4 RDD scans / 2 Exchanges
+    combined with the scored checkpoint below). A lazy
+    ``localCheckpoint`` makes the first consumer compute the table once
+    and every other consumer read executor-local blocks; the model
+    VALUES are bit-identical (same aggregation, same plan below the
+    checkpoint). ``total`` is derived from the materialized table, so it
+    costs a vocabulary-sized agg, not a corpus pass. Pass False to keep
+    the fully-lazy plan (plan-inspection tools)."""
     stream = doc_token_stream(df, id_col, text_col).filter(F.col("w2").isNotNull())
     uni = stream.groupBy(F.col("w2").alias("w")).agg(
         F.count(F.lit(1)).cast("bigint").alias("u_cnt")
@@ -93,6 +113,10 @@ def fit_bigram_lm(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("b_cnt"))
     )
+    if materialize:
+        # lazy: fit stays a transformation — the first action touching
+        # the table materializes it; no job is run at fit time.
+        uni = uni.localCheckpoint(eager=False)
     total = uni.agg(F.sum("u_cnt").cast("bigint").alias("n_tokens"))
     return uni, bi, total
 
@@ -211,6 +235,7 @@ def perplexity_threshold_buckets(
     by: str = "lang",
     ppl_col: str = "ppl",
     accuracy: int = 100_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale-safe head/middle/tail: bucket by COMPARISON against two
     per-group cut points instead of ranking — the production CCNet
@@ -232,7 +257,25 @@ def perplexity_threshold_buckets(
     documented rank error (<= group_size/accuracy positions around each
     cut). Docs strictly between cuts agree exactly — pinned in
     tests/test_ppl.py. NULL ppl (tokenless sentinel) buckets to 'tail',
-    matching the ntile path's NULLS-LAST placement."""
+    matching the ntile path's NULLS-LAST placement.
+
+    ``materialize`` (default True, r12 optimization round): ``scored``
+    appears TWICE in this plan — once under the cuts aggregate and once
+    as the probe side of the bucket join. Runtime exchange reuse covers
+    the exchange-rooted parts of the duplicate subtree, but the probe
+    side's pre-exchange stages (scan + tokenize + posexplode) still
+    execute per appearance and the static plan doubles every leaf
+    (measured at sf0.01: 20 ``Scan parquet`` leaves / 26 Exchanges ->
+    4 RDD scans / 2 Exchanges with the LM checkpoint above; jobs 11 ->
+    9; sf0.1 medians improved, mins within noise on warm NVMe — the
+    win grows with scan cost, i.e. with scale/remote inputs). A lazy
+    ``localCheckpoint`` of the skinny per-doc (id, carry, n_scored,
+    ppl) frame makes the cuts job materialize it once and the bucket
+    join read executor-local blocks — buckets are bit-identical (same
+    rows under both plans). Pass False to keep the fully-lazy plan
+    (plan-inspection tools)."""
+    if materialize:
+        scored = scored.localCheckpoint(eager=False)
     cuts = perplexity_thresholds(scored, by=by, ppl_col=ppl_col, accuracy=accuracy)
     return bucket_by_thresholds(scored, cuts, by=by, ppl_col=ppl_col)
 
