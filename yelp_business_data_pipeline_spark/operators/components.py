@@ -77,6 +77,15 @@ def connected_components(
         raise ValueError(f"check_every must be >= 1, got {check_every}")
     if precontract:
         pairs = _contract_partitions(pairs, src, dst)
+    # r12 optimization: BOTH round structures symmetrize/normalize the
+    # pair set with a self-union, so the ENTIRE upstream pairs subtree
+    # (for the dedup tail that is LSH banding + Jaccard verify + the
+    # precontract kernel) appeared twice in the first materialization
+    # job and executed twice. Checkpoint the raw projection once; the
+    # union then reads executor-local blocks. Skipped when
+    # checkpoint=False (plan-inspection mode keeps full lineage).
+    if checkpoint:
+        pairs = pairs.select(F.col(src), F.col(dst)).localCheckpoint()
     if algorithm == "star":
         return _cc_star(pairs, src, dst, max_iter, checkpoint)
     if algorithm != "hashmin":

@@ -17,7 +17,7 @@ Spark shapes:
   recurring join exchange-free on the store side;
 - the exact fingerprint reuses ``text.fingerprint`` (md5 of the leading
   token prefix — blocking-grade identity, DuckDB-reproducible), the band
-  index reuses ``dedup.minhash_band_rows`` (THE band construction, shared
+  index reuses the shared dedup band construction (r12: the Arrow kernel,
   with the within-corpus ``minhash_lsh_candidates``);
 - the near-dup join carries the skew guard of the within-corpus family:
   a store band bucket larger than ``max_store_bucket`` fails loudly
@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import minhash_band_rows
+from .dedup import minhash_band_rows_kernel
 
 
 def exact_fingerprint_index(
@@ -112,10 +112,12 @@ def minhash_band_index(
 ) -> DataFrame:
     """(band, band_hash, index_id) — the near-dup index of a corpus
     snapshot: one row per (doc, LSH band), the exact construction of
-    ``minhash_lsh_candidates`` (shared ``minhash_band_rows``), stored
-    instead of self-joined."""
-    return minhash_band_rows(
-        df, id_col, text_col, k, rows_per_band, shingle_n, hash_impl
+    ``minhash_lsh_candidates`` (shared band layer — r12: the vectorized
+    Arrow kernel, byte-identical to ``minhash_band_rows`` and pinned so
+    in tests/test_dedup_similarity.py), stored instead of self-joined."""
+    return minhash_band_rows_kernel(
+        df, id_col, text_col, k, rows_per_band, shingle_n, hash_impl,
+        min_partitions=df.sparkSession.sparkContext.defaultParallelism,
     ).select("band", "band_hash", F.col("_id").alias("index_id"))
 
 
@@ -144,8 +146,9 @@ def near_dup_candidates_against_index(
     cluster size. The guard is a window count on the store side (one
     exchange over the index, only when enabled); the raise names the
     observed size, the ``bucket_pairs`` contract."""
-    bands = minhash_band_rows(
-        batch, id_col, text_col, k, rows_per_band, shingle_n, hash_impl
+    bands = minhash_band_rows_kernel(
+        batch, id_col, text_col, k, rows_per_band, shingle_n, hash_impl,
+        min_partitions=batch.sparkSession.sparkContext.defaultParallelism,
     ).select("band", "band_hash", F.col("_id").alias("batch_id"))
     store = index
     if max_store_bucket is not None:
