@@ -21,7 +21,18 @@ def test_bench_emits_one_json_line():
         capture_output=True,
         text=True,
         env=env,
-        timeout=900,
+        # 1800 s (r12): this test guards the OUTPUT CONTRACT (the two
+        # JSON lines the driver parses), not a performance SLA — the
+        # perf bar is the committed BASELINE.md min-of-3 table + the
+        # driver's own 2x rule. The previous 900 s was calibrated for
+        # 88 queries on the faster r10 container; the registry now runs
+        # 100 queries x median-of-3/5 sampling (~460 timed actions, each
+        # paying the local[32] job floor), and the r12-documented
+        # shared-host noise band (OPTIMIZATION_r12.md "Measurement
+        # conditions") put quiet-window walls at ~700-800 s and noisy
+        # ones at ~1050 s — a 900 s ceiling flapped on noise, not on
+        # regressions.
+        timeout=1800,
         cwd="/root/repo",
     )
     assert out.returncode == 0, out.stderr[-2000:]
