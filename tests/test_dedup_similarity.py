@@ -1049,3 +1049,97 @@ def test_fuzzy_dedup_clusters_operator_api(spark):
 
     with pytest.raises(ValueError, match="jaccard_threshold"):
         fuzzy_dedup_clusters(df, "doc_id", "text", jaccard_threshold=1.5)
+
+
+def test_minhash_band_kernel_cache_cap_and_null_ids(spark):
+    """r13 (ADVICE r12): the kernel's per-task token-hash cache is
+    BOUNDED — a tiny cap must change memory behaviour only, never a
+    value — and NULL ids propagate through the kernel exactly like the
+    expression path (band rows computed from the text, _id NULL), for
+    integer AND string id columns."""
+    rows = [
+        (None, "alpha beta gamma delta epsilon zeta eta theta"),
+        (7, "alpha beta gamma delta epsilon zeta eta iota"),
+        (8, "completely different vocabulary set right here ok now"),
+        (9, None),
+    ]
+    key = lambda t: (t[0] is None, str(t[0]), t[1], t[2])  # noqa: E731
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exp = sorted(
+        map(tuple, dd.minhash_band_rows(df, "doc_id", "text").collect()), key=key
+    )
+    ker = sorted(
+        map(tuple, dd.minhash_band_rows_kernel(df, "doc_id", "text").collect()),
+        key=key,
+    )
+    assert exp == ker and exp
+    assert any(t[0] is None for t in ker)  # the NULL id's band rows survive
+    # cap smaller than the vocabulary: identical rows (cache is memory-only)
+    capped = sorted(
+        map(
+            tuple,
+            dd.minhash_band_rows_kernel(
+                df, "doc_id", "text", token_cache_cap=2
+            ).collect(),
+        ),
+        key=key,
+    )
+    assert capped == exp
+
+    srows = [(r[0] and f"id{r[0]}", r[1]) for r in rows]
+    sdf = spark.createDataFrame(srows, "doc_id string, text string")
+    sexp = sorted(
+        map(tuple, dd.minhash_band_rows(sdf, "doc_id", "text").collect()), key=key
+    )
+    sker = sorted(
+        map(tuple, dd.minhash_band_rows_kernel(sdf, "doc_id", "text").collect()),
+        key=key,
+    )
+    assert sexp == sker and sexp
+
+
+def test_simhash_kernel_equals_expression(spark):
+    """r13: simhash_rows_kernel (the Arrow single-pass replacing the 16
+    interpreted vote-folds) must produce EXACTLY with_simhash's values —
+    both hash families, the real corpus, and the edge population (NULL
+    text -> simhash 0, empty text, single token, repeated spaces,
+    non-ASCII)."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "a"),
+            (4, "x y x y x"),
+            (5, "café  über  naïve one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    for impl in ("md5", "xxhash64"):
+        for frame in (d, edge):
+            exp = sorted(
+                (r.doc_id, r.simhash)
+                for r in dd.with_simhash(frame, "text", "simhash", bits=16, hash_impl=impl)
+                .select("doc_id", "simhash")
+                .collect()
+            )
+            ker = sorted(
+                (r.doc_id, r.simhash)
+                for r in dd.simhash_rows_kernel(
+                    frame, "doc_id", "text", bits=16, hash_impl=impl
+                ).collect()
+            )
+            assert exp == ker and exp, impl
+    # non-default width exercises the shift/pack loop bounds
+    exp20 = sorted(
+        (r.doc_id, r.simhash)
+        for r in dd.with_simhash(edge, "text", "simhash", bits=20)
+        .select("doc_id", "simhash")
+        .collect()
+    )
+    ker20 = sorted(
+        (r.doc_id, r.simhash)
+        for r in dd.simhash_rows_kernel(edge, "doc_id", "text", bits=20).collect()
+    )
+    assert exp20 == ker20

@@ -240,3 +240,49 @@ def test_impl_python_matches_numpy_through_spark(spark):
     assert a == b
     with pytest.raises(ValueError, match="unknown impl"):
         gopher_repetition_metrics(df, impl="rust")
+
+
+def test_top_token_ratio_run_length_equals_count_form(spark):
+    """r13: top_token_ratio's sorted run-length fold (O(n log n)/doc) must
+    produce EXACTLY the r12 O(distinct x n) count-per-distinct-token
+    form — real corpus plus the edge population (NULL -> NULL, empty
+    string -> 1.0, all-same, all-distinct, repeated spaces) — and match
+    a python Counter model."""
+    from yelp_business_data_pipeline_spark.operators import text as tx
+
+    def count_form(text):
+        toks = F.split(text, " ")
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+        return F.round(F.array_max(counts).cast("double") / F.size(toks), 6)
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (100001, None),
+            (100002, ""),
+            (100003, "a a a a"),
+            (100004, "w x y z"),
+            (100005, "x  x  x"),  # double spaces -> empty tokens count too
+            (100006, "b a b a b"),
+        ],
+        "doc_id long, text string",
+    )
+    df = d.unionAll(edge)
+    rows = df.select(
+        "doc_id",
+        "text",
+        tx.top_token_ratio(F.col("text")).alias("new"),
+        count_form(F.col("text")).alias("old"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.new == r.old, (r.doc_id, r.new, r.old)
+        if r.text is None:
+            assert r.new is None
+        else:
+            toks = r.text.split(" ")
+            expect = round(max(Counter(toks).values()) / len(toks), 6)
+            assert r.new == pytest.approx(expect, abs=0), r.doc_id

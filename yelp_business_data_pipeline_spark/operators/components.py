@@ -84,23 +84,37 @@ def connected_components(
     # job and executed twice. Checkpoint the raw projection once; the
     # union then reads executor-local blocks. Skipped when
     # checkpoint=False (plan-inspection mode keeps full lineage).
+    #
+    # r13 (ADVICE r12): LAZY — eager ran a dedicated job at
+    # DataFrame-construction time and pinned the pair set as a second
+    # live copy next to the derived edges checkpoint. Lazy, the first
+    # round's job materializes it (block-manager get-or-compute dedupes
+    # the self-union's two reads within that job), one fewer job per CC
+    # call and the copy appears only when the round actually runs.
     if checkpoint:
-        pairs = pairs.select(F.col(src), F.col(dst)).localCheckpoint()
+        pairs = pairs.select(F.col(src), F.col(dst)).localCheckpoint(eager=False)
     if algorithm == "star":
         return _cc_star(pairs, src, dst, max_iter, checkpoint)
     if algorithm != "hashmin":
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'hashmin' or 'star'")
-    edges = (
+
+    def _cp(df: DataFrame) -> DataFrame:
+        # r13: lazy, and GATED on the flag (ADVICE r12 — plan-inspection
+        # mode previously still truncated here). Each round's frame is
+        # materialized by the convergence check's job instead of its own
+        # eager job (the bfs.py fuse pattern): one job per checked round,
+        # zero jobs for the rounds a batched check window skips.
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    edges = _cp(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _cp(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
     def _round(lab: DataFrame) -> DataFrame:
         neighbor_min = (
@@ -108,13 +122,12 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("comp").alias("nmin"))
         )
-        return (
+        return _cp(
             lab.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
         )
 
     def _same(a: DataFrame, b: DataFrame) -> bool:
@@ -264,8 +277,11 @@ def _cc_star(
     equality a valid stop."""
     def _cp(df: DataFrame) -> DataFrame:
         # checkpoint=False: plan-inspection mode (EXPLAIN) — keeps the
-        # genuine round lineage visible instead of a truncated RDD scan
-        return df.localCheckpoint() if checkpoint else df
+        # genuine round lineage visible instead of a truncated RDD scan.
+        # r13: LAZY — every _cp() here is immediately followed by the
+        # _stats probe, whose job materializes the frame (the bfs.py
+        # fuse pattern), halving the star path's per-round job count.
+        return df.localCheckpoint(eager=False) if checkpoint else df
 
     def _stats(df: DataFrame) -> tuple:
         # One job per round: (edge count, order-independent multiset

@@ -72,6 +72,18 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 #: Modulus for the affine rehash family (keeps products inside int64).
 MINHASH_MOD = 1 << 32
 
+#: Bound on the per-task distinct-token hash cache inside the Arrow
+#: kernels (ADVICE r12): the dict grows with the task's distinct
+#: vocabulary across ALL batches of a partition, so a pathological
+#: high-vocabulary partition could push the Python worker toward its
+#: memory limit at 100 TB. When an insert grows the cache past the cap
+#: it is cleared wholesale — token frequency is Zipfian, so the hot
+#: head repopulates within a batch and the hit rate barely moves, while
+#: worst-case memory is bounded at ~cap x (avg token len + dict entry
+#: overhead) ≈ low hundreds of MB. Values are unaffected (the cache is
+#: a pure memoization of a deterministic hash).
+TOKEN_CACHE_CAP = 1 << 20
+
 
 def minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a_j, b_j) affine-rehash constants, derived from md5 so
@@ -278,6 +290,7 @@ def minhash_band_rows_kernel(
     shingle_n: int = 3,
     hash_impl: str = "md5",
     min_partitions: int | None = None,
+    token_cache_cap: int | None = None,
 ) -> DataFrame:
     """Arrow-kernel twin of :func:`minhash_band_rows` — same (_id, band,
     band_hash) rows, computed per partition in vectorized numpy instead
@@ -301,7 +314,19 @@ def minhash_band_rows_kernel(
     ``min_partitions``: kernel parallelism equals input partitioning —
     pass the cluster core count for small single-file corpora (tiny
     round-robin exchange of raw rows); leave None at real scale where
-    the input already has thousands of splits.
+    the input already has thousands of splits. The floor is BEST-EFFORT
+    under AQE (ADVICE r12): the build-time partition count read here is
+    the static pre-AQE number — an upstream shuffle reports
+    spark.sql.shuffle.partitions even where AQE later coalesces — so a
+    plan that AQE shrinks below the floor at runtime keeps its coalesced
+    width. Acceptable by design: the floor targets the single-file
+    local-corpus case (a leaf scan, where the static count IS the
+    runtime count); repartitioning unconditionally would put a full
+    round-robin exchange of the raw corpus into every at-scale plan to
+    guard a local-mode edge.
+
+    ``token_cache_cap``: bound on the per-task distinct-token hash cache
+    (default :data:`TOKEN_CACHE_CAP`; values unaffected, memory only).
     """
     import hashlib
 
@@ -326,6 +351,9 @@ def minhash_band_rows_kernel(
     n_bands = (k + rows_per_band - 1) // rows_per_band
 
     id_field = df.schema[id_col]
+    integral_id = isinstance(
+        id_field.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
     schema = T.StructType(
         [
             T.StructField("_id", id_field.dataType),
@@ -333,6 +361,7 @@ def minhash_band_rows_kernel(
             T.StructField("band_hash", T.StringType()),
         ]
     )
+    cache_cap = TOKEN_CACHE_CAP if token_cache_cap is None else token_cache_cap
 
     def _bands(batches):
         cache: dict = {}
@@ -346,14 +375,16 @@ def minhash_band_rows_kernel(
                     h = int.from_bytes(
                         hashlib.md5(("mh:" + t).encode("utf-8")).digest()[:4], "big"
                     )
+                if len(cache) >= cache_cap:
+                    cache.clear()  # bounded memory; Zipfian head repopulates
                 cache[t] = h
             return h
 
         for pdf in batches:
-            ids_out: list = []
+            idx_out: list = []  # input row positions, one per emitted doc row
             band_out: list = []
             hash_out: list = []
-            for doc_id, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+            for i, text in enumerate(pdf.iloc[:, 1]):
                 if text is None:
                     continue  # upstream filter drops these; belt-and-braces
                 toks = text.split(" ")
@@ -375,11 +406,22 @@ def minhash_band_rows_kernel(
                             ",".join(str(int(s)) for s in grp).encode()
                         ).hexdigest()
                     )
-                ids_out.extend([doc_id] * n_bands)
+                idx_out.extend([i] * n_bands)
                 band_out.extend(range(n_bands))
+            # _id built from the ORIGINAL pandas values by position (ADVICE
+            # r12): a nullable numeric id column arrives as float64 with
+            # NaN for NULLs — take() preserves that, and the Int64 cast
+            # restores nullable-integer semantics so Arrow emits NULL ids
+            # exactly like the expression path (which passes NULL _id rows
+            # through). Non-null integral ids round-trip exactly (pandas
+            # only widens to float when NULLs are PRESENT; ids < 2^53 —
+            # the float64 mantissa — survive that widening losslessly).
+            ids = pdf.iloc[:, 0].take(idx_out).reset_index(drop=True)
+            if integral_id and ids.dtype.kind == "f":
+                ids = ids.astype("Int64")
             yield pd.DataFrame(
                 {
-                    "_id": pd.Series(ids_out, dtype=pdf.iloc[:, 0].dtype if ids_out else object),
+                    "_id": ids,
                     "band": pd.Series(band_out, dtype="int32"),
                     "band_hash": pd.Series(hash_out, dtype=object),
                 }
@@ -537,7 +579,8 @@ def deletion_neighborhood_candidates(
 
 
 def token_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact token-set Jaccard similarity join via inverted index.
 
@@ -545,11 +588,20 @@ def token_jaccard_pairs(
     token is the inverted-index pattern: cost bounded by posting-list sizes,
     so at scale this runs AFTER LSH blocking (see minhash_lsh_candidates),
     or with frequent-token pruning.
+
+    ``materialize`` (default True, r13): the exploded (id, tok) posting
+    frame is consumed THREE times (doc sizes, both sides of the
+    inverted-index self-join) — each appearance re-running the scan +
+    tokenize + explode. A lazy ``localCheckpoint`` computes it once; the
+    operator's documented regime (bounded/blocked windows) keeps the
+    stored posting list small. Pass False for the fully-lazy plan.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
+    if materialize:
+        toks = toks.localCheckpoint(eager=False)
     sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.select(F.col("_id").alias("id_a"), "tok")
     b = toks.select(F.col("_id").alias("id_b"), "tok")
@@ -625,6 +677,112 @@ def with_simhash(
     return hashed.withColumn(out_col, simhash_from_hashes(F.col("_token_hashes"), bits)).drop(
         "_token_hashes"
     )
+
+
+def simhash_rows_kernel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "simhash",
+    bits: int = 16,
+    hash_impl: str = "md5",
+    min_partitions: int | None = None,
+    token_cache_cap: int | None = None,
+) -> DataFrame:
+    """(id, simhash) rows via a vectorized Arrow kernel — byte-identical
+    to :func:`with_simhash`'s fingerprints (r13 optimization round; the
+    :func:`minhash_band_rows_kernel` precedent).
+
+    Why: the expression form folds ``bits`` separate interpreted
+    ``aggregate()`` passes over the shared token-hash array — HOFs do
+    not participate in whole-stage codegen, so every document pays
+    16 x n_tokens interpreted lambda steps even though the md5 pass is
+    shared. Inside the kernel the same construction is: one md5 (or
+    numpy XXH64) per DISTINCT token per task (bounded dict cache), ONE
+    (total_tokens x bits) bit-matrix, and a per-document segmented vote
+    reduction (``np.add.reduceat``) — exact int64 arithmetic, so the
+    votes and the packed fingerprint are bit-identical (pinned for both
+    hash families, non-default widths and the NULL/empty/short edges in
+    tests/test_dedup_similarity.py). NULL text -> simhash 0, matching
+    the expression path (NULL votes fall through every when() to the
+    0-bit branch).
+
+    ``min_partitions`` / ``token_cache_cap``: same semantics (and the
+    same best-effort-under-AQE caveat) as
+    :func:`minhash_band_rows_kernel`.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.xxhash import xxh64
+
+    if hash_impl not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_impl {hash_impl!r}")
+    use_xx = hash_impl == "xxhash64"
+
+    id_field = df.schema[id_col]
+    integral_id = isinstance(
+        id_field.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType),
+            T.StructField(out_col, T.LongType()),
+        ]
+    )
+    cache_cap = TOKEN_CACHE_CAP if token_cache_cap is None else token_cache_cap
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def _simhash(batches):
+        cache: dict = {}
+
+        def tok_hash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                if use_xx:
+                    h = xxh64(("sh:" + t).encode("utf-8")) & 0xFFFFFFFF
+                else:
+                    h = int.from_bytes(
+                        hashlib.md5(("sh:" + t).encode("utf-8")).digest()[:4], "big"
+                    )
+                if len(cache) >= cache_cap:
+                    cache.clear()  # bounded memory; Zipfian head repopulates
+                cache[t] = h
+            return h
+
+        for pdf in batches:
+            texts = pdf.iloc[:, 1]
+            sims = np.zeros(len(pdf), dtype=np.int64)  # NULL text -> 0
+            hashes: list = []
+            rows: list = []  # (row position, token count) per non-null doc
+            for i, text in enumerate(texts):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                hashes.extend(tok_hash(t) for t in toks)
+                rows.append((i, len(toks)))
+            if rows:
+                h_all = np.fromiter(hashes, dtype=np.int64, count=len(hashes))
+                # (total_tokens x bits) +-1 vote matrix, segment-summed per
+                # doc: exact int64 throughout, identical to the fold.
+                contrib = (((h_all[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64)
+                counts = np.array([c for _, c in rows], dtype=np.int64)
+                offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+                votes = np.add.reduceat(contrib, offsets, axis=0)
+                packed = ((votes > 0).astype(np.int64) << shifts).sum(axis=1)
+                sims[np.array([i for i, _ in rows], dtype=np.int64)] = packed
+            ids = pdf.iloc[:, 0].reset_index(drop=True)
+            if integral_id and ids.dtype.kind == "f":
+                ids = ids.astype("Int64")  # NULL ids survive (kernel parity)
+            yield pd.DataFrame({id_col: ids, out_col: pd.Series(sims)})
+
+    rows_in = df.select(F.col(id_col), F.col(text_col))
+    if min_partitions is not None and rows_in.rdd.getNumPartitions() < min_partitions:
+        rows_in = rows_in.repartition(min_partitions)
+    return rows_in.mapInPandas(_simhash, schema=schema)
 
 
 def soft_dedup_weights(
@@ -783,9 +941,16 @@ def fuzzy_dedup_clusters(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, k, rows_per_band, shingle_n, hash_impl, max_bucket
     )
+    # r13 (VERDICT r12 item 2): the tokenized verify frame feeds BOTH
+    # sides of the candidate join (different join keys, so exchange
+    # reuse never dedupes them) — each side re-ran scan + tokenize +
+    # array_distinct per CC materialization. Lazy localCheckpoint: the
+    # first executing job computes it once, the other side reads
+    # executor-local blocks (storage policy: SCALE.md "Reused-frame
+    # materialization").
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks")
-    )
+    ).localCheckpoint(eager=False)
     paired = cands.join(
         toks.select(F.col(id_col).alias("doc_a"), F.col("_toks").alias("_ta")), "doc_a"
     ).join(

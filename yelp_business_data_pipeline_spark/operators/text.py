@@ -74,16 +74,33 @@ def top_token_ratio(text: Column) -> Column:
     """Most-frequent-token share of the document (Gopher-style repetition
     signal: templated/spammy docs concentrate mass on one token).
 
-    Per-row HOF count over distinct tokens — O(distinct x n) per doc,
-    fine for the short-document regime; for book-length docs use the
-    explode -> groupBy -> max/sum relational form instead (one shuffle).
+    Per-row sorted run-length fold — O(n log n) per doc: sort the token
+    array once, then ONE aggregate() pass tracking the longest
+    equal-token run, which in a sorted array IS the max token
+    multiplicity. Values identical to the r12 count-per-distinct-token
+    form (array_max over per-distinct-token filter counts), which was
+    O(distinct x n) per doc and measured as doc_stats_panel's dominant
+    per-row term (r13 optimization round; equality pinned incl. the
+    NULL -> NULL / '' -> 1.0 edges in tests/test_gopher.py). For
+    book-length docs the explode -> groupBy -> max/sum relational form
+    remains the one-shuffle alternative.
     """
     toks = tokens_col(text)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    zero = F.lit(0)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
     )
-    return F.round(F.array_max(counts).cast("double") / F.size(toks), 6)
+
+    def _step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(F.array_sort(toks), acc0, _step, lambda a: a["best"])
+    return F.round(best.cast("double") / F.size(toks), 6)
 
 
 def distinct_token_ratio(text: Column) -> Column:
