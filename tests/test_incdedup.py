@@ -271,3 +271,40 @@ def _store_side_exchange_keys(plan: str) -> str:
             if "Window" in above or "HashAggregate" in above:
                 out.append(l)
     return " ".join(out)
+
+
+def test_kernel_false_fallback_matches_kernel(spark):
+    """r13 (ADVICE r12): kernel=False routes the band construction
+    through the pure-JVM expression path — the index and the candidate
+    pairs must be identical either way."""
+    store = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+            (3, "completely different vocabulary set right here ok now"),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),
+            (11, "unrelated words in this brand new document body"),
+        ],
+    )
+    idx_k = sorted(map(tuple, minhash_band_index(store).collect()))
+    idx_e = sorted(map(tuple, minhash_band_index(store, kernel=False).collect()))
+    assert idx_k == idx_e and idx_k
+
+    pairs_k = sorted(
+        map(tuple, near_dup_candidates_against_index(batch, minhash_band_index(store)).collect())
+    )
+    pairs_e = sorted(
+        map(
+            tuple,
+            near_dup_candidates_against_index(
+                batch, minhash_band_index(store, kernel=False), kernel=False
+            ).collect(),
+        )
+    )
+    assert pairs_k == pairs_e and pairs_k

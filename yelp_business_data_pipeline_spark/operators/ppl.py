@@ -116,6 +116,8 @@ def fit_bigram_lm(
     if materialize:
         # lazy: fit stays a transformation — the first action touching
         # the table materializes it; no job is run at fit time.
+        # storage policy: SCALE.md 'Checkpoint & reuse storage policy'
+        # (reused frame consumed by the returned lazy plan)
         uni = uni.localCheckpoint(eager=False)
     total = uni.agg(F.sum("u_cnt").cast("bigint").alias("n_tokens"))
     return uni, bi, total
@@ -275,6 +277,7 @@ def perplexity_threshold_buckets(
     rows under both plans). Pass False to keep the fully-lazy plan
     (plan-inspection tools)."""
     if materialize:
+        # storage policy: SCALE.md 'Checkpoint & reuse storage policy'
         scored = scored.localCheckpoint(eager=False)
     cuts = perplexity_thresholds(scored, by=by, ppl_col=ppl_col, accuracy=accuracy)
     return bucket_by_thresholds(scored, cuts, by=by, ppl_col=ppl_col)

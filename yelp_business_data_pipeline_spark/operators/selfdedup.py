@@ -106,11 +106,19 @@ def duplicate_spans(
             F.count("*").alias("occ"), F.count_distinct(id_col).alias("n_docs")
         )
         dup = counts.filter(F.col("n_docs") >= min_count).select("gh", "occ")
+        marked = grams.join(dup, "gh")
     else:
-        counts = grams.groupBy("gh").agg(F.count("*").alias("occ"))
-        dup = counts.filter(F.col("occ") >= min_count).select("gh", "occ")
-
-    marked = grams.join(dup, "gh")
+        # r13 (guide §2.4): the former groupBy(gh) -> join(grams, gh)
+        # shuffled the corpus-sized gram stream on gh TWICE (the agg and
+        # the join probe) and sorted both join sides. occ is a plain
+        # per-key count, so ONE window over the same shuffle computes it
+        # in place — measured 15.4 -> 5.4 s on the 500k-doc scaling
+        # corpus (same rows out, pinned). Skew note: a boilerplate
+        # mega-gram lands its occurrences in one window partition, which
+        # is the same placement the join's probe side had — no new hot
+        # spot, and no per-gram state beyond a count.
+        occ = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        marked = grams.withColumn("occ", occ).filter(F.col("occ") >= min_count)
 
     # Interval union of [pos, pos+k) covers: a new span starts when this
     # gram's start lies strictly past the running max end of everything
