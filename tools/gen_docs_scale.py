@@ -32,6 +32,18 @@ from gen_scaledata import LANGS, SOURCES, VOCAB  # same distributions
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: gen_scaledata's 24-word vocabulary is fine for token statistics but
+#: DEGENERATE for the LSH/screen families at 500k docs: the 3-shingle
+#:  space is 24^3 ≈ 14k, so MinHash bands collide pathologically (6.9M
+#: candidate pairs measured — quadratic verify work no real corpus
+#: produces), and zero stopwords means the Gopher screen rejects every
+#: document (alignment_tail measured its empty-input floor). The probe
+#: vocabulary is therefore widened to 24 x 50 suffixed variants (~1.2k
+#: words, shingle space ~10^9) with English stopwords mixed in at ~15%
+#: so screens, lang-id and LSH all exercise their real code paths.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+PROBE_VOCAB = [f"{w}{i}" for w in VOCAB for i in range(50)] + STOPWORDS * 25
+
 
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
@@ -45,7 +57,7 @@ def main() -> None:
     os.makedirs(doc_dir, exist_ok=True)
 
     n_total = 50_000 * mult
-    words = np.array(VOCAB)
+    words = np.array(PROBE_VOCAB)
     per_file = (n_total + n_files - 1) // n_files
     next_id = 0
     for f_idx in range(n_files):
