@@ -193,13 +193,14 @@ COMMENTARY = {
     ),
     "duplicate_spans_panel": (
         "The distributed ExactSubstr (Lee et al. 2022): positional "
-        "5-gram posexplode, ONE partial-agg'd gram-count exchange (most "
-        "grams unique, so the map side collapses the stream), the "
-        "duplicated-gram set joined back (AQE broadcast here; bloom-"
-        "pruned sort-merge at scale), and the interval union windows "
-        "over only the MATCHED grams — bounded by the duplicated mass, "
-        "not the corpus. Replaces the paper's single-machine suffix "
-        "array with shapes that distribute."
+        "5-gram posexplode, then (r13) gram occurrence counts as ONE "
+        "window over the single gh exchange — the former "
+        "groupBy+join-back shuffled the corpus-sized gram stream on gh "
+        "twice and sorted both join sides (measured 2.9x on the 500k-doc "
+        "probe; 8-vs-32-core ratio 1.04 -> 1.7) — and the interval union "
+        "windows over only the MATCHED grams, bounded by the duplicated "
+        "mass, not the corpus. Replaces the paper's single-machine "
+        "suffix array with shapes that distribute."
     ),
     "dsir_selection_panel": (
         "DSIR (Xie et al. 2023), single-pass flagged plan: the target "
